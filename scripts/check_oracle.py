@@ -1,0 +1,118 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 (or argv[1]) through Ray and
+the matching ``oracle_sql()`` through DuckDB, then compares row count,
+column names and an order-insensitive value hash.
+
+Usage: python scripts/check_oracle.py [sf_dir]
+"""
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def to_pandas(result):
+    if isinstance(result, pd.DataFrame):
+        return result
+    if hasattr(result, "to_pandas"):
+        return result.to_pandas()
+    raise TypeError(type(result))
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    import hashlib
+
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes the way a tolerant driver would
+    for col in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[col]):
+            df[col] = df[col].astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(df[col]):
+            df[col] = df[col].round(6)
+    import numpy as np
+
+    def norm(v):
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return None
+        if pd.isna(v) if not isinstance(v, (list, tuple, dict)) else False:
+            return None
+        if isinstance(v, np.integer):
+            return int(v)
+        if isinstance(v, np.floating):
+            return float(v)
+        return v
+
+    rows = sorted(
+        tuple(norm(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    )
+    return hashlib.sha256(repr(rows).encode()).hexdigest()[:16]
+
+
+def main():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=8,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        got = to_pandas(fn(SF_DIR))
+        if name not in oracles:
+            print(f"{name:28s} rows={len(got):6d}  (no oracle: rows-only)")
+            continue
+        want = con.execute(oracles[name]).fetchdf()
+        gh, wh = value_hash(got), value_hash(want)
+        ok_rows = len(got) == len(want)
+        ok_cols = sorted(got.columns) == sorted(want.columns)
+        ok_hash = gh == wh
+        status = "OK " if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(
+            f"{name:28s} {status} rows {len(got)}/{len(want)} "
+            f"cols {ok_cols} hash {gh}/{wh}"
+        )
+        if not ok_hash and ok_cols and ok_rows:
+            merged = got.merge(
+                want, how="outer", indicator=True,
+                on=list(sorted(got.columns)),
+            )
+            diff = merged[merged["_merge"] != "both"]
+            print(diff.head(6).to_string())
+    ray.shutdown()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""The flagship extraction pipeline (SURVEY.md §3.4 restatement).
+
+::
+
+    pages (url, warc_ts, html, text, lang)
+      -> sniff_stats_batch          (stateless tasks: kind/size metadata)
+      -> latest-crawl dedup         (projected shuffle + broadcast filter)
+      -> ExtractorPool              (actor pool: cascade, drops html)
+      -> psv_batch                  (stateless tasks: PSV derivation)
+
+Everything streams: no stage materializes the dataset; output is
+consumed by ``write_parquet`` (see ``state/manifest.py`` for the
+resumable writer) or by the caller's aggregation.
+"""
+
+from typing import Optional, Tuple, Union
+
+from ..stages import dedup as dedup_stage
+from ..stages.extract import ExtractorPool, psv_batch, sniff_stats_batch
+
+
+def extraction_pipeline(
+    pages_ds,
+    *,
+    dedup: Optional[str] = "broadcast",
+    concurrency: Union[int, Tuple[int, int], None] = (1, 8),
+    batch_size: int = 128,
+    derive_psv: bool = True,
+):
+    """Build the lazy extraction graph over a pages Dataset.
+
+    ``concurrency``/``batch_size`` size the extraction actor pool: the
+    cascade is the CPU bottleneck, so the pool should be allowed to
+    scale to most of the node while the stateless stages ride the
+    remaining slots. ``dedup=None`` skips the latest-crawl dedup (for
+    inputs known unique); ``"shuffle"`` selects the no-broadcast path.
+    """
+    ds = pages_ds.map_batches(sniff_stats_batch, batch_format="pyarrow")
+    if dedup:
+        ds = dedup_stage.latest_crawl(ds, method=dedup)
+    ds = ds.map_batches(
+        ExtractorPool,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    if derive_psv:
+        ds = ds.map_batches(psv_batch, batch_format="pyarrow")
+    return ds
+
+
+def run_metrics(extracted_ds) -> dict:
+    """Run-level metrics over the extraction output (SURVEY.md A2):
+    row counts by status + bytes processed, as a small dict
+    (``Dataset.aggregate`` collapses to one row)."""
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ok = pc.sum(
+            pc.equal(batch["status"], "succeeded").cast(pa.int64())
+        ).as_py() or 0
+        return pa.Table.from_pydict(
+            {
+                "n_rows": [batch.num_rows],
+                "n_ok": [ok],
+                "n_failed": [batch.num_rows - ok],
+                "n_bytes": [
+                    pc.sum(batch["n_bytes"]).as_py() or 0
+                ],
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        extracted_ds.map_batches(partial, batch_format="pyarrow")
+        .aggregate(
+            Sum("n_rows", alias_name="rows"),
+            Sum("n_ok", alias_name="ok"),
+            Sum("n_failed", alias_name="failed"),
+            Sum("n_bytes", alias_name="bytes"),
+        )
+    )
+    return totals

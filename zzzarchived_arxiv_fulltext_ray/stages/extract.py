@@ -1,0 +1,125 @@
+"""Extraction stages (Ray Data transforms over Arrow batches).
+
+``sniff_stats_batch`` (stateless tasks) derives payload metadata;
+``ExtractorPool`` (actor pool) runs the quality-gated cascade per row;
+``psv_batch`` (stateless tasks) derives the PSV format. The html
+payload column is dropped by the extractor — project heavy binary away
+as early as possible so downstream shuffles move text, not markup
+(SURVEY.md §4.2).
+
+The per-row work in the extractor is a whole-document parse + regex
+chain — inherently scalar (rows ARE documents, cf. SURVEY.md §7.3), so
+the "vectorized" contract here is batch-in/batch-out Arrow with heavy
+per-row kernels, like any parser/model-inference stage.
+"""
+
+import math
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import EXTRACTOR_VERSION
+from ..functions import psv as psv_kernel
+from ..functions.cascade import extract_payload
+
+OUTPUT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("lang", pa.string()),
+        ("payload_kind", pa.string()),
+        ("n_bytes", pa.int64()),
+        ("size_bucket", pa.int32()),
+        ("text", pa.string()),
+        ("status", pa.string()),
+        ("error", pa.string()),
+        ("extractor_version", pa.string()),
+    ]
+)
+
+
+def sniff_stats_batch(batch: pa.Table) -> pa.Table:
+    """Add payload size + log2 size bucket (skew key, SURVEY.md A3)."""
+    n_bytes = pc.binary_length(batch["html"]).cast(pa.int64())
+    sizes = n_bytes.to_pylist()
+    buckets = pa.array(
+        [int(math.log2(s)) if s and s > 0 else 0 for s in sizes],
+        type=pa.int32(),
+    )
+    batch = batch.append_column("n_bytes", n_bytes)
+    return batch.append_column("size_bucket", buckets)
+
+
+class ExtractorPool:
+    """Stateful extraction stage: one instance per actor, reused across
+    batches (the warm-parser replacement for the reference's
+    docker-container-per-document, SURVEY.md ST1).
+
+    Use with ``ds.map_batches(ExtractorPool, batch_format="pyarrow",
+    concurrency=N, batch_size=B)``.
+    """
+
+    def __init__(self, extractor_version: str = EXTRACTOR_VERSION):
+        # Per-actor setup happens once: the kernel modules' compiled
+        # regex tables and (when present) pdfminer resources are loaded
+        # on first import in this worker process.
+        self.extractor_version = extractor_version
+        from ..functions import cascade, html_main, pdf_text  # warm imports
+
+        self._extract = cascade.extract_payload
+        self.n_rows = 0
+        self.n_failed = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        payloads = batch["html"].to_pylist()
+        texts = batch["text"].to_pylist()
+
+        out_text, out_status, out_error, out_kind = [], [], [], []
+        for url, payload, fallback in zip(urls, payloads, texts):
+            res = self._extract(payload or b"", fallback or None, url)
+            out_text.append(res.text)
+            out_status.append(res.status)
+            out_error.append(res.error)
+            out_kind.append(res.payload_kind)
+            self.n_rows += 1
+            if res.status != "succeeded":
+                self.n_failed += 1
+
+        n = len(urls)
+        return pa.Table.from_arrays(
+            [
+                batch["url"].combine_chunks(),
+                batch["warc_ts"].combine_chunks(),
+                batch["lang"].combine_chunks(),
+                pa.array(out_kind, type=pa.string()),
+                batch["n_bytes"].combine_chunks(),
+                batch["size_bucket"].combine_chunks(),
+                pa.array(out_text, type=pa.string()),
+                pa.array(out_status, type=pa.string()),
+                pa.array(out_error, type=pa.string()),
+                pa.array([self.extractor_version] * n, type=pa.string()),
+            ],
+            schema=OUTPUT_SCHEMA,
+        )
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-task variant of :class:`ExtractorPool` (same output)."""
+    return ExtractorPool()(batch)
+
+
+def psv_batch(batch: pa.Table) -> pa.Table:
+    """Derive the PSV format from extracted plain text (E21; the
+    reference derives psv from the stored plain content,
+    ``fulltext/extract.py:226-227``)."""
+    texts = batch["text"].to_pylist()
+    psv_col = pa.array(
+        [
+            psv_kernel.normalize_text_psv(t) if t is not None else None
+            for t in texts
+        ],
+        type=pa.string(),
+    )
+    return batch.append_column("psv", psv_col)
