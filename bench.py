@@ -1,0 +1,214 @@
+"""Benchmark harness. Prints ONE JSON line.
+
+Headline: the flagship extraction job — ``read_parquet(pages)`` ->
+sniff -> latest-crawl dedup -> actor-pool extraction cascade -> PSV ->
+``write_parquet`` — over a pre-materialized pages table derived from
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1). The pages table is
+expanded (x``GRAFT_EXPAND`` text length) and replicated
+(x``GRAFT_REPLICATE`` distinct urls, kind distribution preserved) so
+the job is large enough to exercise streaming execution; preparation
+and a page-cache warm-up read are untimed.
+
+``value`` = headline wall seconds; ``queries`` = per-query seconds for
+the rest of the suite; extras: docs/sec + rows.
+
+``--scaling``: runs the headline twice in fresh processes at
+``num_cpus`` 8 and 32 on the SAME input (the sandbox proxy for N vs 4N
+nodes) and reports both throughputs + scaling efficiency.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+EXPAND = int(os.environ.get("GRAFT_EXPAND", "20"))
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "32"))
+BENCH_ROOT = Path(os.environ.get("GRAFT_BENCH_DIR", "/tmp/graft_bench"))
+
+# Replication offset: divisible by every modulus the synthesizer uses
+# (20 kinds, 10 dup-cycle, 50 sites) so replicas keep the same payload
+# mix while getting distinct urls.
+REPLICA_OFFSET = 1_000_000
+
+
+def pages_dir() -> Path:
+    sf_tag = Path(SF_DIR).name
+    return BENCH_ROOT / f"pages_{sf_tag}_E{EXPAND}_R{REPLICATE}"
+
+
+def prepare_pages(ray):
+    """Materialize the bench pages table to /tmp Parquet (once)."""
+    out = pages_dir()
+    done = out / "_DONE"
+    if done.exists():
+        return out
+    import pyarrow as pa
+
+    import ray.data as rd
+    from zzzarchived_arxiv_fulltext_ray.sources.pages import (
+        pages_batch_from_documents,
+    )
+
+    docs = rd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        tables = []
+        for r in range(REPLICATE):
+            ids = pa.compute.add(batch["doc_id"], r * REPLICA_OFFSET)
+            tables.append(
+                pa.Table.from_arrays(
+                    [ids, batch["text"].combine_chunks(),
+                     batch["lang"].combine_chunks()],
+                    names=["doc_id", "text", "lang"],
+                )
+            )
+        return pa.concat_tables(tables)
+
+    pages = docs.map_batches(replicate, batch_format="pyarrow").map_batches(
+        lambda b: pages_batch_from_documents(b, expand=EXPAND),
+        batch_format="pyarrow",
+    )
+    tmp = out.with_suffix(".tmp")
+    if tmp.exists():
+        import shutil
+
+        shutil.rmtree(tmp)
+    pages.write_parquet(str(tmp))
+    tmp.rename(out)
+    (out / "_DONE").touch()
+    return out
+
+
+def headline(ray) -> dict:
+    """Timed: full extraction job over the materialized pages table."""
+    import ray.data as rd
+    from zzzarchived_arxiv_fulltext_ray.pipelines.extraction import (
+        extraction_pipeline,
+    )
+
+    src = str(pages_dir())
+    # untimed warm-up read: measure compute+shuffle, not first-touch disk
+    rd.read_parquet(src).count()
+
+    out_dir = BENCH_ROOT / f"out_{NUM_CPUS}"
+    import shutil
+
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
+
+    conc_env = os.environ.get("GRAFT_CONCURRENCY", "")
+    if conc_env.isdigit():
+        concurrency = int(conc_env)
+    else:
+        # fixed pool at ~3/4 of the CPUs: the extraction actors are the
+        # bottleneck stage but read/write task pools need slots too —
+        # a pool that reserves every CPU starves them (measured: 24 of
+        # 32 beats both 32 and autoscaling by ~1.5x)
+        concurrency = max(1, NUM_CPUS * 3 // 4)
+    batch_size = int(os.environ.get("GRAFT_BATCH", "128"))
+
+    t0 = time.time()
+    pages = rd.read_parquet(src)
+    extracted = extraction_pipeline(
+        pages, concurrency=concurrency, batch_size=batch_size
+    )
+    extracted.write_parquet(str(out_dir))
+    wall = time.time() - t0
+
+    n_rows = rd.read_parquet(str(out_dir)).count()
+    return {"sec": wall, "rows": n_rows, "docs_per_sec": n_rows / wall}
+
+
+def query_suite() -> dict:
+    import __ray_entry__ as entrymod
+
+    timings = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        fn(SF_DIR)
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def run_once() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    prepare_pages(ray)
+    head = headline(ray)
+    queries = query_suite()
+    ray.shutdown()
+
+    sf = Path(SF_DIR).name.replace("sf", "")
+    return {
+        "metric": "extraction_pipeline_sec",
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "num_cpus": NUM_CPUS,
+        "rows": head["rows"],
+        "docs_per_sec": round(head["docs_per_sec"], 1),
+        "expand": EXPAND,
+        "replicate": REPLICATE,
+    }
+
+
+def run_scaling() -> dict:
+    lo, hi = 8, 32
+
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, __file__],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = sub(lo), sub(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus": [lo, hi],
+        "sec": {str(lo): t_lo, str(hi): t_hi},
+        "docs_per_sec": {
+            str(lo): r_lo["docs_per_sec"],
+            str(hi): r_hi["docs_per_sec"],
+        },
+        "rows": r_hi["rows"],
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

@@ -16,7 +16,7 @@ resumable writer) or by the caller's aggregation.
 from typing import Optional, Tuple, Union
 
 from ..stages import dedup as dedup_stage
-from ..stages.extract import ExtractorPool, psv_batch, sniff_stats_batch
+from ..stages.extract import ExtractorPool, sniff_stats_batch
 
 
 def extraction_pipeline(
@@ -35,18 +35,24 @@ def extraction_pipeline(
     remaining slots. ``dedup=None`` skips the latest-crawl dedup (for
     inputs known unique); ``"shuffle"`` selects the no-broadcast path.
     """
-    ds = pages_ds.map_batches(sniff_stats_batch, batch_format="pyarrow")
+    # dedup first, over the RAW pages stream: the winner pre-pass then
+    # projects (url, warc_ts) straight out of the Parquet read instead
+    # of re-scanning payload bytes
+    ds = pages_ds
     if dedup:
         ds = dedup_stage.latest_crawl(ds, method=dedup)
+    ds = ds.map_batches(sniff_stats_batch, batch_format="pyarrow")
+    # PSV derivation is fused into the extraction actors: a separate
+    # task stage would contend with the pool for cores (it costs more
+    # CPU than the cascade itself on text-heavy corpora)
     ds = ds.map_batches(
         ExtractorPool,
+        fn_constructor_kwargs={"derive_psv": derive_psv},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
     )
-    if derive_psv:
-        ds = ds.map_batches(psv_batch, batch_format="pyarrow")
     return ds
 
 

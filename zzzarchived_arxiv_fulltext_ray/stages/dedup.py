@@ -30,7 +30,12 @@ def latest_crawl_broadcast(ds, dup_threshold: Optional[int] = None):
     """Keep the latest crawl per url via a projected aggregate +
     broadcast anti-filter. Only urls that actually have >1 crawl enter
     the broadcast map, so its size tracks the duplicate rate, not the
-    corpus size."""
+    corpus size.
+
+    Apply this to the RAW pages Dataset (before any payload-touching
+    stage): the ``select_columns`` projection then pushes down into the
+    Parquet read, so the winner pre-pass scans two tiny columns instead
+    of payload bytes."""
     import ray
     from ray.data.aggregate import Count, Max
 

@@ -60,11 +60,16 @@ class ExtractorPool:
     concurrency=N, batch_size=B)``.
     """
 
-    def __init__(self, extractor_version: str = EXTRACTOR_VERSION):
+    def __init__(
+        self,
+        extractor_version: str = EXTRACTOR_VERSION,
+        derive_psv: bool = False,
+    ):
         # Per-actor setup happens once: the kernel modules' compiled
         # regex tables and (when present) pdfminer resources are loaded
         # on first import in this worker process.
         self.extractor_version = extractor_version
+        self.derive_psv = derive_psv
         from ..functions import cascade, html_main, pdf_text  # warm imports
 
         self._extract = cascade.extract_payload
@@ -77,32 +82,43 @@ class ExtractorPool:
         texts = batch["text"].to_pylist()
 
         out_text, out_status, out_error, out_kind = [], [], [], []
+        out_psv = [] if self.derive_psv else None
         for url, payload, fallback in zip(urls, payloads, texts):
             res = self._extract(payload or b"", fallback or None, url)
             out_text.append(res.text)
             out_status.append(res.status)
             out_error.append(res.error)
             out_kind.append(res.payload_kind)
+            if out_psv is not None:
+                # fused PSV derivation: the pool is the CPU-heavy stage,
+                # a separate task stage would contend with it for cores
+                out_psv.append(
+                    psv_kernel.normalize_text_psv(res.text)
+                    if res.text is not None
+                    else None
+                )
             self.n_rows += 1
             if res.status != "succeeded":
                 self.n_failed += 1
 
         n = len(urls)
-        return pa.Table.from_arrays(
-            [
-                batch["url"].combine_chunks(),
-                batch["warc_ts"].combine_chunks(),
-                batch["lang"].combine_chunks(),
-                pa.array(out_kind, type=pa.string()),
-                batch["n_bytes"].combine_chunks(),
-                batch["size_bucket"].combine_chunks(),
-                pa.array(out_text, type=pa.string()),
-                pa.array(out_status, type=pa.string()),
-                pa.array(out_error, type=pa.string()),
-                pa.array([self.extractor_version] * n, type=pa.string()),
-            ],
-            schema=OUTPUT_SCHEMA,
-        )
+        arrays = [
+            batch["url"].combine_chunks(),
+            batch["warc_ts"].combine_chunks(),
+            batch["lang"].combine_chunks(),
+            pa.array(out_kind, type=pa.string()),
+            batch["n_bytes"].combine_chunks(),
+            batch["size_bucket"].combine_chunks(),
+            pa.array(out_text, type=pa.string()),
+            pa.array(out_status, type=pa.string()),
+            pa.array(out_error, type=pa.string()),
+            pa.array([self.extractor_version] * n, type=pa.string()),
+        ]
+        schema = OUTPUT_SCHEMA
+        if out_psv is not None:
+            arrays.append(pa.array(out_psv, type=pa.string()))
+            schema = OUTPUT_SCHEMA.append(pa.field("psv", pa.string()))
+        return pa.Table.from_arrays(arrays, schema=schema)
 
 
 def extract_batch(batch: pa.Table) -> pa.Table:
