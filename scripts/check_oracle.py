@@ -54,8 +54,11 @@ def value_hash(df: pd.DataFrame) -> str:
         return v
 
     rows = sorted(
-        tuple(norm(v) for v in row)
-        for row in df.itertuples(index=False, name=None)
+        (
+            tuple(norm(v) for v in row)
+            for row in df.itertuples(index=False, name=None)
+        ),
+        key=repr,  # None-safe total order
     )
     return hashlib.sha256(repr(rows).encode()).hexdigest()[:16]
 

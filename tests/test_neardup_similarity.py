@@ -1,0 +1,154 @@
+"""Near-dup + similarity operator tests (sf0.001, shared Ray session)."""
+
+import itertools
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from zzzarchived_arxiv_fulltext_ray.functions import shingles as sk
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_force_pairs(threshold=0.5):
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    hs = {r.doc_id: sk.shingle_hashes(r.text) for r in docs.itertuples()}
+    pairs = []
+    for a, b in itertools.combinations(sorted(hs), 2):
+        j = sk.jaccard_arrays(hs[a], hs[b])
+        if j >= threshold:
+            pairs.append((a, b, j))
+    return pairs
+
+
+@pytest.fixture(scope="module")
+def truth_pairs():
+    return _brute_force_pairs()
+
+
+def _docs_ds():
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def test_ngram_matches_brute_force(ray_session, truth_pairs):
+    from zzzarchived_arxiv_fulltext_ray.stages.neardup import neardup_pairs
+
+    got = (
+        neardup_pairs(_docs_ds(), method="ngram", threshold=0.5)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+    )
+    assert list(zip(got.doc_a, got.doc_b, got.jaccard)) == truth_pairs
+
+
+def test_minhash_matches_brute_force(ray_session, truth_pairs):
+    from zzzarchived_arxiv_fulltext_ray.stages.neardup import neardup_pairs
+
+    got = (
+        neardup_pairs(
+            _docs_ds(), method="minhash", threshold=0.5, bands=64, rows=2
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+    )
+    assert list(zip(got.doc_a, got.doc_b, got.jaccard)) == truth_pairs
+
+
+def test_simhash_exact_hamming_recall(ray_session):
+    """4x16-bit block pigeonhole guarantees 100% recall at hamming<=3:
+    the operator must return EXACTLY the brute-force hamming<=3 pairs."""
+    from zzzarchived_arxiv_fulltext_ray.stages.neardup import simhash_pairs
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    sh = {
+        r.doc_id: sk.simhash64(sk.shingle_hashes(r.text))
+        for r in docs.itertuples()
+    }
+    truth = {
+        (a, b, sk.hamming64(sh[a], sh[b]))
+        for a, b in itertools.combinations(sorted(sh), 2)
+        if sk.hamming64(sh[a], sh[b]) <= 3
+    }
+    got = simhash_pairs(_docs_ds(), max_hamming=3).to_pandas()
+    assert set(zip(got.doc_a, got.doc_b, got.hamming)) == truth
+
+
+def test_minhash_estimate_tracks_jaccard():
+    mh = sk.MinHasher(256)
+    a = sk.shingle_hashes("the quick brown fox jumps over the lazy dog " * 5)
+    b = sk.shingle_hashes("the quick brown fox leaps over the lazy dog " * 5)
+    est = (mh.signature(a) == mh.signature(b)).mean()
+    true = sk.jaccard_arrays(a, b)
+    assert abs(est - true) < 0.15
+
+
+def _embeddings():
+    df = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    ids = df.vec_id.to_numpy()
+    m = np.array(df.embedding.tolist(), dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    return ids, m
+
+
+def test_ann_topk_matches_numpy(ray_session):
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.similarity import ann_topk
+
+    ids, m = _embeddings()
+    got = (
+        ann_topk(
+            ray.data.read_parquet(f"{SF}/embeddings.parquet"),
+            query_ids=[0, 1, 2],
+            k=5,
+        )
+        .to_pandas()
+        .groupby("query_id")["neighbor_id"]
+        .apply(set)
+        .to_dict()
+    )
+    sims = m[:3] @ m.T
+    for q in range(3):
+        order = np.argsort(-sims[q])
+        expect = [int(ids[i]) for i in order if ids[i] != q][:5]
+        assert got[q] == set(expect)
+
+
+def test_embedding_neardup_exact_and_lsh(ray_session):
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.similarity import (
+        embedding_neardup,
+        embedding_neardup_lsh,
+    )
+
+    ids, m = _embeddings()
+    sims = m @ m.T
+    np.fill_diagonal(sims, -2)
+    truth = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(*np.where(sims >= 0.4))
+        if ids[i] < ids[j]
+    }
+
+    exact = embedding_neardup(
+        ray.data.read_parquet(f"{SF}/embeddings.parquet"), threshold=0.4
+    ).to_pandas()
+    assert set(zip(exact.vec_a, exact.vec_b)) == truth
+
+    lsh = embedding_neardup_lsh(
+        ray.data.read_parquet(f"{SF}/embeddings.parquet"),
+        threshold=0.4,
+        bands=16,
+        planes_per_band=4,
+    ).to_pandas()
+    lsh_set = set(zip(lsh.vec_a, lsh.vec_b))
+    # verified subset of truth; recall depends on banding
+    assert lsh_set <= truth
+    if truth:
+        assert len(lsh_set) / len(truth) >= 0.8

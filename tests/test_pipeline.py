@@ -1,0 +1,126 @@
+"""End-to-end pipeline tests over the sf0.001 testdata (one Ray session
+per pytest run, see conftest)."""
+
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def extracted(ray_session):
+    from zzzarchived_arxiv_fulltext_ray.pipelines.extraction import (
+        extraction_pipeline,
+    )
+    from zzzarchived_arxiv_fulltext_ray.sources.pages import read_pages
+
+    return extraction_pipeline(read_pages(SF)).to_pandas()
+
+
+def test_row_count_after_dedup(extracted):
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert len(extracted) == n_docs  # one row per url survives
+
+
+def test_status_split(extracted):
+    from zzzarchived_arxiv_fulltext_ray.sources.pages import expected_status
+
+    by_doc = {
+        int(u.rsplit("/", 1)[1]): s
+        for u, s in zip(extracted.url, extracted.status)
+    }
+    for doc_id, status in by_doc.items():
+        assert status == expected_status(doc_id)
+
+
+def test_byte_identity_vs_ground_truth(extracted):
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    truth = dict(zip(docs.doc_id, docs.text))
+    ok = extracted[extracted.status == "succeeded"]
+    for url, text in zip(ok.url, ok.text):
+        assert text == truth[int(url.rsplit("/", 1)[1])]
+
+
+def test_psv_matches_kernel(extracted):
+    from zzzarchived_arxiv_fulltext_ray.functions.psv import normalize_text_psv
+
+    ok = extracted[extracted.status == "succeeded"].head(25)
+    for text, psv in zip(ok.text, ok.psv):
+        assert psv == normalize_text_psv(text)
+
+
+def test_failed_rows_carry_errors(extracted):
+    failed = extracted[extracted.status == "failed"]
+    assert failed.error.notna().all()
+    assert failed.text.isna().all()
+
+
+def test_dedup_kept_latest_crawl(extracted):
+    from zzzarchived_arxiv_fulltext_ray.sources.pages import (
+        DUP_EVERY,
+        N_CRAWLS,
+        warc_ts_for,
+    )
+
+    for url, ts in zip(extracted.url, extracted.warc_ts):
+        doc_id = int(url.rsplit("/", 1)[1])
+        crawl = (N_CRAWLS - 1) if doc_id % DUP_EVERY == 0 else 0
+        assert ts.to_pydatetime() == warc_ts_for(doc_id, crawl)
+
+
+def test_dedup_methods_agree(ray_session):
+    from zzzarchived_arxiv_fulltext_ray.sources.pages import read_pages
+    from zzzarchived_arxiv_fulltext_ray.stages.dedup import latest_crawl
+
+    pages = read_pages(SF)
+    a = (
+        latest_crawl(pages, "broadcast")
+        .to_pandas()[["url", "warc_ts"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    b = (
+        latest_crawl(read_pages(SF), "shuffle")
+        .to_pandas()[["url", "warc_ts"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_run_metrics(ray_session):
+    from zzzarchived_arxiv_fulltext_ray.pipelines.extraction import (
+        extraction_pipeline,
+        run_metrics,
+    )
+    from zzzarchived_arxiv_fulltext_ray.sources.pages import read_pages
+
+    m = run_metrics(extraction_pipeline(read_pages(SF), derive_psv=False))
+    assert m["rows"] == 500
+    assert m["ok"] == 425
+    assert m["failed"] == 75
+    assert m["bytes"] > 0
+
+
+def test_extractor_pool_constructs_directly():
+    """Actor __init__ failures surface late in Ray — smoke it inline."""
+    import pyarrow as pa
+
+    from zzzarchived_arxiv_fulltext_ray.stages.extract import (
+        ExtractorPool,
+        sniff_stats_batch,
+    )
+
+    batch = pa.table(
+        {
+            "url": ["u1"],
+            "warc_ts": pa.array([0], pa.timestamp("us")),
+            "html": pa.array([b"<p>some real text content here</p>"],
+                             pa.large_binary()),
+            "text": ["fallback"],
+            "lang": ["en"],
+        }
+    )
+    out = ExtractorPool(derive_psv=True)(sniff_stats_batch(batch))
+    assert out["status"].to_pylist() == ["succeeded"]
+    assert out.column_names[-1] == "psv"

@@ -1,0 +1,108 @@
+"""Text-analysis kernels + multimodal plumbing tests."""
+
+import pytest
+
+from zzzarchived_arxiv_fulltext_ray.functions import textstats
+from zzzarchived_arxiv_fulltext_ray.stages import multimodal
+
+
+class TestQuality:
+    def test_counts(self):
+        c = textstats.quality_counts("The quick, brown fox. It ran!")
+        assert c["n_tokens"] == 6
+        assert c["n_stop"] == 2  # "The", "It"
+        assert c["n_punct"] == 3  # , . !
+        assert c["n_bpe_tokens"] == 9  # 6 words + 3 punctuation marks
+        assert c["n_chars"] == 29
+        assert c["n_alpha_chars"] == 21
+
+    def test_empty(self):
+        c = textstats.quality_counts("")
+        assert c["n_tokens"] == 0 and c["n_chars"] == 0
+
+
+class TestLangId:
+    def test_major_languages(self):
+        assert textstats.detect_language(
+            "the cat and the dog are in the house with all of them"
+        ) == "en"
+        assert textstats.detect_language(
+            "der hund und die katze sind nicht mit mir im haus"
+        ) == "de"
+        assert textstats.detect_language(
+            "le chat et le chien sont dans la maison avec nous"
+        ) == "fr"
+        assert textstats.detect_language(
+            "el gato y el perro no son una casa para su familia"
+        ) == "es"
+        assert textstats.detect_language("这是一个中文句子") == "zh"
+
+    def test_und_cases(self):
+        assert textstats.detect_language("") == "und"
+        assert textstats.detect_language("zzz qqq xxx") == "und"
+
+
+class TestFingerprint:
+    def test_deterministic(self):
+        t = "some document content for fingerprinting purposes"
+        assert textstats.winnow_fingerprint(t) == textstats.winnow_fingerprint(t)
+
+    def test_local_edit_partial_overlap(self):
+        a = textstats.winnow_fingerprint(
+            "alpha beta gamma delta epsilon zeta eta theta " * 4
+        )
+        b = textstats.winnow_fingerprint(
+            "alpha beta gamma delta epsilon zeta eta iotaa " * 4
+        )
+        overlap = len(set(a) & set(b))
+        assert overlap >= 2  # local edits keep distant fingerprints
+
+    def test_short_text(self):
+        assert textstats.winnow_fingerprint("ab") != []
+        assert textstats.winnow_fingerprint("") == []
+
+
+class TestMultimodal:
+    def test_header_roundtrip(self):
+        payload = multimodal.fake_image_payload(123)
+        w, h, c = multimodal.decode_header(payload)
+        assert (w, h, c) == (64 + 123 % 577, 64 + (123 * 7) % 353, 1 + 123 % 3)
+
+    def test_corrupt_header_raises(self):
+        with pytest.raises(ValueError):
+            multimodal.decode_header(b"\x00garbage")
+
+    def test_real_decode_is_gated(self):
+        if not multimodal.HAVE_PIL:
+            with pytest.raises(NotImplementedError):
+                multimodal.decode_real_image(b"\xff\xd8\xff")
+
+    def test_decode_stage_batch(self):
+        import pyarrow as pa
+
+        batch = pa.table(
+            {
+                "doc_id": pa.array([1, 19], pa.int64()),
+                "payload": pa.array(
+                    [multimodal.fake_image_payload(1), b"\x00garbage"],
+                    pa.large_binary(),
+                ),
+            }
+        )
+        out = multimodal.ImageDecodeStage()(batch)
+        assert out["status"].to_pylist() == ["succeeded", "failed"]
+        resized = multimodal.resize_metadata_batch(out)
+        w = resized["resized_w"].to_pylist()
+        assert w[1] is None and w[0] is not None
+        # aspect-preserving bound
+        assert max(w[0], resized["resized_h"].to_pylist()[0]) <= 256
+
+    def test_image_pipeline(self, ray_session):
+        import ray.data
+
+        docs = ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+        )
+        df = multimodal.image_pipeline(docs).to_pandas()
+        assert len(df) == 500
+        assert (df.status == "failed").sum() == 25  # doc_id % 20 == 19

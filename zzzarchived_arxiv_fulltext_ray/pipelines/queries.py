@@ -293,6 +293,8 @@ def _q_segment_revenue(sf_dir: str):
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+from .queries_training import TRAINING_ORACLE_SQL, TRAINING_QUERIES
+
 QUERIES: Dict[str, Callable] = {
     "extract_text": _q_extract_text,
     "extract_dedup_latest": _q_extract_dedup_latest,
@@ -303,6 +305,7 @@ QUERIES: Dict[str, Callable] = {
     "lang_stats": _q_lang_stats,
     "lineitem_agg": _q_lineitem_agg,
     "segment_revenue": _q_segment_revenue,
+    **TRAINING_QUERIES,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -374,3 +377,5 @@ ORACLE_SQL: Dict[str, str] = {
     ORDER BY c.c_mktsegment
     """,
 }
+
+ORACLE_SQL.update(TRAINING_ORACLE_SQL)

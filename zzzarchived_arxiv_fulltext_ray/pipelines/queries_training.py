@@ -1,0 +1,320 @@
+"""Training-data-pipeline queries + oracles (dedup family, similarity
+search, text analysis, multimodal plumbing, event windows).
+
+Joined into the driver surface by ``pipelines.queries``.
+"""
+
+from typing import Callable, Dict
+
+import pyarrow as pa
+
+from ..functions.textstats import _LANG_MARKERS, STOPWORDS
+
+
+def _docs(sf_dir: str, columns):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _q_dedup_ngram(sf_dir: str):
+    from ..stages.neardup import neardup_pairs
+
+    ds = neardup_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), method="ngram", threshold=0.5
+    )
+    return (
+        ds.to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_dedup_minhash(sf_dir: str):
+    """MinHash-LSH candidates (128 perms, 64 bands x 2 rows: miss prob
+    for a J>=0.5 pair is (1-J^2)^64 <= 1e-8) + exact-Jaccard verify —
+    same logical answer as dedup_ngram, so it shares that oracle."""
+    from ..stages.neardup import neardup_pairs
+
+    ds = neardup_pairs(
+        _docs(sf_dir, ["doc_id", "text"]),
+        method="minhash",
+        threshold=0.5,
+        num_perm=128,
+        bands=64,
+        rows=2,
+    )
+    return (
+        ds.to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_dedup_simhash(sf_dir: str):
+    """SimHash pairs within hamming<=3 (rows-only: the bit mixing is
+    not expressible in SQL)."""
+    from ..stages.neardup import simhash_pairs
+
+    ds = simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
+    return (
+        ds.to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_ann_topk(sf_dir: str):
+    import ray.data
+
+    from ..stages.similarity import ann_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = ann_topk(emb, query_ids=list(range(8)), k=10)
+    return (
+        ds.to_pandas()
+        .sort_values(["query_id", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_embedding_neardup(sf_dir: str):
+    import ray.data
+
+    from ..stages.similarity import embedding_neardup
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = embedding_neardup(emb, threshold=0.4)
+    df = ds.to_pandas()[["vec_a", "vec_b"]]
+    return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def _q_text_quality(sf_dir: str):
+    from ..stages.textstage import quality_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow"
+    )
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_lang_id(sf_dir: str):
+    from ..stages.textstage import langid_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        langid_batch, batch_format="pyarrow"
+    )
+    return (
+        ds.to_pandas()[["doc_id", "lang_pred"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_doc_winnow(sf_dir: str):
+    """Winnowing fingerprints flattened to (doc_id, hash) rows
+    (rows-only oracle: rolling Rabin-Karp is not SQL-expressible)."""
+    from ..stages.textstage import fingerprint_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for doc_id, fp in zip(
+            batch["doc_id"].to_pylist(), batch["fingerprint"].to_pylist()
+        ):
+            ids.extend([doc_id] * len(fp))
+            hs.extend(int(h) for h in fp)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "fp_hash": pa.array(hs, pa.uint64())}
+        )
+
+    return (
+        ds.map_batches(flatten, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["doc_id", "fp_hash"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_multimodal_decode(sf_dir: str):
+    from ..stages.multimodal import image_pipeline
+
+    ds = image_pipeline(_docs(sf_dir, ["doc_id"]))
+    df = ds.to_pandas()[
+        ["doc_id", "width", "height", "channels", "n_bytes", "status",
+         "resized_w", "resized_h"]
+    ]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_events_windowed(sf_dir: str):
+    import ray.data
+
+    from ..stages.textstage import windowed_events
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return (
+        windowed_events(ev)
+        .to_pandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+
+
+# --------------------------------------------------------------------------
+# Oracle SQL
+
+_SHINGLE_JACCARD_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+    FROM t
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / len(list_distinct(a.s || b.s)) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(a.s || b.s)) >= 0.5
+"""
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in sorted(words)) + "]"
+
+
+_LANGID_SCORES = ",\n       ".join(
+    "len(list_filter(w, x -> list_contains({lst}, x))) AS s_{lang}".format(
+        lst=_sql_list(markers), lang=lang
+    )
+    for lang, markers in _LANG_MARKERS.items()
+)
+
+# unique strict max (margin >= 1) else 'und' — mirrors
+# functions/textstats.py detect_language for ascii corpora (no CJK).
+_LANGID_SQL = f"""
+WITH t AS (
+    SELECT doc_id,
+           list_transform(regexp_extract_all(text, '\\w+'),
+                          x -> lower(x)) AS w
+    FROM documents
+),
+scored AS (
+    SELECT doc_id,
+       {_LANGID_SCORES},
+       greatest(s_en, s_de, s_fr, s_es) AS best
+    FROM t
+)
+SELECT doc_id,
+       CASE
+           WHEN best = 0 THEN 'und'
+           WHEN (CASE WHEN s_en = best THEN 1 ELSE 0 END
+               + CASE WHEN s_de = best THEN 1 ELSE 0 END
+               + CASE WHEN s_fr = best THEN 1 ELSE 0 END
+               + CASE WHEN s_es = best THEN 1 ELSE 0 END) > 1 THEN 'und'
+           WHEN s_en = best THEN 'en'
+           WHEN s_de = best THEN 'de'
+           WHEN s_fr = best THEN 'fr'
+           ELSE 'es'
+       END AS lang_pred
+FROM scored
+"""
+
+TRAINING_QUERIES: Dict[str, Callable] = {
+    "dedup_ngram": _q_dedup_ngram,
+    "dedup_minhash": _q_dedup_minhash,
+    "dedup_simhash": _q_dedup_simhash,
+    "ann_topk": _q_ann_topk,
+    "embedding_neardup": _q_embedding_neardup,
+    "text_quality": _q_text_quality,
+    "lang_id": _q_lang_id,
+    "doc_winnow": _q_doc_winnow,
+    "multimodal_decode": _q_multimodal_decode,
+    "events_windowed": _q_events_windowed,
+}
+
+TRAINING_ORACLE_SQL: Dict[str, str] = {
+    "dedup_ngram": _SHINGLE_JACCARD_SQL,
+    "dedup_minhash": _SHINGLE_JACCARD_SQL,
+    # dedup_simhash, doc_winnow: rows-only (bit-mixing not in SQL)
+    "ann_topk": """
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])) DESC,
+                 c.vec_id
+    ) <= 10
+    """,
+    "embedding_neardup": """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+    "text_quality": f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '')) AS n_tokens,
+           len(list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> list_contains({_sql_list(STOPWORDS)},
+                                              lower(x)))) AS n_stop,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               AS n_alpha_chars,
+           length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+               AS n_punct,
+           len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+    "lang_id": _LANGID_SQL,
+    "multimodal_decode": """
+    WITH base AS (
+        SELECT doc_id,
+               64 + doc_id % 577 AS w,
+               64 + (doc_id * 7) % 353 AS h,
+               1 + doc_id % 3 AS c,
+               doc_id % 20 = 19 AS corrupt
+        FROM documents
+    ),
+    meta AS (
+        SELECT doc_id,
+               CASE WHEN corrupt THEN NULL ELSE w END AS width,
+               CASE WHEN corrupt THEN NULL ELSE h END AS height,
+               CASE WHEN corrupt THEN NULL ELSE c END AS channels,
+               CASE WHEN corrupt THEN 8
+                    ELSE 9 + least(w * h * c, 4096) END AS n_bytes,
+               CASE WHEN corrupt THEN 'failed' ELSE 'succeeded' END AS status,
+               CASE WHEN corrupt THEN NULL
+                    WHEN greatest(w, h) <= 256 THEN w
+                    ELSE w * 256 // greatest(w, h) END AS resized_w,
+               CASE WHEN corrupt THEN NULL
+                    WHEN greatest(w, h) <= 256 THEN h
+                    ELSE h * 256 // greatest(w, h) END AS resized_h
+        FROM base
+    )
+    SELECT doc_id, CAST(width AS INT) width, CAST(height AS INT) height,
+           CAST(channels AS INT) channels, CAST(n_bytes AS BIGINT) n_bytes,
+           status, CAST(resized_w AS INT) resized_w,
+           CAST(resized_h AS INT) resized_h
+    FROM meta
+    """,
+    "events_windowed": """
+    SELECT user_id, date_trunc('hour', ts) AS window_start,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+}

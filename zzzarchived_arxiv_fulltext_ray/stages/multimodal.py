@@ -1,0 +1,167 @@
+"""Multimodal (binary-payload) stages: decode / feature / resize.
+
+Images, audio and video ride through the engine as opaque ``binary``
+columns with typed metadata — exactly like the pdf/html payloads in the
+extraction pipeline. The decode kernels for real formats (JPEG/PNG/WAV
+decode, frame sampling) need codec libraries that are NOT in this
+container, so they are import-gated stubs raising
+``NotImplementedError``; the Ray-side plumbing — schema, actor-pool
+signature, batch sizing, error-as-data rows — is real and tested
+against a deterministic synthetic format (``FIMG``), whose header is a
+pure function of ``doc_id`` so a DuckDB oracle can verify the decode
+output end-to-end.
+
+Synthetic frame layout (big-endian):
+``b"FIMG" | width:u16 | height:u16 | channels:u8 | payload bytes``
+"""
+
+import struct
+from typing import Optional, Tuple
+
+import pyarrow as pa
+
+MAGIC = b"FIMG"
+
+try:  # pragma: no cover - codec libs absent in this container
+    from PIL import Image as _pil_image  # noqa: F401
+
+    HAVE_PIL = True
+except Exception:
+    HAVE_PIL = False
+
+
+def fake_image_payload(doc_id: int) -> bytes:
+    """Deterministic synthetic image: dimensions derived from doc_id
+    (width = 64 + doc_id % 577, height = 64 + (doc_id * 7) % 353,
+    channels = 1 + doc_id % 3); body is a repeating byte ramp."""
+    width = 64 + doc_id % 577
+    height = 64 + (doc_id * 7) % 353
+    channels = 1 + doc_id % 3
+    body_len = min(width * height * channels, 4096)
+    body = bytes((doc_id + i) % 256 for i in range(body_len))
+    return MAGIC + struct.pack(">HHB", width, height, channels) + body
+
+
+def decode_header(payload: bytes) -> Tuple[int, int, int]:
+    """Parse the synthetic header; raises ValueError on bad payloads."""
+    if len(payload) < 9 or not payload.startswith(MAGIC):
+        raise ValueError("not a FIMG payload")
+    width, height, channels = struct.unpack(">HHB", payload[4:9])
+    return width, height, channels
+
+
+def decode_real_image(payload: bytes):  # pragma: no cover
+    """Real-format decode — stub: the container ships no codec libs.
+
+    On a production image (pillow/ffmpeg installed) this branch opens
+    the payload and returns (width, height, channels)."""
+    if not HAVE_PIL:
+        raise NotImplementedError(
+            "real image decode requires pillow; not available in this "
+            "container — synthetic FIMG payloads only"
+        )
+    raise NotImplementedError("wire PIL decode here on a codec-enabled image")
+
+
+class ImageDecodeStage:
+    """Actor-pool decode stage: (doc_id, payload) -> typed metadata.
+
+    Mirrors the extraction cascade's error contract: undecodable rows
+    become (status='failed', error=...) rows, never task failures.
+    Use small ``batch_size`` — payload rows are wide.
+    """
+
+    def __init__(self):
+        self.n_decoded = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        widths: list = []
+        heights: list = []
+        channels: list = []
+        status: list = []
+        errors: list = []
+        for payload in payloads:
+            try:
+                w, h, c = decode_header(payload or b"")
+                widths.append(w)
+                heights.append(h)
+                channels.append(c)
+                status.append("succeeded")
+                errors.append(None)
+                self.n_decoded += 1
+            except ValueError as exc:
+                widths.append(None)
+                heights.append(None)
+                channels.append(None)
+                status.append("failed")
+                errors.append(str(exc))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "channels": pa.array(channels, pa.int32()),
+                "n_bytes": pa.array(
+                    [len(p) if p is not None else 0 for p in payloads],
+                    pa.int64(),
+                ),
+                "status": pa.array(status, pa.string()),
+                "error": pa.array(errors, pa.string()),
+            }
+        )
+
+
+def resize_metadata_batch(
+    batch: pa.Table, max_side: int = 256
+) -> pa.Table:
+    """Resize planning stage (metadata-only stub of the pixel op):
+    compute the output dimensions of an aspect-preserving downscale to
+    ``max_side``. The real pixel resample is codec-gated like decode."""
+    widths = batch["width"].to_pylist()
+    heights = batch["height"].to_pylist()
+    out_w, out_h = [], []
+    for w, h in zip(widths, heights):
+        if w is None or h is None:
+            out_w.append(None)
+            out_h.append(None)
+            continue
+        side = max(w, h)
+        if side <= max_side:
+            out_w.append(w)
+            out_h.append(h)
+        else:
+            # floor-scaling, matching CAST(w * max_side / side AS INT)
+            out_w.append(w * max_side // side)
+            out_h.append(h * max_side // side)
+    batch = batch.append_column("resized_w", pa.array(out_w, pa.int32()))
+    return batch.append_column("resized_h", pa.array(out_h, pa.int32()))
+
+
+def synth_images_batch(batch: pa.Table) -> pa.Table:
+    """documents batch -> (doc_id, payload) synthetic image table; every
+    20th doc gets a corrupt payload to exercise the failure path."""
+    ids = batch["doc_id"].to_pylist()
+    payloads = [
+        b"\x00garbage" if i % 20 == 19 else fake_image_payload(int(i))
+        for i in ids
+    ]
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.large_binary()),
+        }
+    )
+
+
+def image_pipeline(docs_ds, batch_size: int = 256):
+    """documents -> synth payloads -> actor-pool decode -> resize plan."""
+    imgs = docs_ds.map_batches(synth_images_batch, batch_format="pyarrow")
+    decoded = imgs.map_batches(
+        ImageDecodeStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 4),
+    )
+    return decoded.map_batches(resize_metadata_batch, batch_format="pyarrow")

@@ -1,0 +1,82 @@
+"""Text-analysis and event-window stages."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import textstats
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Per-document integer quality counts (ratios derivable exactly)."""
+    counts = [textstats.quality_counts(t) for t in batch["text"].to_pylist()]
+    cols = {"doc_id": batch["doc_id"].combine_chunks()}
+    for key in (
+        "n_chars", "n_tokens", "n_stop", "n_alpha_chars", "n_punct",
+        "n_bpe_tokens",
+    ):
+        cols[key] = pa.array([c[key] for c in counts], pa.int64())
+    return pa.Table.from_pydict(cols)
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    """Marker-word language ID per document."""
+    langs = [
+        textstats.detect_language(t) for t in batch["text"].to_pylist()
+    ]
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch["doc_id"].combine_chunks(),
+            "lang_pred": pa.array(langs, pa.string()),
+            "lang_label": batch["lang"].combine_chunks(),
+        }
+    )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Winnowing rolling-hash fingerprints per document."""
+    fps = [
+        textstats.winnow_fingerprint(t) for t in batch["text"].to_pylist()
+    ]
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch["doc_id"].combine_chunks(),
+            "fingerprint": pa.array(
+                [[int(h) for h in f] for f in fps], pa.list_(pa.uint64())
+            ),
+        }
+    )
+
+
+def window_partial_batch(batch: pa.Table) -> pa.Table:
+    """Tumbling 1-hour event windows, partially aggregated per batch
+    (combiner before the small groupby shuffle). Money in int cents."""
+    window_start = pc.floor_temporal(batch["ts"], unit="hour")
+    cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+    t = pa.Table.from_pydict(
+        {
+            "user_id": batch["user_id"].combine_chunks(),
+            "window_start": window_start,
+            "cents": cents,
+            "one": pa.array([1] * batch.num_rows, pa.int64()),
+        }
+    )
+    g = t.group_by(["user_id", "window_start"]).aggregate(
+        [("cents", "sum"), ("one", "sum")]
+    )
+    return g.rename_columns(
+        ["user_id", "window_start", "sum_cents", "n_events"]
+    )
+
+
+def windowed_events(events_ds):
+    """user x 1h-tumbling-window aggregate (count + value cents)."""
+    from ray.data.aggregate import Sum
+
+    return (
+        events_ds.map_batches(window_partial_batch, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(
+            Sum("sum_cents", alias_name="sum_cents"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )
