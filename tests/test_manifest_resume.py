@@ -1,0 +1,111 @@
+"""Resumable-run tests: crash mid-run, resume, byte-equivalent output."""
+
+import json
+import shutil
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from zzzarchived_arxiv_fulltext_ray.state import manifest as mf
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def sharded_input(tmp_path):
+    """Split the documents table into 4 single-file shards."""
+    t = pq.read_table(f"{SF}/documents.parquet")
+    shards = []
+    for i in range(4):
+        part = t.slice(i * 125, 125)
+        p = tmp_path / f"in_{i}.parquet"
+        pq.write_table(part, p)
+        shards.append([str(p)])
+    return shards
+
+
+def _build(ds):
+    from zzzarchived_arxiv_fulltext_ray.pipelines.extraction import (
+        extraction_pipeline,
+    )
+    from zzzarchived_arxiv_fulltext_ray.sources.pages import (
+        pages_batch_from_documents,
+    )
+
+    pages = ds.map_batches(pages_batch_from_documents, batch_format="pyarrow")
+    return extraction_pipeline(pages, derive_psv=False, concurrency=(1, 2))
+
+
+def test_full_then_resume_equivalence(ray_session, sharded_input, tmp_path):
+    out_full = tmp_path / "out_full"
+    full = mf.run_resumable(sharded_input, _build, str(out_full))
+    assert full["processed"] == 4 and full["skipped"] == 0
+    assert full["rows"] == 500
+
+    # "crash" after two shards: run only a prefix, then resume with all
+    out_resume = tmp_path / "out_resume"
+    partial = mf.run_resumable(sharded_input[:2], _build, str(out_resume))
+    assert partial["processed"] == 2
+
+    resumed = mf.run_resumable(sharded_input, _build, str(out_resume))
+    assert resumed["processed"] == 2 and resumed["skipped"] == 2
+    # byte-equivalence via the order-independent content hash
+    assert resumed["content_hash"] == full["content_hash"]
+    assert resumed["rows"] == full["rows"]
+
+
+def test_rerun_is_noop(ray_session, sharded_input, tmp_path):
+    out = tmp_path / "out"
+    mf.run_resumable(sharded_input, _build, str(out))
+    again = mf.run_resumable(sharded_input, _build, str(out))
+    assert again["processed"] == 0 and again["skipped"] == 4
+
+
+def test_input_change_triggers_reprocess(ray_session, sharded_input, tmp_path):
+    out = tmp_path / "out"
+    mf.run_resumable(sharded_input, _build, str(out))
+
+    # mutate one input file (append nothing but touch size/mtime)
+    victim = Path(sharded_input[0][0])
+    t = pq.read_table(victim).slice(0, 100)
+    pq.write_table(t, victim)
+
+    again = mf.run_resumable(sharded_input, _build, str(out))
+    assert again["processed"] == 1 and again["skipped"] == 3
+
+
+def test_manifest_lineage_fields(ray_session, sharded_input, tmp_path):
+    out = tmp_path / "out"
+    mf.run_resumable(sharded_input[:1], _build, str(out))
+    status = mf.run_status(str(out))
+    assert len(status) == 1
+    m = status[0]
+    assert m["input_paths"] == sorted(sharded_input[0])
+    assert m["rows"] == 125
+    assert m["failed_rows"] > 0  # the synth corpus contains failure rows
+    assert m["wall_sec"] > 0
+    assert set(m["hash_columns"]) == {"url", "text"}
+    # the output shard dir exists and is readable
+    assert (out / f"shard={m['shard_id']}").is_dir()
+
+
+def test_corrupt_manifest_reprocesses(ray_session, sharded_input, tmp_path):
+    out = tmp_path / "out"
+    mf.run_resumable(sharded_input[:1], _build, str(out))
+    sid = mf.shard_id_for(sharded_input[0])
+    mf.manifest_path(str(out), sid).write_text("{corrupt")
+    again = mf.run_resumable(sharded_input[:1], _build, str(out))
+    assert again["processed"] == 1
+
+
+def test_interrupted_tmp_dir_cleaned(ray_session, sharded_input, tmp_path):
+    out = tmp_path / "out"
+    sid = mf.shard_id_for(sharded_input[0])
+    stale = mf.shard_out_dir(str(out), sid).with_suffix(".tmp")
+    stale.mkdir(parents=True)
+    (stale / "junk.parquet").write_bytes(b"junk")
+    run = mf.run_resumable(sharded_input[:1], _build, str(out))
+    assert run["processed"] == 1
+    assert not stale.exists()

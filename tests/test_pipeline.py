@@ -124,3 +124,30 @@ def test_extractor_pool_constructs_directly():
     out = ExtractorPool(derive_psv=True)(sniff_stats_batch(batch))
     assert out["status"].to_pylist() == ["succeeded"]
     assert out.column_names[-1] == "psv"
+
+
+def test_skew_isolation_same_result(ray_session):
+    """giant_threshold_bytes routes big payloads to single-row batches
+    without changing the logical result."""
+    from zzzarchived_arxiv_fulltext_ray.pipelines.extraction import (
+        extraction_pipeline,
+    )
+    from zzzarchived_arxiv_fulltext_ray.sources.pages import read_pages
+
+    base = (
+        extraction_pipeline(read_pages(SF), derive_psv=False)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    skewed = (
+        extraction_pipeline(
+            read_pages(SF), derive_psv=False, giant_threshold_bytes=4000
+        )
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert base[["url", "status", "text"]].equals(
+        skewed[["url", "status", "text"]]
+    )

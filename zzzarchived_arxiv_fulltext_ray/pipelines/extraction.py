@@ -26,6 +26,7 @@ def extraction_pipeline(
     concurrency: Union[int, Tuple[int, int], None] = (1, 8),
     batch_size: int = 128,
     derive_psv: bool = True,
+    giant_threshold_bytes: Optional[int] = None,
 ):
     """Build the lazy extraction graph over a pages Dataset.
 
@@ -42,18 +43,46 @@ def extraction_pipeline(
     if dedup:
         ds = dedup_stage.latest_crawl(ds, method=dedup)
     ds = ds.map_batches(sniff_stats_batch, batch_format="pyarrow")
-    # PSV derivation is fused into the extraction actors: a separate
-    # task stage would contend with the pool for cores (it costs more
-    # CPU than the cascade itself on text-heavy corpora)
-    ds = ds.map_batches(
-        ExtractorPool,
-        fn_constructor_kwargs={"derive_psv": derive_psv},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
-    return ds
+
+    def extract(stream, pool_batch_size):
+        # PSV derivation is fused into the extraction actors: a separate
+        # task stage would contend with the pool for cores (it costs
+        # more CPU than the cascade itself on text-heavy corpora)
+        return stream.map_batches(
+            ExtractorPool,
+            fn_constructor_kwargs={"derive_psv": derive_psv},
+            batch_format="pyarrow",
+            batch_size=pool_batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+
+    if giant_threshold_bytes:
+        # A3 skew control: pathological documents ride in their own
+        # single-row batches so one multi-MB page never stalls a batch
+        # of thousands of small ones (the streaming analogue of the
+        # reference's per-document 600 s timeout isolation)
+        import pyarrow.compute as pc
+
+        def smalls(batch):
+            return batch.filter(
+                pc.less_equal(batch["n_bytes"], giant_threshold_bytes)
+            )
+
+        def giants(batch):
+            return batch.filter(
+                pc.greater(batch["n_bytes"], giant_threshold_bytes)
+            )
+
+        small_ds = extract(
+            ds.map_batches(smalls, batch_format="pyarrow"), batch_size
+        )
+        giant_ds = extract(
+            ds.map_batches(giants, batch_format="pyarrow"), 1
+        )
+        return small_ds.union(giant_ds)
+
+    return extract(ds, batch_size)
 
 
 def run_metrics(extracted_ds) -> dict:

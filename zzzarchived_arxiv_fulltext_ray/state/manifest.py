@@ -1,0 +1,214 @@
+"""Resumable, manifest-checkpointed pipeline runs (SURVEY.md §4.2).
+
+The unit of resumability is an input *shard* (one or more input Parquet
+files). Each shard is processed with full cluster parallelism and
+written to its own output directory atomically (write to ``*.tmp``,
+rename), then a manifest JSON records lineage + metrics:
+
+* lineage: shard id (stable hash of the input paths — independent of
+  cluster size, so a 4N-node resume sees the same shards), input paths,
+  input fingerprint (size+mtime per file)
+* metrics: output rows, succeeded/failed counts, wall seconds
+* integrity: an order-independent content hash (sum of per-row
+  blake2b(url, text) digests mod 2^64) so a resumed run can be checked
+  byte-equivalent to a clean one
+
+``run_resumable`` skips shards whose manifest exists and whose input
+fingerprint still matches — re-running after a crash (or with new input
+files dropped in) processes exactly the missing work. This re-expresses
+the reference's skip-if-output-exists resume
+(``extractor/fulltext/fulltext.py:239-242``) and its placeholder-based
+work dedup (``fulltext/extract.py:89-107``) as idempotent dataflow.
+
+Shards run sequentially (each saturates the cluster); at 10^12-doc
+scale shard = a few thousand input files, so the sequential loop is
+hundreds of iterations, not millions.
+"""
+
+import hashlib
+import json
+import shutil
+import time
+from pathlib import Path
+from typing import Callable, Dict, Iterable, List, Optional, Sequence
+
+import pyarrow as pa
+
+MANIFEST_SUFFIX = ".manifest.json"
+_HASH_MOD = 1 << 64
+
+
+def shard_id_for(paths: Sequence[str]) -> str:
+    digest = hashlib.sha256("\n".join(sorted(paths)).encode()).hexdigest()
+    return digest[:12]
+
+
+def input_fingerprint(paths: Sequence[str]) -> Dict[str, List[int]]:
+    fp = {}
+    for p in sorted(paths):
+        st = Path(p).stat()
+        fp[p] = [st.st_size, int(st.st_mtime)]
+    return fp
+
+
+def shard_input_files(
+    paths: Iterable[str], files_per_shard: int = 1
+) -> List[List[str]]:
+    """Group input files into shards (stable order)."""
+    ordered = sorted(paths)
+    return [
+        ordered[i : i + files_per_shard]
+        for i in range(0, len(ordered), files_per_shard)
+    ]
+
+
+def content_hash_batch(batch: pa.Table, columns: Sequence[str]) -> int:
+    """Order-independent partial content hash of a batch."""
+    total = 0
+    arrays = [batch[c].to_pylist() for c in columns]
+    for values in zip(*arrays):
+        h = hashlib.blake2b(digest_size=8)
+        for v in values:
+            h.update(repr(v).encode())
+            h.update(b"\x1f")
+        total = (total + int.from_bytes(h.digest(), "big")) % _HASH_MOD
+    return total
+
+
+def dataset_content_hash(ds, columns: Sequence[str]) -> int:
+    """Order-independent content hash of a Dataset (distributed partial
+    hashes, tiny final sum)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"h": pa.array([content_hash_batch(batch, columns)], pa.uint64())}
+        )
+
+    total = 0
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for v in b["h"].to_pylist():
+            total = (total + int(v)) % _HASH_MOD
+    return total
+
+
+def manifest_path(out_dir: str, shard_id: str) -> Path:
+    return Path(out_dir) / f"shard={shard_id}{MANIFEST_SUFFIX}"
+
+
+def shard_out_dir(out_dir: str, shard_id: str) -> Path:
+    return Path(out_dir) / f"shard={shard_id}"
+
+
+def is_shard_done(out_dir: str, shard: Sequence[str]) -> bool:
+    """Manifest present, input unchanged, output dir present."""
+    sid = shard_id_for(shard)
+    mpath = manifest_path(out_dir, sid)
+    if not mpath.exists() or not shard_out_dir(out_dir, sid).exists():
+        return False
+    try:
+        manifest = json.loads(mpath.read_text())
+    except json.JSONDecodeError:
+        return False
+    return manifest.get("input_fingerprint") == input_fingerprint(shard)
+
+
+def run_resumable(
+    input_shards: Sequence[Sequence[str]],
+    build: Callable,
+    out_dir: str,
+    hash_columns: Sequence[str] = ("url", "text"),
+    read_fn: Optional[Callable] = None,
+) -> Dict:
+    """Process every not-yet-done shard: read -> build(ds) -> atomic
+    write + manifest. Returns a run summary (shards done/skipped,
+    rows, combined content hash)."""
+    import ray.data as rd
+
+    read_fn = read_fn or (lambda paths: rd.read_parquet(list(paths)))
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+
+    summary = {"processed": 0, "skipped": 0, "rows": 0, "failed_rows": 0}
+    combined_hash = 0
+    for shard in input_shards:
+        sid = shard_id_for(shard)
+        if is_shard_done(out_dir, shard):
+            summary["skipped"] += 1
+            manifest = json.loads(manifest_path(out_dir, sid).read_text())
+            summary["rows"] += manifest["rows"]
+            summary["failed_rows"] += manifest.get("failed_rows", 0)
+            combined_hash = (combined_hash + manifest["content_hash"]) % _HASH_MOD
+            continue
+
+        started = time.time()
+        ds = build(read_fn(shard))
+
+        final_dir = shard_out_dir(out_dir, sid)
+        tmp_dir = final_dir.with_suffix(".tmp")
+        for stale in (tmp_dir, final_dir):
+            if stale.exists():
+                shutil.rmtree(stale)
+        ds.write_parquet(str(tmp_dir))
+        tmp_dir.rename(final_dir)
+
+        out_ds = rd.read_parquet(str(final_dir))
+        rows = out_ds.count()
+        chash = dataset_content_hash(
+            rd.read_parquet(str(final_dir)), hash_columns
+        )
+        n_failed = 0
+        if "status" in [f.name for f in out_ds.schema().base_schema]:
+            import pyarrow.compute as pc
+
+            def fails(batch: pa.Table) -> pa.Table:
+                n = pc.sum(
+                    pc.equal(batch["status"], "failed").cast(pa.int64())
+                ).as_py() or 0
+                return pa.Table.from_pydict({"n": pa.array([n], pa.int64())})
+
+            n_failed = sum(
+                v
+                for b in rd.read_parquet(str(final_dir))
+                .map_batches(fails, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")
+                for v in b["n"].to_pylist()
+            )
+
+        manifest = {
+            "shard_id": sid,
+            "input_paths": sorted(shard),
+            "input_fingerprint": input_fingerprint(shard),
+            "rows": rows,
+            "failed_rows": n_failed,
+            "content_hash": chash,
+            "hash_columns": list(hash_columns),
+            "started": started,
+            "ended": time.time(),
+            "wall_sec": round(time.time() - started, 3),
+        }
+        mtmp = manifest_path(out_dir, sid).with_suffix(".tmp")
+        mtmp.write_text(json.dumps(manifest, indent=1))
+        mtmp.rename(manifest_path(out_dir, sid))
+
+        summary["processed"] += 1
+        summary["rows"] += rows
+        summary["failed_rows"] += n_failed
+        combined_hash = (combined_hash + chash) % _HASH_MOD
+
+    summary["content_hash"] = combined_hash
+    return summary
+
+
+def run_status(out_dir: str) -> List[Dict]:
+    """All shard manifests under ``out_dir`` (lineage + metrics view)."""
+    out = []
+    root = Path(out_dir)
+    if not root.exists():
+        return out
+    for mpath in sorted(root.glob(f"*{MANIFEST_SUFFIX}")):
+        try:
+            out.append(json.loads(mpath.read_text()))
+        except json.JSONDecodeError:
+            continue
+    return out
