@@ -131,3 +131,13 @@ class TestCascade:
         res = cascade.extract_payload(pdf, None, "u")
         assert res.status == "succeeded"
         assert res.text == "pdf body text with words"
+
+
+def test_utf16_bom_payload_roundtrip():
+    """BOM'd UTF-16 html decodes without a leftover BOM char."""
+    markup = "<html><body><p>" + "utf sixteen content here " * 5 + "</p></body></html>"
+    payload = markup.encode("utf-16")  # writes a BOM
+    kind, charset = sniff.sniff(payload)
+    decoded = sniff.decode_payload(payload, charset)
+    assert decoded == markup
+    assert not decoded.startswith("﻿")

@@ -27,10 +27,12 @@ _HTML_HINTS = re.compile(
 _META_CHARSET = re.compile(
     rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.IGNORECASE
 )
+# BOM'd payloads map to the BOM-stripping codecs ("utf-16" consumes
+# the BOM itself; "utf-16-le/-be" would leave a ﻿ in the text)
 _BOMS = (
     (codecs.BOM_UTF8, "utf-8-sig"),
-    (codecs.BOM_UTF16_LE, "utf-16-le"),
-    (codecs.BOM_UTF16_BE, "utf-16-be"),
+    (codecs.BOM_UTF16_LE, "utf-16"),
+    (codecs.BOM_UTF16_BE, "utf-16"),
 )
 
 
@@ -62,6 +64,17 @@ def sniff_kind(payload: bytes, probe: int = 4096) -> str:
     if payload.startswith(_PDF_MAGIC):
         return KIND_PDF
     head = payload[:probe]
+    for bom, name in _BOMS:
+        if payload.startswith(bom):
+            # BOM'd UTF-16/UTF-8 text: NUL bytes are code units, not a
+            # binary signal — probe the DECODED head instead
+            try:
+                decoded = head.decode(name, errors="ignore")
+            except LookupError:  # pragma: no cover
+                break
+            if _HTML_HINTS.search(decoded.encode("utf-8", "ignore")):
+                return KIND_HTML
+            return KIND_TEXT
     if _HTML_HINTS.search(head):
         return KIND_HTML
     # printable-text heuristic: NUL bytes or mostly non-text bytes => binary

@@ -318,3 +318,42 @@ TRAINING_ORACLE_SQL: Dict[str, str] = {
     GROUP BY 1, 2
     """,
 }
+
+
+def _q_token_frequencies(sf_dir: str):
+    """Corpus token frequencies: per-batch explode+combine, then a
+    small groupby shuffle over (token, partial_count) rows."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = Counter()
+        for t in batch["text"].to_pylist():
+            counts.update(t.split())
+        return pa.Table.from_pydict(
+            {
+                "token": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    out = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    return out.sort_values("token").reset_index(drop=True)
+
+
+TRAINING_QUERIES["token_frequencies"] = _q_token_frequencies
+TRAINING_ORACLE_SQL["token_frequencies"] = """
+    SELECT t.token, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x <> '')) AS token
+          FROM documents) t
+    GROUP BY t.token
+    ORDER BY t.token
+"""

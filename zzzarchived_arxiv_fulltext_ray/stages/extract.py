@@ -13,7 +13,6 @@ the "vectorized" contract here is batch-in/batch-out Arrow with heavy
 per-row kernels, like any parser/model-inference stage.
 """
 
-import math
 from typing import Optional
 
 import pyarrow as pa
@@ -41,14 +40,15 @@ OUTPUT_SCHEMA = pa.schema(
 
 def sniff_stats_batch(batch: pa.Table) -> pa.Table:
     """Add payload size + log2 size bucket (skew key, SURVEY.md A3)."""
+    import numpy as np
+
     n_bytes = pc.binary_length(batch["html"]).cast(pa.int64())
-    sizes = n_bytes.to_pylist()
-    buckets = pa.array(
-        [int(math.log2(s)) if s and s > 0 else 0 for s in sizes],
-        type=pa.int32(),
-    )
+    sizes = n_bytes.to_numpy(zero_copy_only=False)
+    buckets = np.zeros(len(sizes), dtype=np.int32)
+    pos = sizes > 0
+    buckets[pos] = np.floor(np.log2(sizes[pos])).astype(np.int32)
     batch = batch.append_column("n_bytes", n_bytes)
-    return batch.append_column("size_bucket", buckets)
+    return batch.append_column("size_bucket", pa.array(buckets, pa.int32()))
 
 
 class ExtractorPool:
