@@ -1,0 +1,90 @@
+"""Cluster job entry point: the flagship extraction run, resumable.
+
+Launch on a cluster:
+    ray job submit --working-dir . -- python scripts/run_job.py \
+        --input '/data/pages/*.parquet' --out /data/extracted
+
+Sandbox (single node):
+    python scripts/run_job.py --input '/tmp/graft_bench/pages_sf0.1_E20_R32/*.parquet' \
+        --out /tmp/graft_job_out --files-per-shard 8
+
+The job shards its input files, processes each shard with full cluster
+parallelism through the extraction pipeline, writes atomically and
+records a lineage manifest per shard (state/manifest.py) — so a
+re-submitted job resumes where the previous one stopped.
+"""
+
+import argparse
+import glob
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="glob of pages parquet files")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--files-per-shard", type=int, default=16)
+    ap.add_argument("--concurrency", type=int, default=0,
+                    help="extraction actors (default: 3/4 of CPUs)")
+    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--giant-threshold", type=int, default=2 * 1024 * 1024)
+    ap.add_argument("--dedup", default="broadcast",
+                    choices=["broadcast", "shuffle", "none"])
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        # under `ray job submit` the address comes from the environment;
+        # standalone it starts a local session
+        ray.init(address="auto" if "RAY_ADDRESS" in __import__("os").environ
+                 else "local",
+                 include_dashboard=False, logging_level="ERROR",
+                 ignore_reinit_error=True)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from zzzarchived_arxiv_fulltext_ray.pipelines.extraction import (
+        extraction_pipeline,
+    )
+    from zzzarchived_arxiv_fulltext_ray.state import manifest as mf
+
+    files = sorted(glob.glob(args.input))
+    if not files:
+        raise SystemExit(f"no input files match {args.input}")
+    shards = mf.shard_input_files(files, args.files_per_shard)
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    concurrency = args.concurrency or max(1, n_cpus * 3 // 4)
+
+    def build(ds):
+        return extraction_pipeline(
+            ds,
+            dedup=None if args.dedup == "none" else args.dedup,
+            concurrency=concurrency,
+            batch_size=args.batch_size,
+            giant_threshold_bytes=args.giant_threshold,
+        )
+
+    t0 = time.time()
+    summary = mf.run_resumable(shards, build, args.out)
+    summary["wall_sec"] = round(time.time() - t0, 1)
+    summary["docs_per_sec"] = (
+        round(summary["rows"] / summary["wall_sec"], 1)
+        if summary["processed"] and summary["wall_sec"] > 0
+        else None
+    )
+    summary["shards"] = len(shards)
+    summary["cpus"] = n_cpus
+    print(json.dumps(summary))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

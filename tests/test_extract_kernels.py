@@ -141,3 +141,36 @@ def test_utf16_bom_payload_roundtrip():
     decoded = sniff.decode_payload(payload, charset)
     assert decoded == markup
     assert not decoded.startswith("﻿")
+
+
+class TestSingleDocApi:
+    def test_plain_and_psv(self):
+        from zzzarchived_arxiv_fulltext_ray.pipelines.api import extract_document
+
+        payload = _page_html().encode()
+        rec = extract_document(payload, identifier="doc-7")
+        assert rec["status"] == "succeeded"
+        assert rec["content"] == "\n\n".join(ARTICLE_PARAS)
+        assert rec["format"] == "plain"
+        assert rec["ended"] >= rec["started"]
+
+        from zzzarchived_arxiv_fulltext_ray.functions.psv import (
+            normalize_text_psv,
+        )
+
+        rec2 = extract_document(payload, identifier="doc-7", fmt="psv")
+        assert rec2["content"] == normalize_text_psv(rec["content"])
+
+    def test_failure_record(self):
+        from zzzarchived_arxiv_fulltext_ray.pipelines.api import extract_document
+
+        rec = extract_document(b"", identifier="missing-1")
+        assert rec["status"] == "failed"
+        assert rec["content"] is None
+        assert "No content" in rec["exception"]
+
+    def test_bad_format_rejected(self):
+        from zzzarchived_arxiv_fulltext_ray.pipelines.api import extract_document
+
+        with pytest.raises(ValueError):
+            extract_document(b"x", fmt="xml")

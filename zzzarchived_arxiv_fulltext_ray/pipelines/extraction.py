@@ -44,7 +44,7 @@ def extraction_pipeline(
         ds = dedup_stage.latest_crawl(ds, method=dedup)
     ds = ds.map_batches(sniff_stats_batch, batch_format="pyarrow")
 
-    def extract(stream, pool_batch_size):
+    def extract(stream, pool_batch_size, pool_concurrency=None):
         # PSV derivation is fused into the extraction actors: a separate
         # task stage would contend with the pool for cores (it costs
         # more CPU than the cascade itself on text-heavy corpora)
@@ -53,7 +53,7 @@ def extraction_pipeline(
             fn_constructor_kwargs={"derive_psv": derive_psv},
             batch_format="pyarrow",
             batch_size=pool_batch_size,
-            concurrency=concurrency,
+            concurrency=pool_concurrency or concurrency,
             num_cpus=1,
         )
 
@@ -77,8 +77,12 @@ def extraction_pipeline(
         small_ds = extract(
             ds.map_batches(smalls, batch_format="pyarrow"), batch_size
         )
+        # giants are rare by definition: a SMALL dedicated pool — a
+        # second full-size pool would double-reserve the node's CPUs
+        # and starve the task stages
         giant_ds = extract(
-            ds.map_batches(giants, batch_format="pyarrow"), 1
+            ds.map_batches(giants, batch_format="pyarrow"), 1,
+            pool_concurrency=(1, 2),
         )
         return small_ds.union(giant_ds)
 
