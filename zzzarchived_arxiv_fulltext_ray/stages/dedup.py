@@ -37,19 +37,34 @@ def latest_crawl_broadcast(ds, dup_threshold: Optional[int] = None):
     Parquet read, so the winner pre-pass scans two tiny columns instead
     of payload bytes."""
     import ray
-    from ray.data.aggregate import Count, Max
 
-    stats = (
+    # map-side combine (vectorized per-batch groupby) + driver merge:
+    # shuffle-free, and the driver state is exactly the winner map the
+    # broadcast path already assumes fits in memory. (A groupby-based
+    # variant would scale further but costs an all-to-all — that's
+    # what latest_crawl_shuffle is for.)
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["url", "warc_ts"]).group_by("url").aggregate(
+            [("warc_ts", "max"), ("url", "count")]
+        )
+        return g.rename_columns(["url", "max_ts", "n"])
+
+    max_ts: dict = {}
+    counts: dict = {}
+    for b in (
         ds.select_columns(["url", "warc_ts"])
-        .groupby("url")
-        .aggregate(Max("warc_ts", alias_name="max_ts"), Count(alias_name="n"))
-    )
-    dup_tbl = stats.filter(
-        expr="n > 1"
-    )  # pushdown-friendly expression filter (no per-row Python)
-    dups = dup_tbl.to_pandas()
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for url, ts, n in zip(
+            b["url"].to_pylist(), b["max_ts"].to_pylist(), b["n"].to_pylist()
+        ):
+            counts[url] = counts.get(url, 0) + n
+            prev = max_ts.get(url)
+            if prev is None or ts > prev:
+                max_ts[url] = ts
 
-    winners = dict(zip(dups["url"], dups["max_ts"]))
+    winners = {u: max_ts[u] for u, c in counts.items() if c > 1}
     winners_ref = ray.put(winners)
 
     def keep_latest(batch: pa.Table) -> pa.Table:
