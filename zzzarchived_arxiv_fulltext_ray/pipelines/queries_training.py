@@ -357,3 +357,124 @@ TRAINING_ORACLE_SQL["token_frequencies"] = """
     GROUP BY t.token
     ORDER BY t.token
 """
+
+
+def _q_events_sessions(sf_dir: str):
+    """Gap-based session windows (30 min) per user."""
+    import ray.data
+
+    from ..stages.textstage import sessionize_events
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return (
+        sessionize_events(ev)
+        .to_pandas()
+        .sort_values(["user_id", "session_num"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_doc_length_histogram(sf_dir: str):
+    """Histogram of document lengths in 100-char buckets, with
+    batch-level pre-aggregation before the tiny groupby."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bucket = pc.multiply(
+            pc.cast(pc.floor(pc.divide(batch["n_chars"], 100.0)), pa.int64()),
+            100,
+        )
+        t = pa.Table.from_arrays(
+            [bucket, pa.array([1] * batch.num_rows, pa.int64())],
+            names=["bucket", "one"],
+        )
+        g = t.group_by("bucket").aggregate([("one", "sum")])
+        return g.rename_columns(["bucket", "n_docs"])
+
+    out = (
+        _docs(sf_dir, ["n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()
+    )
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def _q_dataset_split(sf_dir: str):
+    """Deterministic train/valid/test split by doc_id hash bucket —
+    the split assignment every training pipeline needs to be stable
+    across reruns and cluster sizes."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        splits = [
+            "train" if i % 10 < 8 else ("valid" if i % 10 == 8 else "test")
+            for i in ids
+        ]
+        t = pa.Table.from_arrays(
+            [
+                pa.array(splits, pa.string()),
+                batch["n_chars"].combine_chunks(),
+                pa.array([1] * len(ids), pa.int64()),
+            ],
+            names=["split", "n_chars", "one"],
+        )
+        g = t.group_by("split").aggregate([("n_chars", "sum"), ("one", "sum")])
+        return g.rename_columns(["split", "sum_chars", "n_docs"])
+
+    out = (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(
+            Sum("sum_chars", alias_name="sum_chars"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("split").reset_index(drop=True)
+
+
+TRAINING_QUERIES["events_sessions"] = _q_events_sessions
+TRAINING_QUERIES["doc_length_histogram"] = _q_doc_length_histogram
+TRAINING_QUERIES["dataset_split"] = _q_dataset_split
+
+TRAINING_ORACLE_SQL["events_sessions"] = """
+WITH e AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+    SELECT user_id, ts,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_num
+    FROM e
+)
+SELECT user_id, CAST(session_num AS BIGINT) AS session_num,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_num
+"""
+TRAINING_ORACLE_SQL["doc_length_histogram"] = """
+SELECT CAST(floor(n_chars / 100.0) AS BIGINT) * 100 AS bucket,
+       count(*) AS n_docs
+FROM documents GROUP BY 1 ORDER BY bucket
+"""
+TRAINING_ORACLE_SQL["dataset_split"] = """
+SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+            WHEN doc_id % 10 = 8 THEN 'valid'
+            ELSE 'test' END AS split,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       count(*) AS n_docs
+FROM documents GROUP BY 1 ORDER BY split
+"""

@@ -80,3 +80,35 @@ def windowed_events(events_ds):
             Sum("n_events", alias_name="n_events"),
         )
     )
+
+
+def sessionize_events(events_ds, gap_minutes: int = 30):
+    """Session windows per user: a new session starts after a gap of
+    more than ``gap_minutes`` between consecutive events. Stateful
+    within the (user-partitioned, ts-sorted) group — the standard Ray
+    Data shape for streaming-style session semantics; the ordering
+    assumption is per-user ts order inside ``map_groups``."""
+    import pandas as pd
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        new_session = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        g["session_num"] = new_session.cumsum().astype("int64")
+        out = (
+            g.groupby("session_num")
+            .agg(
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+                n_events=("ts", "size"),
+            )
+            .reset_index()
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return events_ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas"
+    )
