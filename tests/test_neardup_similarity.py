@@ -152,3 +152,38 @@ def test_embedding_neardup_exact_and_lsh(ray_session):
     assert lsh_set <= truth
     if truth:
         assert len(lsh_set) / len(truth) >= 0.8
+
+
+def test_partitioned_hash_join_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.relational import (
+        broadcast_anti_join,
+        partitioned_hash_join,
+    )
+
+    left = pd.DataFrame({"k": [1, 2, 2, 3, 5], "lv": ["a", "b", "c", "d", "e"]})
+    right = pd.DataFrame({"k": [2, 3, 3, 4], "rv": [10, 20, 30, 40]})
+    got = (
+        partitioned_hash_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            key="k",
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, on="k")
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    assert got[["k", "lv", "rv"]].equals(want)
+
+    kept = broadcast_anti_join(
+        ray.data.from_pandas(left), "k", {2, 5}
+    ).to_pandas()
+    assert sorted(kept.k.tolist()) == [1, 3]

@@ -478,3 +478,125 @@ SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
        count(*) AS n_docs
 FROM documents GROUP BY 1 ORDER BY split
 """
+
+
+def _q_join_priority_revenue(sf_dir: str):
+    """Both-sides-large join: lineitem x orders via the explicit
+    bucketed hash join (no broadcast), then revenue per priority."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.relational import partitioned_hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64()
+        )
+        return pa.Table.from_arrays(
+            [batch["l_orderkey"].combine_chunks(), cents],
+            names=["orderkey", "cents"],
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch["o_orderkey"].combine_chunks(),
+                batch["o_orderpriority"].combine_chunks(),
+            ],
+            names=["orderkey", "o_orderpriority"],
+        )
+
+    joined = partitioned_hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        key="orderkey",
+        num_buckets=32,
+    )
+    out = (
+        joined.groupby("o_orderpriority")
+        .aggregate(
+            Sum("cents", alias_name="sum_cents"),
+        )
+        .to_pandas()
+    )
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def _q_top_longest_docs(sf_dir: str):
+    """Global sort + limit: the 10 longest documents (doc_id as the
+    deterministic tiebreak)."""
+    ds = _docs(sf_dir, ["doc_id", "n_chars"]).sort(
+        ["n_chars", "doc_id"], descending=True
+    )
+    return ds.limit(10).to_pandas()
+
+
+def _q_url_blocklist(sf_dir: str):
+    """Broadcast anti-join: drop every url on a (small) blocklist."""
+    from ..sources.pages import read_pages, url_for
+    from ..stages.relational import broadcast_anti_join
+
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    blocklist = [url_for(i) for i in ids if i % 97 == 0]
+
+    kept = broadcast_anti_join(read_pages(sf_dir), "url", blocklist)
+    urls = sorted(set(kept.unique("url")))
+    import pandas as pd
+
+    return pd.DataFrame({"url": urls})
+
+
+def _q_extract_psv(sf_dir: str):
+    """Full pipeline incl. PSV derivation (rows-only: the PSV chain is
+    not SQL-expressible; byte-identity is pinned by the kernel tests)."""
+    from ..sources.pages import read_pages
+    from .extraction import extraction_pipeline
+
+    ds = extraction_pipeline(read_pages(sf_dir), derive_psv=True)
+    df = ds.to_pandas()
+    return (
+        df[df.status == "succeeded"][["url", "psv"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+TRAINING_QUERIES["join_priority_revenue"] = _q_join_priority_revenue
+TRAINING_QUERIES["top_longest_docs"] = _q_top_longest_docs
+TRAINING_QUERIES["url_blocklist"] = _q_url_blocklist
+TRAINING_QUERIES["extract_psv"] = _q_extract_psv
+
+TRAINING_ORACLE_SQL["join_priority_revenue"] = """
+SELECT o.o_orderpriority,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+TRAINING_ORACLE_SQL["top_longest_docs"] = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id DESC LIMIT 10
+"""
+TRAINING_ORACLE_SQL["url_blocklist"] = """
+SELECT 'https://site' || lpad(CAST(doc_id % 50 AS VARCHAR), 2, '0')
+       || '.example.org/articles/' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+       AS url
+FROM documents WHERE doc_id % 97 <> 0
+ORDER BY url
+"""
