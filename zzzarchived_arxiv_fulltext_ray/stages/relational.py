@@ -40,35 +40,49 @@ def partitioned_hash_join(
     joined Dataset; the exchange is a single groupby shuffle on the
     bucket column.
     """
-    left_cols = [f.name for f in left_ds.schema().base_schema]
-    right_cols = [f.name for f in right_ds.schema().base_schema]
+    def _arrow_fields(schema_obj):
+        # pandas-backed Datasets report numpy dtypes / `object` in
+        # .types — normalize everything to Arrow types
+        fields = []
+        for name, typ in zip(schema_obj.names, schema_obj.types):
+            if not isinstance(typ, pa.DataType):
+                typ = (
+                    pa.string()
+                    if typ is object or typ == np.dtype("O")
+                    else pa.from_numpy_dtype(np.dtype(typ))
+                )
+            fields.append((name, typ))
+        return fields
+
+    left_fields = _arrow_fields(left_ds.schema())
+    right_fields = _arrow_fields(right_ds.schema())
+    left_cols = [n for n, _ in left_fields]
+    right_cols = [n for n, _ in right_fields]
     overlap = (set(left_cols) & set(right_cols)) - {key}
     if overlap:
         raise ValueError(f"overlapping non-key columns: {overlap}")
 
     # union needs one schema: each side carries null columns for the
     # other side's fields (cheap — null arrays are bitmap-only)
-    left_schema = left_ds.schema().base_schema
-    right_schema = right_ds.schema().base_schema
-    all_fields = list(left_schema) + [
-        f for f in right_schema if f.name not in left_cols
+    all_fields = left_fields + [
+        (n, t) for n, t in right_fields if n not in left_cols
     ]
 
     def tag(side: str, own_cols: List[str]):
         def fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
             arrays = []
-            for field in all_fields:
-                if field.name in own_cols:
-                    arrays.append(batch[field.name])
+            for name, typ in all_fields:
+                if name in own_cols:
+                    arrays.append(batch[name])
                 else:
-                    arrays.append(pa.nulls(n, type=field.type))
+                    arrays.append(pa.nulls(n, type=typ))
             keys = batch[key].to_numpy(zero_copy_only=False)
             arrays.append(pa.array(_bucket_of(keys, num_buckets)))
             arrays.append(pa.array([side] * n, pa.string()))
             return pa.Table.from_arrays(
                 arrays,
-                names=[f.name for f in all_fields] + ["__bucket", "__side"],
+                names=[n for n, _ in all_fields] + ["__bucket", "__side"],
             )
 
         return fn
@@ -82,9 +96,7 @@ def partitioned_hash_join(
     # null-padding widens int columns to float in pandas; restore the
     # declared integer types on the merged output
     int_cols = {
-        f.name: str(f.type)
-        for f in all_fields
-        if pa.types.is_integer(f.type)
+        n: str(t) for n, t in all_fields if pa.types.is_integer(t)
     }
 
     def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
