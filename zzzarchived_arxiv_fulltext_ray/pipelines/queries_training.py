@@ -600,3 +600,26 @@ SELECT 'https://site' || lpad(CAST(doc_id % 50 AS VARCHAR), 2, '0')
 FROM documents WHERE doc_id % 97 <> 0
 ORDER BY url
 """
+
+
+def _q_ann_topk_ivf(sf_dir: str):
+    """IVF ANN with full probe (n_probe = n_clusters): exactness is
+    guaranteed, so it shares the brute-force oracle; lower n_probe is
+    the approximate scale path (recall tested in pytest)."""
+    import ray.data
+
+    from ..stages.similarity import ivf_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = ivf_topk(
+        emb, query_ids=list(range(8)), k=10, n_clusters=16, n_probe=16
+    )
+    return (
+        ds.to_pandas()
+        .sort_values(["query_id", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+
+
+TRAINING_QUERIES["ann_topk_ivf"] = _q_ann_topk_ivf
+TRAINING_ORACLE_SQL["ann_topk_ivf"] = TRAINING_ORACLE_SQL["ann_topk"]

@@ -229,3 +229,122 @@ def embedding_neardup_lsh(
         )
 
     return candidates.map_batches(verify, batch_format="pyarrow")
+
+
+# -- IVF (inverted-file) ANN: the coarse-quantizer scale path ---------------
+
+def train_ivf_centroids(
+    emb_ds, n_clusters: int = 16, iters: int = 10, seed: int = 314159,
+    sample_size: int = 4096,
+):
+    """Deterministic k-means (seeded init, fixed iterations) over a
+    sample of the corpus — the coarse quantizer of an IVF index.
+
+    The sample + training run on the driver (centroids are tiny and
+    training data is a bounded sample regardless of corpus size);
+    assignment of the full corpus is distributed.
+    """
+    import pandas as pd
+
+    # deterministic sample: first N rows by vec_id (corpus order is
+    # a hash-ordered synthetic table; a seeded random_sample would be
+    # equivalent but costs a pass)
+    df = emb_ds.limit(sample_size).to_pandas()
+    x = _normalize(np.array(df["embedding"].tolist(), dtype=np.float64))
+
+    rng = np.random.default_rng(seed)
+    centroids = x[rng.choice(len(x), size=min(n_clusters, len(x)),
+                             replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    return centroids
+
+
+def ivf_assign(emb_ds, centroids):
+    """Distributed coarse assignment: add the nearest-centroid id."""
+    import ray
+
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        mat = _normalize(_matrix_of(batch))
+        lists = np.argmax(mat @ cents.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_list", pa.array(lists, pa.int32()))
+
+    return emb_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def ivf_topk(
+    emb_ds, query_ids, k: int = 10, n_clusters: int = 16, n_probe: int = 4,
+):
+    """IVF ANN top-k: probe only the ``n_probe`` closest inverted lists
+    per query instead of scanning the corpus — the scale path when the
+    corpus stops fitting a broadcast matrix. Exactness depends on
+    n_probe/n_clusters (recall tested against the brute-force baseline
+    in tests)."""
+    import ray
+
+    centroids = train_ivf_centroids(emb_ds, n_clusters=n_clusters)
+    assigned = ivf_assign(emb_ds, centroids)
+
+    qref = load_query_matrix(emb_ds, query_ids)
+    probe_lists = {}
+    qids_arr, qmat = ray.get(qref)
+    sims_qc = qmat @ centroids.T
+    for qi, qid in enumerate(qids_arr):
+        probe_lists[int(qid)] = set(
+            np.argsort(-sims_qc[qi])[:n_probe].tolist()
+        )
+    pref = ray.put(probe_lists)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, qmat_w = ray.get(qref)
+        probes = ray.get(pref)
+        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        lists = np.asarray(batch["ivf_list"].to_pylist(), dtype=np.int32)
+        mat = _normalize(_matrix_of(batch))
+        sims = qmat_w @ mat.T
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            allowed = probes[int(qid)]
+            mask = np.array([l in allowed for l in lists]) & (vids != qid)
+            idxs = np.where(mask)[0]
+            order = idxs[np.argsort(-sims[qi, idxs])][:k]
+            for idx in order:
+                out_q.append(int(qid))
+                out_n.append(int(vids[idx]))
+                out_s.append(float(sims[qi, idx]))
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = assigned.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(group["sim"].to_pylist(), group["neighbor_id"].to_pylist()),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        qid = group["query_id"][0].as_py()
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array([qid] * len(rows), pa.int64()),
+                "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(
+        merge_topk, batch_format="pyarrow"
+    )
