@@ -30,6 +30,11 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 EXPAND = int(os.environ.get("GRAFT_EXPAND", "20"))
 REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "32"))
+# "uniform": every page ~EXPAND x base text. "lognormal": per-doc
+# deterministic factor with a heavy tail (median ~EXPAND, p99 ~40x) —
+# the FIXTURES.md skew-realism mode; pair with GRAFT_GIANT bytes.
+EXPAND_MODE = os.environ.get("GRAFT_EXPAND_MODE", "uniform")
+GIANT_THRESHOLD = int(os.environ.get("GRAFT_GIANT", "0")) or None
 BENCH_ROOT = Path(os.environ.get("GRAFT_BENCH_DIR", "/tmp/graft_bench"))
 
 # Replication offset: divisible by every modulus the synthesizer uses
@@ -40,7 +45,8 @@ REPLICA_OFFSET = 1_000_000
 
 def pages_dir() -> Path:
     sf_tag = Path(SF_DIR).name
-    return BENCH_ROOT / f"pages_{sf_tag}_E{EXPAND}_R{REPLICATE}"
+    mode = "" if EXPAND_MODE == "uniform" else f"_{EXPAND_MODE}"
+    return BENCH_ROOT / f"pages_{sf_tag}_E{EXPAND}_R{REPLICATE}{mode}"
 
 
 def prepare_pages(ray):
@@ -53,6 +59,7 @@ def prepare_pages(ray):
 
     import ray.data as rd
     from zzzarchived_arxiv_fulltext_ray.sources.pages import (
+        lognormal_expand_factor,
         pages_batch_from_documents,
     )
 
@@ -73,8 +80,12 @@ def prepare_pages(ray):
             )
         return pa.concat_tables(tables)
 
+    if EXPAND_MODE == "lognormal":
+        expand = lambda doc_id: lognormal_expand_factor(doc_id, EXPAND)  # noqa: E731
+    else:
+        expand = EXPAND
     pages = docs.map_batches(replicate, batch_format="pyarrow").map_batches(
-        lambda b: pages_batch_from_documents(b, expand=EXPAND),
+        lambda b: pages_batch_from_documents(b, expand=expand),
         batch_format="pyarrow",
     )
     tmp = out.with_suffix(".tmp")
@@ -121,7 +132,10 @@ def headline(ray) -> dict:
     t0 = time.time()
     pages = rd.read_parquet(src)
     extracted = extraction_pipeline(
-        pages, concurrency=concurrency, batch_size=batch_size
+        pages,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        giant_threshold_bytes=GIANT_THRESHOLD,
     )
     extracted.write_parquet(str(out_dir))
     wall = time.time() - t0

@@ -128,10 +128,22 @@ def _binary_junk(doc_id: int) -> bytes:
     return b"\x00" + rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
 
 
+def lognormal_expand_factor(doc_id: int, median: int = 20,
+                            sigma: float = 1.2, cap: int = 2000) -> int:
+    """Deterministic heavy-tailed per-doc expansion factor (log-normal
+    with the given median; p99 ~ median x 16) — the FIXTURES.md skew
+    realism knob for benchmarks."""
+    rng = np.random.default_rng(doc_id ^ 0x5EED)
+    return min(cap, max(1, int(round(rng.lognormal(np.log(median), sigma)))))
+
+
 def synthesize_rows(
-    doc_ids, texts, langs, expand: int = 1
+    doc_ids, texts, langs, expand=1
 ) -> Dict[str, List]:
-    """One documents batch -> pages rows (columnar dict)."""
+    """One documents batch -> pages rows (columnar dict).
+
+    ``expand``: int (uniform) or callable ``doc_id -> int`` (per-doc,
+    e.g. :func:`lognormal_expand_factor`)."""
     urls: List[str] = []
     stamps: List[datetime] = []
     payloads: List[bytes] = []
@@ -140,8 +152,9 @@ def synthesize_rows(
 
     for doc_id, text, lang in zip(doc_ids, texts, langs):
         doc_id = int(doc_id)
-        if expand > 1:
-            text = " ".join([text] * expand)
+        factor = expand(doc_id) if callable(expand) else expand
+        if factor > 1:
+            text = " ".join([text] * factor)
         code = kind_code(doc_id)
 
         if code in (0, 1):
@@ -186,7 +199,7 @@ def synthesize_rows(
     }
 
 
-def pages_batch_from_documents(batch: pa.Table, expand: int = 1) -> pa.Table:
+def pages_batch_from_documents(batch: pa.Table, expand=1) -> pa.Table:
     """``map_batches`` transform: documents batch -> pages batch."""
     cols = synthesize_rows(
         batch["doc_id"].to_pylist(),
@@ -197,7 +210,7 @@ def pages_batch_from_documents(batch: pa.Table, expand: int = 1) -> pa.Table:
     return pa.Table.from_pydict(cols, schema=PAGES_SCHEMA)
 
 
-def read_pages(sf_dir: str, expand: int = 1):
+def read_pages(sf_dir: str, expand=1):
     """The pages Dataset for a testdata scale-factor directory.
 
     Streams: ``read_parquet(documents)`` -> synth ``map_batches`` (no
