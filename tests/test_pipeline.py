@@ -151,3 +151,26 @@ def test_skew_isolation_same_result(ray_session):
     assert base[["url", "status", "text"]].equals(
         skewed[["url", "status", "text"]]
     )
+
+
+def test_training_batch_loader(ray_session):
+    from zzzarchived_arxiv_fulltext_ray.pipelines.extraction import (
+        extraction_pipeline,
+    )
+    from zzzarchived_arxiv_fulltext_ray.pipelines.loader import (
+        iter_training_batches,
+    )
+    from zzzarchived_arxiv_fulltext_ray.sources.pages import read_pages
+
+    ds = extraction_pipeline(read_pages(SF), derive_psv=False)
+    total_docs = 0
+    total_tokens = 0
+    for batch in iter_training_batches(ds, batch_tokens=4096):
+        n_docs = len(batch["urls"])
+        total_docs += n_docs
+        total_tokens += len(batch["token_ids"])
+        assert len(batch["offsets"]) == n_docs + 1
+        assert batch["offsets"][-1] == len(batch["token_ids"])
+        assert batch["token_ids"].dtype.name == "int32"
+    assert total_docs == 425  # every succeeded row exactly once
+    assert total_tokens > 0

@@ -106,3 +106,88 @@ class TestMultimodal:
         df = multimodal.image_pipeline(docs).to_pandas()
         assert len(df) == 500
         assert (df.status == "failed").sum() == 25  # doc_id % 20 == 19
+
+
+class TestSketches:
+    def test_hll_accuracy_and_merge(self):
+        import numpy as np
+
+        from zzzarchived_arxiv_fulltext_ray.functions.sketches import (
+            HyperLogLog,
+        )
+
+        a, b = HyperLogLog(12), HyperLogLog(12)
+        a.add_values(f"user-{i}" for i in range(30000))
+        b.add_values(f"user-{i}" for i in range(20000, 60000))
+        merged = a.merge(b)
+        est = merged.estimate()
+        assert abs(est - 60000) / 60000 < 0.05
+        # merge == single-sketch union
+        c = HyperLogLog(12)
+        c.add_values(f"user-{i}" for i in range(60000))
+        assert np.array_equal(
+            merged.registers,
+            np.maximum(a.registers, b.registers),
+        )
+
+    def test_hll_serialize_roundtrip(self):
+        from zzzarchived_arxiv_fulltext_ray.functions.sketches import (
+            HyperLogLog,
+        )
+
+        s = HyperLogLog(10)
+        s.add_values(str(i) for i in range(1000))
+        rt = HyperLogLog.deserialize(s.serialize())
+        assert rt.estimate() == s.estimate()
+
+    def test_quantile_histogram(self):
+        import numpy as np
+
+        from zzzarchived_arxiv_fulltext_ray.functions.sketches import (
+            QuantileHistogram,
+        )
+
+        rng = np.random.default_rng(7)
+        data = rng.lognormal(5, 1, size=50000)
+        h1, h2 = QuantileHistogram(), QuantileHistogram()
+        h1.add(data[:25000])
+        h2.add(data[25000:])
+        merged = QuantileHistogram.deserialize(
+            h1.merge(h2).serialize()
+        )
+        for q in (0.5, 0.9, 0.99):
+            exact = float(np.quantile(data, q))
+            approx = merged.quantile(q)
+            assert abs(approx - exact) / exact < 0.05
+
+    def test_distributed_sketches(self, ray_session):
+        import ray.data
+
+        from zzzarchived_arxiv_fulltext_ray.stages.textstage import (
+            distinct_count_hll,
+            quantiles_sketch,
+        )
+
+        docs = ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "n_chars"],
+        )
+        est = distinct_count_hll(docs, "doc_id")
+        assert abs(est - 500) / 500 < 0.05
+
+        qs = quantiles_sketch(
+            ray.data.read_parquet(
+                "/root/testdata/sf0.001/documents.parquet",
+                columns=["n_chars"],
+            ),
+            "n_chars",
+        )
+        import pyarrow.parquet as pq
+        import numpy as np
+
+        vals = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet"
+        )["n_chars"].to_numpy()
+        for q, approx in qs.items():
+            exact = float(np.quantile(vals, q))
+            assert abs(approx - exact) / exact < 0.08

@@ -623,3 +623,23 @@ def _q_ann_topk_ivf(sf_dir: str):
 
 TRAINING_QUERIES["ann_topk_ivf"] = _q_ann_topk_ivf
 TRAINING_ORACLE_SQL["ann_topk_ivf"] = TRAINING_ORACLE_SQL["ann_topk"]
+
+
+def _q_corpus_sketch_stats(sf_dir: str):
+    """Mergeable-sketch corpus stats (HLL distinct count + log-scale
+    quantile histogram). Rows-only: estimates are within ~2-5% of the
+    exact values (accuracy pinned in pytest), not hash-equal to SQL."""
+    import pandas as pd
+
+    from ..stages.textstage import distinct_count_hll, quantiles_sketch
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    distinct_docs = distinct_count_hll(docs, "doc_id")
+    qs = quantiles_sketch(_docs(sf_dir, ["n_chars"]), "n_chars")
+    rows = [("distinct_doc_ids_hll", distinct_docs)] + [
+        (f"n_chars_p{int(q * 100)}", v) for q, v in qs.items()
+    ]
+    return pd.DataFrame(rows, columns=["metric", "value"])
+
+
+TRAINING_QUERIES["corpus_sketch_stats"] = _q_corpus_sketch_stats

@@ -112,3 +112,46 @@ def sessionize_events(events_ds, gap_minutes: int = 30):
     return events_ds.groupby("user_id").map_groups(
         per_user, batch_format="pandas"
     )
+
+
+def distinct_count_hll(ds, column: str, p: int = 12) -> float:
+    """Approximate distinct count of ``column`` via mergeable HLL
+    sketches: one sketch per batch, merged in a tiny reduce — the
+    shuffle-free alternative to ``ds.unique`` at corpus scale."""
+    from ..functions.sketches import HyperLogLog
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = HyperLogLog(p)
+        sk.add_values(batch[column].to_pylist())
+        return pa.Table.from_pydict(
+            {"sketch": pa.array([sk.serialize()], pa.large_binary())}
+        )
+
+    merged = HyperLogLog(p)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for blob in b["sketch"].to_pylist():
+            merged = merged.merge(HyperLogLog.deserialize(blob))
+    return merged.estimate()
+
+
+def quantiles_sketch(ds, column: str, qs=(0.5, 0.9, 0.99)) -> dict:
+    """Approximate quantiles of a positive numeric column via a
+    mergeable log-scale histogram (one per batch, merged tiny)."""
+    from ..functions.sketches import QuantileHistogram
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = QuantileHistogram()
+        h.add(batch[column].to_numpy(zero_copy_only=False))
+        return pa.Table.from_pydict(
+            {"sketch": pa.array([h.serialize()], pa.large_binary())}
+        )
+
+    merged = QuantileHistogram()
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for blob in b["sketch"].to_pylist():
+            merged = merged.merge(QuantileHistogram.deserialize(blob))
+    return {q: merged.quantile(q) for q in qs}
