@@ -643,3 +643,42 @@ def _q_corpus_sketch_stats(sf_dir: str):
 
 
 TRAINING_QUERIES["corpus_sketch_stats"] = _q_corpus_sketch_stats
+
+
+def _q_extract_errors(sf_dir: str):
+    """Failure-record parity: per failed url, the exact error message
+    (the reference stores exception text in FAILED records,
+    fulltext/extract.py:212-217 — messages here are deterministic, so
+    SQL can reconstruct them)."""
+    from ..sources.pages import read_pages
+    from .extraction import extraction_pipeline
+
+    ds = extraction_pipeline(read_pages(sf_dir), derive_psv=False)
+    df = ds.to_pandas()
+    return (
+        df[df.status == "failed"][["url", "error"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+TRAINING_QUERIES["extract_errors"] = _q_extract_errors
+TRAINING_ORACLE_SQL["extract_errors"] = """
+WITH pages AS (
+    SELECT
+        'https://site' || lpad(CAST(doc_id % 50 AS VARCHAR), 2, '0')
+            || '.example.org/articles/' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+            AS url,
+        doc_id % 20 AS kind
+    FROM documents
+)
+SELECT url,
+       CASE kind
+           WHEN 4 THEN 'No content in "' || url || '"'
+           WHEN 5 THEN 'Unsupported payload in "' || url || '"'
+           WHEN 6 THEN 'No accurate text could be extracted from "'
+                       || url || '"'
+       END AS error
+FROM pages WHERE kind IN (4, 5, 6)
+ORDER BY url
+"""

@@ -177,6 +177,11 @@ def synthesize_rows(
             markup = _boilerplate_html(doc_id, _garble_token(doc_id), "utf-8")
             payload = markup.encode("utf-8")
             row_text = ""
+        elif code == 7:
+            # UTF-16 with BOM (sniffed via BOM, decoded BOM-stripping)
+            markup = _boilerplate_html(doc_id, text, "utf-16")
+            payload = markup.encode("utf-16")
+            row_text = text
         else:
             markup = _boilerplate_html(doc_id, text, "utf-8")
             payload = markup.encode("utf-8")
