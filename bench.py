@@ -44,9 +44,14 @@ REPLICA_OFFSET = 1_000_000
 
 
 def pages_dir() -> Path:
+    from zzzarchived_arxiv_fulltext_ray.sources.pages import SYNTH_VERSION
+
     sf_tag = Path(SF_DIR).name
     mode = "" if EXPAND_MODE == "uniform" else f"_{EXPAND_MODE}"
-    return BENCH_ROOT / f"pages_{sf_tag}_E{EXPAND}_R{REPLICATE}{mode}"
+    return (
+        BENCH_ROOT
+        / f"pages_v{SYNTH_VERSION}_{sf_tag}_E{EXPAND}_R{REPLICATE}{mode}"
+    )
 
 
 def prepare_pages(ray):

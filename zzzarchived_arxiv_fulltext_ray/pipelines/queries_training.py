@@ -495,13 +495,17 @@ def _q_join_priority_revenue(sf_dir: str):
     )
 
     def li_prep(batch: pa.Table) -> pa.Table:
+        # combiner: collapse line items to one row per orderkey per
+        # batch before the join shuffle (600k -> ~150k rows at sf0.1)
         cents = pc.cast(
             pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64()
         )
-        return pa.Table.from_arrays(
+        t = pa.Table.from_arrays(
             [batch["l_orderkey"].combine_chunks(), cents],
             names=["orderkey", "cents"],
         )
+        g = t.group_by("orderkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["orderkey", "cents"])
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]

@@ -18,7 +18,8 @@ Per-doc payload kind, ``kind_code = doc_id % 20``:
 4     empty payload AND empty text  -> row fails ("No content")
 5     binary junk payload            -> row fails ("Unsupported")
 6     HTML wrapping one giant token  -> row fails the quality gate
-7-19  UTF-8 HTML with boilerplate (nav/sidebar link farm/footer)
+7     BOM'd UTF-16 HTML (exercises BOM sniff/decode)
+8-19  UTF-8 HTML with boilerplate (nav/sidebar link farm/footer)
 ====  =========================================================
 
 Re-crawl duplicates: every ``doc_id % 10 == 0`` url appears 3 times
@@ -43,6 +44,8 @@ CRAWL_STEP = timedelta(hours=1)
 DUP_EVERY = 10
 N_CRAWLS = 3
 N_KINDS = 20
+# bump when synthesis output changes (busts bench page caches)
+SYNTH_VERSION = 2
 
 PAGES_SCHEMA = pa.schema(
     [
