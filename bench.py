@@ -36,6 +36,16 @@ REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "32"))
 EXPAND_MODE = os.environ.get("GRAFT_EXPAND_MODE", "uniform")
 GIANT_THRESHOLD = int(os.environ.get("GRAFT_GIANT", "0")) or None
 BENCH_ROOT = Path(os.environ.get("GRAFT_BENCH_DIR", "/tmp/graft_bench"))
+# Timed output goes to tmpfs: writing ~1.5 GB to shared-hypervisor
+# disk added +-15% wall noise; shm isolates compute from disk jitter.
+OUT_ROOT = Path(
+    os.environ.get(
+        "GRAFT_OUT_DIR",
+        "/dev/shm/graft_bench_out"
+        if Path("/dev/shm").exists()
+        else str(BENCH_ROOT),
+    )
+)
 
 # Replication offset: divisible by every modulus the synthesizer uses
 # (20 kinds, 10 dup-cycle, 50 sites) so replicas keep the same payload
@@ -119,9 +129,11 @@ def headline(ray) -> dict:
 
     # clear stale outputs of earlier runs before timing (disk pressure
     # in the shared bench dir is a measurable noise source)
-    for stale in BENCH_ROOT.glob("out_*"):
-        shutil.rmtree(stale, ignore_errors=True)
-    out_dir = BENCH_ROOT / f"out_{NUM_CPUS}"
+    OUT_ROOT.mkdir(parents=True, exist_ok=True)
+    for root in (BENCH_ROOT, OUT_ROOT):
+        for stale in root.glob("out_*"):
+            shutil.rmtree(stale, ignore_errors=True)
+    out_dir = OUT_ROOT / f"out_{NUM_CPUS}"
 
     conc_env = os.environ.get("GRAFT_CONCURRENCY", "")
     if conc_env.isdigit():
