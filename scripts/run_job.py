@@ -12,6 +12,12 @@ The job shards its input files, processes each shard with full cluster
 parallelism through the extraction pipeline, writes atomically and
 records a lineage manifest per shard (state/manifest.py) — so a
 re-submitted job resumes where the previous one stopped.
+
+Dedup scope: latest-crawl dedup runs WITHIN each shard. Re-crawls of a
+url must land in the same shard (crawl dumps are naturally grouped per
+crawl segment; WARC re-crawl batches co-locate) — otherwise run a
+global dedup pass over the output, or submit with --dedup none and
+dedup downstream.
 """
 
 import argparse

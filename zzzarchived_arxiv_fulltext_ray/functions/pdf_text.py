@@ -17,7 +17,7 @@ pages table and the tests.
 
 import re
 import zlib
-from typing import List, Optional
+from typing import List
 
 try:  # pragma: no cover - not present in the sandbox image
     from pdfminer.high_level import extract_text as _pdfminer_extract

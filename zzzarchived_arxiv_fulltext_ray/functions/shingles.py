@@ -1,8 +1,8 @@
 """Shingling, MinHash, SimHash and Jaccard kernels (pure, deterministic).
 
 Building blocks for the near-duplicate-detection operators. All
-hashing is seeded/stable across processes (blake2b + fixed linear
-permutations mod a Mersenne prime) — a requirement for distributed
+hashing is seeded/stable across processes (blake2b + seeded splitmix64
+permutation mixes) — a requirement for distributed
 runs, where every worker must agree on every signature.
 
 Word 3-shingles are the canonical unit here: the oracle SQL mirrors
@@ -10,11 +10,10 @@ them as ``w[i] || ' ' || w[i+1] || ' ' || w[i+2]``.
 """
 
 import hashlib
-from typing import List, Sequence, Set
+from typing import List, Set
 
 import numpy as np
 
-MERSENNE_61 = (1 << 61) - 1
 DEFAULT_NUM_PERM = 128
 
 

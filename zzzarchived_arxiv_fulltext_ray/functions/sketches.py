@@ -7,7 +7,7 @@ shuffle, bounded memory, exactly mergeable.
 """
 
 import math
-from typing import Iterable, List, Sequence
+from typing import Iterable, Sequence
 
 import numpy as np
 

@@ -168,8 +168,6 @@ def _q_lang_stats(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc2
-
         grouped = batch.group_by("lang").aggregate(
             [("n_chars", "sum"), ("lang", "count")]
         )

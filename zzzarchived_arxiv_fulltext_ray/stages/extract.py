@@ -13,8 +13,6 @@ the "vectorized" contract here is batch-in/batch-out Arrow with heavy
 per-row kernels, like any parser/model-inference stage.
 """
 
-from typing import Optional
-
 import pyarrow as pa
 import pyarrow.compute as pc
 

@@ -16,7 +16,7 @@ Synthetic frame layout (big-endian):
 """
 
 import struct
-from typing import Optional, Tuple
+from typing import Tuple
 
 import pyarrow as pa
 

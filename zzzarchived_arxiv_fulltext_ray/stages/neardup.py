@@ -21,7 +21,7 @@ against the shingle table on doc_a (then doc_b) — same algebra, two
 shuffles, documented trade-off.
 """
 
-from typing import Dict, Iterable, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 import pyarrow as pa

@@ -14,7 +14,7 @@ physical join strategies the engine standardizes on:
   set once, filter inside ``map_batches``.
 """
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import pyarrow as pa
