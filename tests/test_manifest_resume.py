@@ -109,3 +109,22 @@ def test_interrupted_tmp_dir_cleaned(ray_session, sharded_input, tmp_path):
     run = mf.run_resumable(sharded_input[:1], _build, str(out))
     assert run["processed"] == 1
     assert not stale.exists()
+
+
+def test_content_hash_order_independent(ray_session):
+    """The manifest content hash must not depend on row order."""
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.state.manifest import (
+        dataset_content_hash,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    h1 = dataset_content_hash(docs, ["doc_id", "text"])
+    shuffled = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).random_shuffle(seed=99)
+    h2 = dataset_content_hash(shuffled, ["doc_id", "text"])
+    assert h1 == h2

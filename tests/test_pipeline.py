@@ -174,3 +174,38 @@ def test_training_batch_loader(ray_session):
         assert batch["token_ids"].dtype.name == "int32"
     assert total_docs == 425  # every succeeded row exactly once
     assert total_tokens > 0
+
+
+def test_read_pages_from_files(ray_session, tmp_path):
+    """Raw-file source: directory of page files -> same pipeline."""
+    from zzzarchived_arxiv_fulltext_ray.functions.pdf_text import (
+        write_minimal_pdf,
+    )
+    from zzzarchived_arxiv_fulltext_ray.pipelines.extraction import (
+        extraction_pipeline,
+    )
+    from zzzarchived_arxiv_fulltext_ray.sources.pages import (
+        _boilerplate_html,
+        read_pages_from_files,
+    )
+
+    (tmp_path / "a.html").write_text(
+        _boilerplate_html(
+            1, "A first page paragraph, with commas, long enough to win.",
+            "utf-8",
+        )
+    )
+    (tmp_path / "b.pdf").write_bytes(write_minimal_pdf("pdf page body text"))
+    (tmp_path / "c.bin").write_bytes(b"\x00junk")
+
+    pages = read_pages_from_files(str(tmp_path))
+    out = (
+        extraction_pipeline(pages, dedup=None, derive_psv=False)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    by_suffix = {u.rsplit(".", 1)[1]: s for u, s in zip(out.url, out.status)}
+    assert by_suffix == {"html": "succeeded", "pdf": "succeeded",
+                        "bin": "failed"}

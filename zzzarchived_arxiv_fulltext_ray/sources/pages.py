@@ -234,3 +234,37 @@ def read_pages(sf_dir: str, expand=1):
         lambda b: pages_batch_from_documents(b, expand=expand),
         batch_format="pyarrow",
     )
+
+
+def read_pages_from_files(root_dir: str, warc_ts=None):
+    """Alternate source (SURVEY.md S1 raw-blob path): a directory of
+    individual page files -> the canonical pages schema via
+    ``read_binary_files(include_paths=True)``.
+
+    The file path becomes the url (``file://`` scheme), ``warc_ts``
+    defaults to a constant (no crawl metadata exists on bare files) and
+    the ``text`` fallback column is empty — extraction relies entirely
+    on payload sniffing. Mirrors the reference's directory-glob batch
+    driver (``extractor/fulltext/fulltext.py:214-256``), minus the
+    numeric filename sort: ordering is not a contract in the engine.
+    """
+    import ray.data
+
+    stamp = warc_ts or BASE_TS
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        paths = batch["path"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "url": ["file://" + p for p in paths],
+                "warc_ts": [stamp] * len(paths),
+                "html": blobs,
+                "text": [""] * len(paths),
+                "lang": [""] * len(paths),
+            },
+            schema=PAGES_SCHEMA,
+        )
+
+    files = ray.data.read_binary_files(root_dir, include_paths=True)
+    return files.map_batches(to_pages, batch_format="pyarrow")
