@@ -268,3 +268,43 @@ def read_pages_from_files(root_dir: str, warc_ts=None):
 
     files = ray.data.read_binary_files(root_dir, include_paths=True)
     return files.map_batches(to_pages, batch_format="pyarrow")
+
+
+def read_pages_from_warc(paths):
+    """Native Common-Crawl input: WARC files -> the pages schema.
+
+    ``read_binary_files`` over .warc/.warc.gz paths; each file's
+    ``response`` records become rows (url = WARC-Target-URI,
+    warc_ts = WARC-Date, html = HTTP body). Non-response records are
+    skipped; records without a parseable date get BASE_TS.
+    """
+    import ray.data
+
+    from ..functions import warc as warc_mod
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        urls, stamps, payloads = [], [], []
+        for blob in batch["bytes"].to_pylist():
+            for headers, payload in warc_mod.iter_warc_records(blob):
+                if headers.get("WARC-Type", "response") != "response":
+                    continue
+                _, body = warc_mod.split_http_response(payload)
+                urls.append(headers.get("WARC-Target-URI", ""))
+                stamps.append(
+                    warc_mod.parse_warc_date(headers.get("WARC-Date", ""))
+                    or BASE_TS
+                )
+                payloads.append(body)
+        return pa.Table.from_pydict(
+            {
+                "url": urls,
+                "warc_ts": stamps,
+                "html": payloads,
+                "text": [""] * len(urls),
+                "lang": [""] * len(urls),
+            },
+            schema=PAGES_SCHEMA,
+        )
+
+    files = ray.data.read_binary_files(paths)
+    return files.map_batches(to_pages, batch_format="pyarrow")
