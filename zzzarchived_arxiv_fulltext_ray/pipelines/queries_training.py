@@ -170,19 +170,28 @@ def _q_events_windowed(sf_dir: str):
 # --------------------------------------------------------------------------
 # Oracle SQL
 
+# Tokenization mirrors Python str.split(): any whitespace run splits,
+# empties dropped; docs with 0 < words < k yield ONE short shingle
+# (functions/shingles.py word_shingles), empty docs yield none.
 _SHINGLE_JACCARD_SQL = """
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+WITH t AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '') AS w
+           FROM documents),
 sh AS (
     SELECT doc_id,
-           list_distinct(list_transform(range(1, len(w) - 1),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS s
     FROM t
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
            / len(list_distinct(a.s || b.s)) AS jaccard
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+WHERE len(list_distinct(a.s || b.s)) > 0
+  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
           / len(list_distinct(a.s || b.s)) >= 0.5
 """
 
@@ -524,7 +533,7 @@ def _q_join_priority_revenue(sf_dir: str):
         li.map_batches(li_prep, batch_format="pyarrow"),
         orders.map_batches(o_prep, batch_format="pyarrow"),
         key="orderkey",
-        num_buckets=32,
+        num_buckets=128,
     )
     out = (
         joined.groupby("o_orderpriority")

@@ -6,9 +6,10 @@ Two physical strategies for the same logical operator:
   a *projected* (url, warc_ts) stream (the shuffle moves two tiny
   columns, never payloads), broadcast the winner set once via
   ``ray.put``, and filter the full stream against it inside
-  ``map_batches``. The winner map is O(#urls-with-duplicates) when
-  pre-filtered, so this is the fast path whenever the duplicate-url
-  directory fits in memory on each node.
+  ``map_batches``. The per-url aggregate runs as a distributed
+  ``groupby("url")`` shuffle (batch-level combine first); only urls
+  with >1 crawl ever reach the driver, so driver/broadcast state is
+  O(#urls-with-duplicates), never O(#urls).
 
 * ``latest_crawl_shuffle`` — hash-shuffle full rows by url and keep the
   max-``warc_ts`` row per group. No driver-side state; the fallback
@@ -37,34 +38,43 @@ def latest_crawl_broadcast(ds, dup_threshold: Optional[int] = None):
     Parquet read, so the winner pre-pass scans two tiny columns instead
     of payload bytes."""
     import ray
+    from ray.data.aggregate import Max, Sum
 
-    # map-side combine (vectorized per-batch groupby) + driver merge:
-    # shuffle-free, and the driver state is exactly the winner map the
-    # broadcast path already assumes fits in memory. (A groupby-based
-    # variant would scale further but costs an all-to-all — that's
-    # what latest_crawl_shuffle is for.)
+    # batch-level combine (vectorized per-batch groupby) BEFORE the
+    # groupby shuffle: the all-to-all then moves at most one
+    # (url, max_ts, n) row per url per batch. Timestamps travel as
+    # int64 micros (Ray's Max aggregate is happiest on plain ints).
     def partial(batch: pa.Table) -> pa.Table:
-        g = batch.select(["url", "warc_ts"]).group_by("url").aggregate(
-            [("warc_ts", "max"), ("url", "count")]
+        t = pa.Table.from_arrays(
+            [
+                batch["url"].combine_chunks(),
+                batch["warc_ts"].cast(pa.int64()).combine_chunks(),
+            ],
+            names=["url", "ts_us"],
         )
+        g = t.group_by("url").aggregate([("ts_us", "max"), ("url", "count")])
         return g.rename_columns(["url", "max_ts", "n"])
 
-    max_ts: dict = {}
-    counts: dict = {}
-    for b in (
+    # distributed per-url aggregate; the duplicate filter runs
+    # distributed too, so the driver only ever iterates urls that
+    # actually have >1 crawl (O(dup-rate), not O(#urls))
+    def only_dups(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["n"], 1))
+
+    dup_winners = (
         ds.select_columns(["url", "warc_ts"])
         .map_batches(partial, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
-    ):
-        for url, ts, n in zip(
-            b["url"].to_pylist(), b["max_ts"].to_pylist(), b["n"].to_pylist()
-        ):
-            counts[url] = counts.get(url, 0) + n
-            prev = max_ts.get(url)
-            if prev is None or ts > prev:
-                max_ts[url] = ts
+        .groupby("url")
+        .aggregate(
+            Max("max_ts", alias_name="max_ts"), Sum("n", alias_name="n")
+        )
+        .map_batches(only_dups, batch_format="pyarrow")
+    )
 
-    winners = {u: max_ts[u] for u, c in counts.items() if c > 1}
+    winners: dict = {}
+    for b in dup_winners.iter_batches(batch_format="pyarrow"):
+        for url, ts in zip(b["url"].to_pylist(), b["max_ts"].to_pylist()):
+            winners[url] = ts
     winners_ref = ray.put(winners)
 
     def keep_latest(batch: pa.Table) -> pa.Table:
@@ -72,7 +82,7 @@ def latest_crawl_broadcast(ds, dup_threshold: Optional[int] = None):
         if not wmap:
             return batch
         urls = batch["url"].to_pylist()
-        stamps = batch["warc_ts"].to_pylist()
+        stamps = batch["warc_ts"].cast(pa.int64()).to_pylist()
         mask = pa.array(
             [
                 (u not in wmap) or (ts == wmap[u])

@@ -14,34 +14,61 @@ Three candidate-generation strategies feeding one exact verifier:
   the 4x16-bit pigeonhole blocks (hamming<=3 implies one equal block).
 
 The verifier computes exact shingle Jaccard (or hamming) per candidate
-pair. Candidate pairs are a tiny fraction of n^2, so the shingle sets
-of involved docs are looked up from a broadcast map here; at 10^12-doc
-scale replace the broadcast with a hash-partitioned join of pairs
-against the shingle table on doc_a (then doc_b) — same algebra, two
-shuffles, documented trade-off.
+pair. The default verify path is fully partitioned: candidate pairs
+are hash-bucket-joined against the shingle table on doc_a, then on
+doc_b (two bounded shuffles via ``stages.relational
+.partitioned_hash_join``; shingle sets ride as binary blobs because
+Acero joins don't carry list columns). No driver-side or broadcast
+corpus state — this is the 10^12-doc path. ``verify="broadcast"``
+keeps the small-corpus fast path (one ``ray.put`` of the whole
+doc_id -> shingles map; fine to ~10^7 docs per node, one shuffle
+fewer).
+
+The shingled stream feeds both candidate generation and the verify
+join. It is recomputed for each consumer (Ray Data has no common-
+subexpression reuse): shingling is a cheap, pure, deterministic
+map — recompute costs CPU once more but never pins the corpus in the
+object store, which is the right trade at scale.
 """
 
+import logging
 from typing import Dict, List
 
 import numpy as np
 import pyarrow as pa
 
 from ..functions import shingles as sk
+from .relational import partitioned_hash_join
 
+logger = logging.getLogger(__name__)
+
+# shingle sets travel as little-endian uint64 blobs: compact in the
+# object store, join-able by Acero, zero-copy decodable via frombuffer
 SHINGLE_SCHEMA = pa.schema(
-    [("doc_id", pa.int64()), ("shingles", pa.list_(pa.uint64()))]
+    [("doc_id", pa.int64()), ("shingles", pa.large_binary())]
 )
 
 
+def _encode_hashes(arr: np.ndarray) -> bytes:
+    return np.ascontiguousarray(arr, dtype="<u8").tobytes()
+
+
+def _decode_hashes(blob) -> np.ndarray:
+    if blob is None:
+        return np.empty(0, dtype=np.uint64)
+    return np.frombuffer(blob, dtype="<u8").astype(np.uint64, copy=False)
+
+
 def shingle_batch(batch: pa.Table, k: int = 3) -> pa.Table:
-    """documents batch -> (doc_id, distinct shingle hashes)."""
-    hashes = [
-        sk.shingle_hashes(t, k) for t in batch["text"].to_pylist()
+    """documents batch -> (doc_id, distinct shingle hashes blob)."""
+    blobs = [
+        _encode_hashes(sk.shingle_hashes(t, k))
+        for t in batch["text"].to_pylist()
     ]
     return pa.Table.from_arrays(
         [
             batch["doc_id"].combine_chunks(),
-            pa.array([h.tolist() for h in hashes], type=pa.list_(pa.uint64())),
+            pa.array(blobs, type=pa.large_binary()),
         ],
         schema=SHINGLE_SCHEMA,
     )
@@ -51,11 +78,12 @@ def explode_shingle_keys(batch: pa.Table) -> pa.Table:
     """(doc_id, shingles) -> one (bucket_key, doc_id) row per shingle."""
     keys: List[int] = []
     ids: List[int] = []
-    for doc_id, hs in zip(
+    for doc_id, blob in zip(
         batch["doc_id"].to_pylist(), batch["shingles"].to_pylist()
     ):
-        keys.extend(hs)
-        ids.extend([doc_id] * len(hs))
+        hs = _decode_hashes(blob)
+        keys.extend(hs.tolist())
+        ids.extend([doc_id] * hs.size)
     return pa.Table.from_pydict(
         {"bucket_key": pa.array(keys, pa.uint64()),
          "doc_id": pa.array(ids, pa.int64())}
@@ -74,10 +102,10 @@ class MinHashBandStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys: List[int] = []
         ids: List[int] = []
-        for doc_id, hs in zip(
+        for doc_id, blob in zip(
             batch["doc_id"].to_pylist(), batch["shingles"].to_pylist()
         ):
-            sig = self.hasher.signature(np.array(hs, dtype=np.uint64))
+            sig = self.hasher.signature(_decode_hashes(blob))
             for key in sk.band_keys(sig, self.bands, self.rows):
                 keys.append(key)
                 ids.append(doc_id)
@@ -94,10 +122,10 @@ def simhash_block_keys(batch: pa.Table) -> pa.Table:
     keys: List[int] = []
     ids: List[int] = []
     sims: List[int] = []
-    for doc_id, hs in zip(
+    for doc_id, blob in zip(
         batch["doc_id"].to_pylist(), batch["shingles"].to_pylist()
     ):
-        sh = sk.simhash64(np.array(hs, dtype=np.uint64))
+        sh = sk.simhash64(_decode_hashes(blob))
         for q in range(4):
             block = (sh >> (16 * q)) & 0xFFFF
             keys.append((q << 16) | block)
@@ -114,12 +142,24 @@ def simhash_block_keys(batch: pa.Table) -> pa.Table:
 
 def bucket_pairs(ds, max_bucket: int = 256):
     """groupby bucket_key -> unordered candidate pairs (doc_a < doc_b),
-    deduplicated. Buckets above ``max_bucket`` docs are dropped (hot
-    shingles/bands are boilerplate; a real run logs them)."""
+    made distinct by ONE vectorized hash aggregate (local per-batch
+    distinct first, so the pair shuffle moves each pair from each
+    bucket at most once per batch; no per-pair Python calls).
+
+    Buckets above ``max_bucket`` docs are dropped AND logged with
+    their size (hot shingles/bands are boilerplate). NOTE: a pair
+    whose only shared keys are hot ones is lost — when the drop log is
+    non-empty the result may under-report vs an exact-Jaccard oracle."""
 
     def pairs_of_group(group: pa.Table) -> pa.Table:
         ids = sorted(set(group["doc_id"].to_pylist()))
         if len(ids) < 2 or len(ids) > max_bucket:
+            if len(ids) > max_bucket:
+                logger.warning(
+                    "neardup: dropping hot bucket key=%s with %d docs "
+                    "(max_bucket=%d); pairs sharing only this key are lost",
+                    group["bucket_key"][0].as_py(), len(ids), max_bucket,
+                )
             return pa.Table.from_pydict(
                 {"doc_a": pa.array([], pa.int64()),
                  "doc_b": pa.array([], pa.int64())}
@@ -137,16 +177,26 @@ def bucket_pairs(ds, max_bucket: int = 256):
     pairs = ds.groupby("bucket_key").map_groups(
         pairs_of_group, batch_format="pyarrow"
     )
-    # distinct pairs: a groupby on the pair key collapses duplicates
+
+    # local (within-batch) distinct: vectorized Arrow group_by, cheap
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["doc_a", "doc_b"]).aggregate([])
+
+    # global distinct: one vectorized count aggregate (no Python per
+    # pair), then drop the count
     return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        pairs.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .count()
+        .select_columns(["doc_a", "doc_b"])
     )
 
 
 def verify_jaccard(pairs_ds, shingle_map_ref, threshold: float):
-    """Exact shingle-Jaccard filter over candidate pairs; the integer
-    intersection/union division matches a DuckDB oracle bit-for-bit."""
+    """Broadcast verify: exact shingle-Jaccard filter over candidate
+    pairs against a ``ray.put`` doc_id -> shingles map (small-corpus
+    fast path; integer intersection/union division matches a DuckDB
+    oracle bit-for-bit)."""
     import ray
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -171,19 +221,70 @@ def verify_jaccard(pairs_ds, shingle_map_ref, threshold: float):
     return pairs_ds.map_batches(verify, batch_format="pyarrow")
 
 
+def verify_jaccard_partitioned(
+    pairs_ds, shingled_ds, threshold: float, num_buckets: int = 64
+):
+    """Partitioned verify (default, no broadcast): bucket-hash-join the
+    candidate pairs against the shingle table on doc_a, then doc_b,
+    then score each pair locally. Two bounded shuffles; per-task state
+    is one bucket's pairs + shingle rows, never the corpus."""
+
+    def as_side(name):
+        def rename(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns([name, f"sh_{name[-1]}"])
+
+        return rename
+
+    with_a = partitioned_hash_join(
+        pairs_ds,
+        shingled_ds.map_batches(as_side("doc_a"), batch_format="pyarrow"),
+        key="doc_a",
+        num_buckets=num_buckets,
+    )
+    with_ab = partitioned_hash_join(
+        with_a,
+        shingled_ds.map_batches(as_side("doc_b"), batch_format="pyarrow"),
+        key="doc_b",
+        num_buckets=num_buckets,
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for a, b, blob_a, blob_b in zip(
+            batch["doc_a"].to_pylist(),
+            batch["doc_b"].to_pylist(),
+            batch["sh_a"].to_pylist(),
+            batch["sh_b"].to_pylist(),
+        ):
+            j = sk.jaccard_arrays(_decode_hashes(blob_a), _decode_hashes(blob_b))
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(j)
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    return with_ab.map_batches(score, batch_format="pyarrow")
+
+
 def _broadcast_shingle_map(shingled_ds):
     """Collect doc_id -> shingle array into the object store once.
 
-    Fine up to O(10^7) docs per node; the 10^12 path swaps this for a
-    partitioned join (see module docstring)."""
+    Fine up to O(10^7) docs per node; the default ``partitioned``
+    verify path never builds this."""
     import ray
 
     smap: Dict[int, np.ndarray] = {}
     for batch in shingled_ds.iter_batches(batch_format="pyarrow"):
-        for doc_id, hs in zip(
+        for doc_id, blob in zip(
             batch["doc_id"].to_pylist(), batch["shingles"].to_pylist()
         ):
-            smap[doc_id] = np.array(hs, dtype=np.uint64)
+            smap[doc_id] = _decode_hashes(blob)
     return ray.put(smap)
 
 
@@ -196,15 +297,17 @@ def neardup_pairs(
     bands: int = 64,
     rows: int = 2,
     max_bucket: int = 256,
+    verify: str = "partitioned",
 ):
     """End-to-end near-dup pairs: shingle -> candidates -> verify.
 
     Returns a Dataset of (doc_a, doc_b, jaccard), doc_a < doc_b.
+    ``verify``: "partitioned" (default; no broadcast/driver corpus
+    state) or "broadcast" (small-corpus fast path).
     """
     shingled = docs_ds.map_batches(
         lambda b: shingle_batch(b, k), batch_format="pyarrow"
     )
-    smap_ref = _broadcast_shingle_map(shingled)
 
     if method == "ngram":
         exploded = shingled.map_batches(
@@ -223,12 +326,19 @@ def neardup_pairs(
         raise ValueError(f"unknown candidate method: {method}")
 
     candidates = bucket_pairs(exploded, max_bucket=max_bucket)
-    return verify_jaccard(candidates, smap_ref, threshold)
+    if verify == "broadcast":
+        smap_ref = _broadcast_shingle_map(shingled)
+        return verify_jaccard(candidates, smap_ref, threshold)
+    if verify == "partitioned":
+        return verify_jaccard_partitioned(candidates, shingled, threshold)
+    raise ValueError(f"unknown verify mode: {verify}")
 
 
 def simhash_pairs(docs_ds, max_hamming: int = 3, k: int = 3):
     """SimHash near-dup pairs: (doc_a, doc_b, hamming), hamming <=
     ``max_hamming`` (<=3 guarantees block-level recall via pigeonhole)."""
+    from ray.data.aggregate import Min
+
     shingled = docs_ds.map_batches(
         lambda b: shingle_batch(b, k), batch_format="pyarrow"
     )
@@ -257,7 +367,18 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, k: int = 3):
     pairs = keyed.groupby("bucket_key").map_groups(
         pairs_of_group, batch_format="pyarrow"
     )
+
+    # distinct pairs via one vectorized aggregate (duplicates across
+    # blocks carry the same hamming, so Min is just "pick one")
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by(["doc_a", "doc_b"])
+            .aggregate([("hamming", "min")])
+            .rename_columns(["doc_a", "doc_b", "hamming"])
+        )
+
     return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        pairs.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
     )

@@ -18,6 +18,7 @@ from typing import List
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _bucket_of(keys: np.ndarray, num_buckets: int) -> np.ndarray:
@@ -27,18 +28,29 @@ def _bucket_of(keys: np.ndarray, num_buckets: int) -> np.ndarray:
     return (z % np.uint64(num_buckets)).astype(np.int64)
 
 
+_ARROW_JOIN_TYPE = {
+    "inner": "inner",
+    "left": "left outer",
+    "right": "right outer",
+    "outer": "full outer",
+}
+
+
 def partitioned_hash_join(
     left_ds,
     right_ds,
     key: str,
-    num_buckets: int = 64,
+    num_buckets: int = 128,
     how: str = "inner",
 ):
     """Join two large Datasets on an int64 ``key`` without broadcast.
 
     Column names (other than ``key``) must be disjoint. Returns the
     joined Dataset; the exchange is a single groupby shuffle on the
-    bucket column.
+    bucket column, and each bucket is merged with the Arrow (Acero)
+    hash join — no pandas, no dtype widening. Non-key columns must be
+    Acero-joinable (fixed-width, string or binary); encode list
+    columns as binary blobs first (see ``stages/neardup.py``).
     """
     def _arrow_fields(schema_obj):
         # pandas-backed Datasets report numpy dtypes / `object` in
@@ -91,25 +103,31 @@ def partitioned_hash_join(
         tag("l", left_cols), batch_format="pyarrow"
     ).union(right_ds.map_batches(tag("r", right_cols), batch_format="pyarrow"))
 
-    import pandas as pd
+    join_type = _ARROW_JOIN_TYPE[how]
 
-    # null-padding widens int columns to float in pandas; restore the
-    # declared integer types on the merged output
-    int_cols = {
-        n: str(t) for n, t in all_fields if pa.types.is_integer(t)
-    }
-
-    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        lf = group.loc[group["__side"] == "l", left_cols]
-        rf = group.loc[group["__side"] == "r", right_cols]
-        merged = lf.merge(rf, on=key, how=how)
-        for col, typ in int_cols.items():
-            if col in merged.columns and not merged[col].isna().any():
-                merged[col] = merged[col].astype(typ)
-        return merged
+    def join_bucket(group: pa.Table) -> pa.Table:
+        is_left = pc.equal(group["__side"], "l")
+        lf = group.filter(is_left).select(left_cols)
+        rf = group.filter(pc.invert(is_left)).select(right_cols)
+        return lf.join(rf, keys=key, join_type=join_type)
 
     return tagged.groupby("__bucket").map_groups(
-        join_bucket, batch_format="pandas"
+        join_bucket, batch_format="pyarrow"
+    )
+
+
+def native_join(
+    left_ds, right_ds, key: str, num_partitions: int = 32, how: str = "inner"
+):
+    """Ray Data's built-in ``Dataset.join`` (hash-shuffle aggregator
+    actors, Ray >= 2.46) — benchmarked against
+    :func:`partitioned_hash_join` in tests/BASELINE.md; same contract
+    (disjoint non-key columns)."""
+    return left_ds.join(
+        right_ds,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=(key,),
     )
 
 

@@ -5,18 +5,26 @@
   against it and emits its LOCAL top-k per query (partial top-k
   combiner), and a tiny groupby merges the partials. The shuffle moves
   O(queries x k x batches) rows, never the corpus.
-* ``embedding_neardup`` — exact all-pairs cosine >= threshold via a
-  broadcast normalized matrix; each batch compares its rows against
-  the full matrix and emits pairs (i < j) once.
-* ``embedding_neardup_lsh`` — the scale path: random-hyperplane
-  signatures bucket the corpus; only in-bucket pairs are verified.
-  Recall depends on planes/bands; verified pairs are exact.
+* ``embedding_neardup`` — exact all-pairs cosine >= threshold. The
+  default physical plan is the **block-pair theta join**: rows are
+  hash-assigned to B blocks and replicated to every block *pair*
+  group (B copies per row); each (i, j) group matmuls block_i x
+  block_j locally. One shuffle of n x B embedding rows, no broadcast,
+  no driver state — exact at any corpus size. ``method="broadcast"``
+  keeps the small-corpus fast path (one ``ray.put`` of the whole
+  normalized matrix).
+* ``embedding_neardup_lsh`` — the sub-quadratic scale path:
+  random-hyperplane signatures bucket the corpus; in-bucket candidate
+  pairs are verified exactly by a partitioned hash join against the
+  embedding table (no broadcast). Recall depends on planes/bands.
 """
 
 from typing import List
 
 import numpy as np
 import pyarrow as pa
+
+from .relational import partitioned_hash_join
 
 
 def _matrix_of(batch: pa.Table) -> np.ndarray:
@@ -68,7 +76,9 @@ def ann_topk(emb_ds, query_ids: List[int], k: int = 10):
         for qi, qid in enumerate(qids):
             row = sims[qi]
             valid = vids != qid
-            order = np.argsort(-row)  # stable enough; ties resolved below
+            # sim desc, neighbor_id asc on exact ties — matches the
+            # merge stage and the oracle's ORDER BY sim DESC, vec_id
+            order = np.lexsort((vids, -row))
             taken = 0
             for idx in order:
                 if not valid[idx]:
@@ -119,12 +129,105 @@ def _broadcast_corpus(emb_ds):
     return ray.put((ids, mat))
 
 
-def embedding_neardup(emb_ds, threshold: float = 0.4):
-    """Exact cosine near-dup pairs (vec_a < vec_b, sim >= threshold).
+def _emb_blob(mat: np.ndarray) -> List[bytes]:
+    return [np.ascontiguousarray(row, dtype="<f8").tobytes() for row in mat]
 
-    Broadcast-matrix brute force: right for corpora whose embedding
-    matrix fits per node (<= ~10M x 64 float32). Beyond that use
-    :func:`embedding_neardup_lsh`."""
+
+def _emb_of_blob(blob) -> np.ndarray:
+    return np.frombuffer(blob, dtype="<f8")
+
+
+def _block_of(vids: np.ndarray, num_blocks: int) -> np.ndarray:
+    # splitmix-style mix so sequential vec_ids spread across blocks
+    z = vids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    z ^= z >> np.uint64(31)
+    return (z % np.uint64(num_blocks)).astype(np.int64)
+
+
+def embedding_neardup_blockpair(
+    emb_ds, threshold: float = 0.4, num_blocks: int = 8
+):
+    """Exact cosine near-dup pairs via the block-pair theta join.
+
+    Each row is hash-assigned to one of ``num_blocks`` blocks and
+    replicated into every block-pair group that contains its block
+    (``num_blocks`` copies). Each (i, j) group holds exactly two
+    blocks and matmuls them locally, so every unordered row pair is
+    compared exactly once, with no broadcast and no driver state.
+    Shuffle volume is n x num_blocks embedding rows; per-task memory
+    is two blocks (~2n/num_blocks rows) — size num_blocks so a block
+    pair fits a worker's heap."""
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        mat = _normalize(_matrix_of(batch))
+        blocks = _block_of(vids, num_blocks)
+        blobs = _emb_blob(mat)
+        pk, blk, ids, embs = [], [], [], []
+        for i in range(len(vids)):
+            b = int(blocks[i])
+            for other in range(num_blocks):
+                lo, hi = (b, other) if b <= other else (other, b)
+                pk.append(lo * num_blocks + hi)
+                blk.append(b)
+                ids.append(int(vids[i]))
+                embs.append(blobs[i])
+        return pa.Table.from_pydict(
+            {
+                "pair_key": pa.array(pk, pa.int64()),
+                "block": pa.array(blk, pa.int64()),
+                "vec_id": pa.array(ids, pa.int64()),
+                "emb": pa.array(embs, pa.large_binary()),
+            }
+        )
+
+    def cross(group: pa.Table) -> pa.Table:
+        key = group["pair_key"][0].as_py()
+        lo, hi = divmod(key, num_blocks)
+        blocks = np.asarray(group["block"].to_pylist(), dtype=np.int64)
+        vids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
+        mat = np.stack([_emb_of_blob(b) for b in group["emb"].to_pylist()])
+        out_a, out_b, out_s = [], [], []
+        if lo == hi:
+            sims = mat @ mat.T
+            rows, cols = np.where(sims >= threshold)
+            for r, c in zip(rows, cols):
+                if vids[r] < vids[c]:
+                    out_a.append(int(vids[r]))
+                    out_b.append(int(vids[c]))
+                    out_s.append(float(sims[r, c]))
+        else:
+            li = np.where(blocks == lo)[0]
+            ri = np.where(blocks == hi)[0]
+            if li.size and ri.size:
+                sims = mat[li] @ mat[ri].T
+                rows, cols = np.where(sims >= threshold)
+                for r, c in zip(rows, cols):
+                    a, b = int(vids[li[r]]), int(vids[ri[c]])
+                    if a > b:
+                        a, b = b, a
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_s.append(float(sims[r, c]))
+        return pa.Table.from_pydict(
+            {
+                "vec_a": pa.array(out_a, pa.int64()),
+                "vec_b": pa.array(out_b, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return (
+        emb_ds.map_batches(replicate, batch_format="pyarrow")
+        .groupby("pair_key")
+        .map_groups(cross, batch_format="pyarrow")
+    )
+
+
+def embedding_neardup_broadcast(emb_ds, threshold: float = 0.4):
+    """Exact cosine near-dup pairs via a broadcast normalized matrix:
+    the small-corpus fast path (matrix must fit per node, <= ~10M x 64
+    float32); one pass, no shuffle."""
     import ray
 
     cref = _broadcast_corpus(emb_ds)
@@ -151,6 +254,22 @@ def embedding_neardup(emb_ds, threshold: float = 0.4):
         )
 
     return emb_ds.map_batches(pairs, batch_format="pyarrow")
+
+
+def embedding_neardup(
+    emb_ds, threshold: float = 0.4, method: str = "blockpair",
+    num_blocks: int = 8,
+):
+    """Exact cosine near-dup pairs (vec_a < vec_b, sim >= threshold).
+
+    ``method``: "blockpair" (default; partitioned theta join, exact at
+    any scale) or "broadcast" (small-corpus fast path). Sub-quadratic
+    approximate: :func:`embedding_neardup_lsh`."""
+    if method == "blockpair":
+        return embedding_neardup_blockpair(emb_ds, threshold, num_blocks)
+    if method == "broadcast":
+        return embedding_neardup_broadcast(emb_ds, threshold)
+    raise ValueError(f"unknown embedding_neardup method: {method}")
 
 
 class HyperplaneLSH:
@@ -186,36 +305,50 @@ class HyperplaneLSH:
         )
 
 
-def embedding_neardup_lsh(
-    emb_ds, threshold: float = 0.4, bands: int = 8, planes_per_band: int = 8
+def verify_cosine_partitioned(
+    pairs_ds, emb_ds, threshold: float, num_buckets: int = 64
 ):
-    """LSH-bucketed near-dup: hyperplane buckets -> in-bucket candidate
-    pairs -> exact cosine verify against the broadcast matrix."""
-    import ray
+    """Partitioned exact-cosine verify: bucket-hash-join candidate
+    pairs (doc_a, doc_b) against the embedding table on each side
+    (normalized vectors ride as float64 blobs), then score locally.
+    No broadcast corpus state — the 10^12-row path."""
 
-    from .neardup import bucket_pairs
+    def as_side(name):
+        def enc(batch: pa.Table) -> pa.Table:
+            mat = _normalize(_matrix_of(batch))
+            return pa.Table.from_pydict(
+                {
+                    name: batch["vec_id"].to_pylist(),
+                    f"emb_{name[-1]}": pa.array(
+                        _emb_blob(mat), pa.large_binary()
+                    ),
+                }
+            )
 
-    cref = _broadcast_corpus(emb_ds)
-    dim = len(emb_ds.take(1)[0]["embedding"])
+        return enc
 
-    keyed = emb_ds.map_batches(
-        HyperplaneLSH,
-        fn_constructor_kwargs={
-            "dim": dim, "bands": bands, "planes_per_band": planes_per_band
-        },
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+    with_a = partitioned_hash_join(
+        pairs_ds,
+        emb_ds.map_batches(as_side("doc_a"), batch_format="pyarrow"),
+        key="doc_a",
+        num_buckets=num_buckets,
     )
-    candidates = bucket_pairs(keyed, max_bucket=4096)
+    with_ab = partitioned_hash_join(
+        with_a,
+        emb_ds.map_batches(as_side("doc_b"), batch_format="pyarrow"),
+        key="doc_b",
+        num_buckets=num_buckets,
+    )
 
-    def verify(batch: pa.Table) -> pa.Table:
-        ids, mat = ray.get(cref)
-        pos = {int(v): i for i, v in enumerate(ids)}
+    def score(batch: pa.Table) -> pa.Table:
         out_a, out_b, out_s = [], [], []
-        for a, b in zip(
-            batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()
+        for a, b, ea, eb in zip(
+            batch["doc_a"].to_pylist(),
+            batch["doc_b"].to_pylist(),
+            batch["emb_a"].to_pylist(),
+            batch["emb_b"].to_pylist(),
         ):
-            s = float(mat[pos[a]] @ mat[pos[b]])
+            s = float(_emb_of_blob(ea) @ _emb_of_blob(eb))
             if s >= threshold:
                 out_a.append(a)
                 out_b.append(b)
@@ -228,7 +361,29 @@ def embedding_neardup_lsh(
             }
         )
 
-    return candidates.map_batches(verify, batch_format="pyarrow")
+    return with_ab.map_batches(score, batch_format="pyarrow")
+
+
+def embedding_neardup_lsh(
+    emb_ds, threshold: float = 0.4, bands: int = 8, planes_per_band: int = 8
+):
+    """LSH-bucketed near-dup: hyperplane buckets -> in-bucket candidate
+    pairs -> exact cosine verify via a partitioned hash join against
+    the embedding table (no broadcast)."""
+    from .neardup import bucket_pairs
+
+    dim = len(emb_ds.take(1)[0]["embedding"])
+
+    keyed = emb_ds.map_batches(
+        HyperplaneLSH,
+        fn_constructor_kwargs={
+            "dim": dim, "bands": bands, "planes_per_band": planes_per_band
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    candidates = bucket_pairs(keyed, max_bucket=4096)
+    return verify_cosine_partitioned(candidates, emb_ds, threshold)
 
 
 # -- IVF (inverted-file) ANN: the coarse-quantizer scale path ---------------
@@ -317,7 +472,8 @@ def ivf_topk(
             allowed = probes[int(qid)]
             mask = np.array([l in allowed for l in lists]) & (vids != qid)
             idxs = np.where(mask)[0]
-            order = idxs[np.argsort(-sims[qi, idxs])][:k]
+            # sim desc, neighbor_id asc on ties (same as merge_topk)
+            order = idxs[np.lexsort((vids[idxs], -sims[qi, idxs]))][:k]
             for idx in order:
                 out_q.append(int(qid))
                 out_n.append(int(vids[idx]))
