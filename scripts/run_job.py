@@ -13,11 +13,17 @@ parallelism through the extraction pipeline, writes atomically and
 records a lineage manifest per shard (state/manifest.py) — so a
 re-submitted job resumes where the previous one stopped.
 
-Dedup scope: latest-crawl dedup runs WITHIN each shard. Re-crawls of a
-url must land in the same shard (crawl dumps are naturally grouped per
-crawl segment; WARC re-crawl batches co-locate) — otherwise run a
-global dedup pass over the output, or submit with --dedup none and
-dedup downstream.
+Dedup scope: latest-crawl dedup runs WITHIN each shard during
+processing. Pass ``--global-dedup`` to follow with a second-pass
+winner resolution across ALL shard outputs (rewrites only shards
+holding losing rows, updates their manifests) — use it whenever
+re-crawls of a url may be split across shards. Without it, co-locate
+re-crawls per shard (crawl dumps are naturally grouped per segment)
+or submit with --dedup none and dedup downstream.
+
+Resume is extractor-version-aware: manifests record a config
+fingerprint (extractor version + dedup mode); a version bump
+reprocesses every shard instead of serving stale text.
 """
 
 import argparse
@@ -41,6 +47,9 @@ def main():
     ap.add_argument("--giant-threshold", type=int, default=2 * 1024 * 1024)
     ap.add_argument("--dedup", default="broadcast",
                     choices=["broadcast", "shuffle", "none"])
+    ap.add_argument("--global-dedup", action="store_true",
+                    help="second-pass latest-crawl winner resolution "
+                         "across shards after all shards finish")
     args = ap.parse_args()
 
     import ray
@@ -79,7 +88,16 @@ def main():
         )
 
     t0 = time.time()
-    summary = mf.run_resumable(shards, build, args.out)
+    summary = mf.run_resumable(
+        shards, build, args.out,
+        config_fingerprint=mf.default_config_fingerprint(
+            dedup=args.dedup, global_dedup=bool(args.global_dedup)
+        ),
+    )
+    if args.global_dedup:
+        gd = mf.global_latest_crawl_pass(args.out)
+        summary["global_dedup"] = gd
+        summary["rows"] -= gd["rows_removed"]
     summary["wall_sec"] = round(time.time() - t0, 1)
     summary["docs_per_sec"] = (
         round(summary["rows"] / summary["wall_sec"], 1)

@@ -68,6 +68,19 @@ class TestPdf:
         with pytest.raises(pdf_text.PdfParseError):
             pdf_text.extract_pdf_text(b"%PDF-1.4\nno streams here")
 
+    def test_salvage_recovers_bt_stripped_pdf(self):
+        """E2/E3 parity: primary fails on a PDF whose BT marker is
+        gone; the salvage pass round-trips the text exactly."""
+        text = "salvaged line one\nsalvaged line two"
+        broken = pdf_text.write_minimal_pdf(text).replace(b"BT ", b"", 1)
+        with pytest.raises(pdf_text.PdfParseError):
+            pdf_text.extract_pdf_text(broken)
+        assert pdf_text.extract_pdf_text_salvage(broken) == text
+
+    def test_salvage_raises_without_streams(self):
+        with pytest.raises(pdf_text.PdfParseError):
+            pdf_text.extract_pdf_text_salvage(b"%PDF-1.4\nnothing")
+
 
 class TestSniff:
     def test_kinds(self):
@@ -131,6 +144,21 @@ class TestCascade:
         res = cascade.extract_payload(pdf, None, "u")
         assert res.status == "succeeded"
         assert res.text == "pdf body text with words"
+
+    def test_pdf_fallback_to_salvage(self):
+        """Cascade E2 path: broken primary, salvage succeeds (kind 8
+        of the synthesizer)."""
+        text = "words recovered by the alternate extraction pass"
+        broken = pdf_text.write_minimal_pdf(text).replace(b"BT ", b"", 1)
+        res = cascade.extract_payload(broken, None, "u")
+        assert res.status == "succeeded"
+        assert res.text == text
+        assert res.payload_kind == "pdf"
+
+    def test_pdf_unrecoverable_fails_as_data(self):
+        res = cascade.extract_payload(b"%PDF-1.4\nnothing here", None, "u")
+        assert res.status == "failed"
+        assert "PDF extraction failed" in res.error
 
 
 def test_utf16_bom_payload_roundtrip():

@@ -76,6 +76,35 @@ def test_input_change_triggers_reprocess(ray_session, sharded_input, tmp_path):
     assert again["processed"] == 1 and again["skipped"] == 3
 
 
+def test_version_bump_invalidates_all_shards(
+    ray_session, sharded_input, tmp_path
+):
+    """Extractor-version-aware resume (reference: version-namespaced
+    store, fulltext/services/store/store.py:130-165): same version
+    resumes as a no-op; a bumped version reprocesses every shard."""
+    out = tmp_path / "out"
+    v1 = mf.default_config_fingerprint()
+    mf.run_resumable(sharded_input, _build, str(out), config_fingerprint=v1)
+
+    same = mf.run_resumable(
+        sharded_input, _build, str(out), config_fingerprint=v1
+    )
+    assert same["processed"] == 0 and same["skipped"] == 4
+
+    v2 = dict(v1, extractor_version="bumped-2.0")
+    bumped = mf.run_resumable(
+        sharded_input, _build, str(out), config_fingerprint=v2
+    )
+    assert bumped["processed"] == 4 and bumped["skipped"] == 0
+
+    # config knobs participate too (e.g. a dedup-mode change)
+    v3 = dict(v2, dedup="none")
+    knob = mf.run_resumable(
+        sharded_input[:1], _build, str(out), config_fingerprint=v3
+    )
+    assert knob["processed"] == 1
+
+
 def test_manifest_lineage_fields(ray_session, sharded_input, tmp_path):
     out = tmp_path / "out"
     mf.run_resumable(sharded_input[:1], _build, str(out))
@@ -109,6 +138,99 @@ def test_interrupted_tmp_dir_cleaned(ray_session, sharded_input, tmp_path):
     run = mf.run_resumable(sharded_input[:1], _build, str(out))
     assert run["processed"] == 1
     assert not stale.exists()
+
+
+def _write_pages_file(path, rows):
+    """rows = [(url, ts_us, body_text)] -> a pages-schema parquet."""
+    import datetime
+
+    html = [
+        (
+            "<html><body><p>%s content with plenty of ordinary words "
+            "to pass the quality gate easily</p></body></html>" % txt
+        ).encode()
+        for _, _, txt in rows
+    ]
+    t = pa.Table.from_pydict(
+        {
+            "url": [r[0] for r in rows],
+            "warc_ts": pa.array(
+                [datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=r[1])
+                 for r in rows],
+                pa.timestamp("us"),
+            ),
+            "html": pa.array(html, pa.large_binary()),
+            "text": ["" for _ in rows],
+            "lang": ["en" for _ in rows],
+        }
+    )
+    pq.write_table(t, path)
+
+
+def test_global_dedup_across_shards(ray_session, tmp_path):
+    """Re-crawls split across shards survive per-shard dedup; the
+    global pass must leave exactly one row per url (the latest), with
+    the same content as a single-shard run."""
+    from zzzarchived_arxiv_fulltext_ray.pipelines.extraction import (
+        extraction_pipeline,
+    )
+
+    a, b = tmp_path / "a.parquet", tmp_path / "b.parquet"
+    _write_pages_file(
+        a, [("http://x/1", 0, "stale first crawl"), ("http://x/2", 0, "two")]
+    )
+    _write_pages_file(
+        b, [("http://x/1", 5, "fresh recrawl"), ("http://x/3", 0, "three")]
+    )
+
+    def build(ds):
+        return extraction_pipeline(ds, derive_psv=False, concurrency=(1, 2))
+
+    out = tmp_path / "out"
+    mf.run_resumable([[str(a)], [str(b)]], build, str(out))
+    gd = mf.global_latest_crawl_pass(str(out))
+    assert gd["shards_rewritten"] == 1 and gd["rows_removed"] == 1
+
+    import ray.data as rd
+
+    def _read_out(d):
+        return rd.read_parquet(
+            [
+                str(f)
+                for p in Path(d).glob("shard=*")
+                if p.is_dir()
+                for f in sorted(p.glob("*.parquet"))
+            ]
+        )
+
+    final = _read_out(out).to_pandas()
+    assert sorted(final.url) == ["http://x/1", "http://x/2", "http://x/3"]
+    assert "fresh recrawl" in final.set_index("url").loc["http://x/1", "text"]
+
+    # idempotent: a second pass rewrites nothing
+    again = mf.global_latest_crawl_pass(str(out))
+    assert again == {"shards_rewritten": 0, "rows_removed": 0}
+
+    # content parity with a single-shard run (in-pipeline dedup)
+    both = tmp_path / "both.parquet"
+    _write_pages_file(
+        both,
+        [
+            ("http://x/1", 0, "stale first crawl"),
+            ("http://x/2", 0, "two"),
+            ("http://x/1", 5, "fresh recrawl"),
+            ("http://x/3", 0, "three"),
+        ],
+    )
+    out1 = tmp_path / "out1"
+    mf.run_resumable([[str(both)]], build, str(out1))
+    h_global = mf.dataset_content_hash(_read_out(out), ["url", "text"])
+    h_single = mf.dataset_content_hash(_read_out(out1), ["url", "text"])
+    assert h_global == h_single
+
+    # manifests were updated in place and still validate for resume
+    resume = mf.run_resumable([[str(a)], [str(b)]], build, str(out))
+    assert resume["processed"] == 0 and resume["skipped"] == 2
 
 
 def test_content_hash_order_independent(ray_session):

@@ -1,0 +1,88 @@
+"""Per-row extraction watchdog (the reference's 600 s per-document cap,
+extractor/fulltext/fulltext.py:12,74 — here a SIGALRM soft cap that
+turns a stuck document into a failed ROW without killing the actor)."""
+
+import time
+
+import pyarrow as pa
+
+from zzzarchived_arxiv_fulltext_ray.functions.cascade import ExtractResult
+from zzzarchived_arxiv_fulltext_ray.stages.extract import (
+    ExtractorPool,
+    RowTimeout,
+    run_with_row_timeout,
+)
+
+
+def _busy(seconds):
+    # pure-Python busy loop: SIGALRM interrupts it between bytecodes,
+    # standing in for a catastrophic-backtracking parse
+    deadline = time.monotonic() + seconds
+    x = 0
+    while time.monotonic() < deadline:
+        x += 1
+    return x
+
+
+def test_run_with_row_timeout_interrupts_busy_loop():
+    t0 = time.monotonic()
+    try:
+        run_with_row_timeout(_busy, 0.2, 5.0)
+        raised = False
+    except RowTimeout:
+        raised = True
+    assert raised
+    assert time.monotonic() - t0 < 2.0
+
+
+def test_run_with_row_timeout_passthrough():
+    assert run_with_row_timeout(lambda a, b: a + b, 1.0, 2, 3) == 5
+    # timer must be cleared: sleeping past the old deadline is safe
+    time.sleep(0.01)
+
+
+def test_pathological_row_fails_alone_batch_completes():
+    pool = ExtractorPool(row_timeout_sec=0.2, derive_psv=True)
+    real_extract = pool._extract
+
+    def extract(payload, fallback, url):
+        if b"pathological" in payload:
+            _busy(10.0)
+        return real_extract(payload, fallback, url)
+
+    pool._extract = extract
+
+    good = (
+        b"<html><body><p>perfectly ordinary page content with many "
+        b"plain words in it</p></body></html>"
+    )
+    batch = pa.Table.from_pydict(
+        {
+            "url": ["u1", "u2-stuck", "u3"],
+            "warc_ts": pa.array([0, 0, 0], pa.timestamp("us")),
+            "lang": ["en", "en", "en"],
+            "html": pa.array(
+                [good, b"<html>pathological</html>", good],
+                pa.large_binary(),
+            ),
+            "text": ["", "", ""],
+            "n_bytes": pa.array([len(good), 25, len(good)], pa.int64()),
+            "size_bucket": pa.array([6, 4, 6], pa.int32()),
+        }
+    )
+
+    t0 = time.monotonic()
+    out = pool(batch)
+    assert time.monotonic() - t0 < 5.0  # did not wait out the stall
+    status = out["status"].to_pylist()
+    assert status == ["succeeded", "failed", "succeeded"]
+    err = out["error"].to_pylist()[1]
+    assert "timed out" in err and "u2-stuck" in err
+    assert out["payload_kind"].to_pylist()[1] == "timeout"
+    psv = out["psv"].to_pylist()
+    assert psv[1] is None and psv[0] and psv[2]
+
+
+def test_timeout_result_is_failure_record_shape():
+    r = ExtractResult(None, "failed", "x", "timeout")
+    assert r.text is None and r.status == "failed"

@@ -12,8 +12,10 @@ Per payload kind:
 
 * ``html``  primary = main-content scorer (E1 analogue),
             alternate = whole-page visible text (E2/E3 analogue)
-* ``pdf``   primary = PDF text layer (pdfminer when available, else the
-            built-in content-stream parser)
+* ``pdf``   primary = PDF text layer (built-in content-stream parser;
+            pdfminer only with RAYX_PDFMINER=1), alternate = tolerant
+            salvage pass over every stream (E2/E3 analogue) — used
+            both when the primary RAISES and when it fails the gate
 * ``text``  payload (or the table's ``text`` column) is already raw
             extracted text — only normalization + gate apply
 * ``empty`` falls back to the ``text`` column when present, else fails
@@ -99,11 +101,19 @@ def extract_payload(
         return _failed(kind, 'No content in "{}"'.format(source))
 
     if kind == sniff.KIND_PDF:
+        # Full E1->E2->E3 cascade parity (fulltext.py:136-178): primary
+        # parse; on parse FAILURE fall back to the salvage pass; on
+        # quality-GATE failure retry with salvage as the alternate.
+        salvage = lambda: pdf_text.extract_pdf_text_salvage(payload)
         try:
             raw = pdf_text.extract_pdf_text(payload)
         except pdf_text.PdfParseError as exc:
-            return _failed(kind, f"PDF extraction failed: {exc}")
-        return _gate(raw, source, kind, None)
+            try:
+                raw = salvage()
+            except pdf_text.PdfParseError:
+                return _failed(kind, f"PDF extraction failed: {exc}")
+            return _gate(raw, source, kind, None)
+        return _gate(raw, source, kind, salvage)
 
     if kind == sniff.KIND_HTML:
         markup = sniff.decode_payload(payload, charset)

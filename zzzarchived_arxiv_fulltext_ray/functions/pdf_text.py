@@ -15,6 +15,7 @@ whose text round-trips byte-identically through ``extract_pdf_text``
 pages table and the tests.
 """
 
+import os
 import re
 import zlib
 from typing import List
@@ -23,6 +24,12 @@ try:  # pragma: no cover - not present in the sandbox image
     from pdfminer.high_level import extract_text as _pdfminer_extract
 except Exception:  # ImportError and friends
     _pdfminer_extract = None
+
+# pdfminer is OPT-IN (RAYX_PDFMINER=1): its layout whitespace differs
+# from the built-in parser's exact round-trip, which the oracle /
+# byte-identity contract assumes. On a cluster image with pdfminer
+# installed, enabling it silently would flip extract_text hashes.
+_PDFMINER_ENABLED = os.environ.get("RAYX_PDFMINER") == "1"
 
 PDF_MAGIC = b"%PDF-"
 
@@ -130,8 +137,15 @@ def _decode_text_bytes(raw: bytes) -> str:
         return raw.decode("latin-1")
 
 
-def extract_text_from_streams(payload: bytes) -> str:
-    """Text-show operators across all content streams, line-structured."""
+def extract_text_from_streams(payload: bytes, require_bt: bool = True) -> str:
+    """Text-show operators across all content streams, line-structured.
+
+    ``require_bt=True`` (primary, E1 analogue) only reads streams with
+    a ``BT`` text block — the well-formed path. ``require_bt=False``
+    is the salvage pass (E2/E3 fallback analogue,
+    ``extractor/fulltext/fulltext.py:156-178``): it scans EVERY
+    decodable stream for text-show operators, recovering text from
+    PDFs whose text blocks are damaged or mislabeled."""
     lines: List[str] = []
     current: List[str] = []
     pending: List[bytes] = []
@@ -154,7 +168,7 @@ def extract_text_from_streams(payload: bytes) -> str:
                 body = zlib.decompress(body.strip(b"\r\n"))
             except zlib.error:
                 continue
-        if b"BT" not in body:
+        if require_bt and b"BT" not in body:
             continue
         found_stream = True
         for kind, value in _tokenize_content(body):
@@ -180,20 +194,34 @@ def extract_text_from_streams(payload: bytes) -> str:
     return "\n".join(lines)
 
 
-def extract_pdf_text(payload: bytes, prefer_pdfminer: bool = True) -> str:
-    """Extract the text layer of a PDF payload.
+def extract_pdf_text(payload: bytes, prefer_pdfminer: bool = None) -> str:
+    """Extract the text layer of a PDF payload (primary strategy).
 
-    Uses pdfminer.six when installed (cluster image), else the
-    built-in content-stream parser. Raises :class:`PdfParseError` for
-    payloads with no recoverable text.
+    pdfminer.six is used only when installed AND explicitly enabled
+    via ``RAYX_PDFMINER=1`` (or ``prefer_pdfminer=True``) — see the
+    module-level note on the byte-identity contract. Raises
+    :class:`PdfParseError` for payloads with no recoverable text.
     """
     if not payload.startswith(PDF_MAGIC):
         raise PdfParseError("not a PDF payload (missing %PDF- magic)")
+    if prefer_pdfminer is None:
+        prefer_pdfminer = _PDFMINER_ENABLED
     if prefer_pdfminer and _pdfminer_extract is not None:  # pragma: no cover
         import io
 
         return _pdfminer_extract(io.BytesIO(payload))
     return extract_text_from_streams(payload)
+
+
+def extract_pdf_text_salvage(payload: bytes) -> str:
+    """Alternate / salvage PDF strategy (E2/E3 parity): tolerant pass
+    over every decodable stream, no BT requirement — the engine's
+    analogue of the reference's pdftotext fallback + pdf2txt ``-A``
+    retry (``extractor/fulltext/fulltext.py:81-130``). Raises
+    :class:`PdfParseError` when even salvage finds no stream."""
+    if not payload.startswith(PDF_MAGIC):
+        raise PdfParseError("not a PDF payload (missing %PDF- magic)")
+    return extract_text_from_streams(payload, require_bt=False)
 
 
 # -- deterministic writer ----------------------------------------------------

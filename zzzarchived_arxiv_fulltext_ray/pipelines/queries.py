@@ -326,7 +326,7 @@ ORACLE_SQL: Dict[str, str] = {
     + """
     SELECT CASE WHEN kind IN (4, 5, 6) THEN 'failed'
                 ELSE 'succeeded' END AS status,
-           CASE WHEN kind IN (0, 1) THEN 'pdf'
+           CASE WHEN kind IN (0, 1, 8) THEN 'pdf'
                 WHEN kind = 2 THEN 'text'
                 WHEN kind = 4 THEN 'empty'
                 WHEN kind = 5 THEN 'binary'

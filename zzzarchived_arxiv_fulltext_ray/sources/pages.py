@@ -19,7 +19,10 @@ Per-doc payload kind, ``kind_code = doc_id % 20``:
 5     binary junk payload            -> row fails ("Unsupported")
 6     HTML wrapping one giant token  -> row fails the quality gate
 7     BOM'd UTF-16 HTML (exercises BOM sniff/decode)
-8-19  UTF-8 HTML with boilerplate (nav/sidebar link farm/footer)
+8     malformed PDF (text block's ``BT`` marker stripped): the
+      primary parser fails, the salvage/alternate pass (E2/E3)
+      recovers the text exactly
+9-19  UTF-8 HTML with boilerplate (nav/sidebar link farm/footer)
 ====  =========================================================
 
 Re-crawl duplicates: every ``doc_id % 10 == 0`` url appears 3 times
@@ -45,7 +48,7 @@ DUP_EVERY = 10
 N_CRAWLS = 3
 N_KINDS = 20
 # bump when synthesis output changes (busts bench page caches)
-SYNTH_VERSION = 2
+SYNTH_VERSION = 3
 
 PAGES_SCHEMA = pa.schema(
     [
@@ -184,6 +187,16 @@ def synthesize_rows(
             # UTF-16 with BOM (sniffed via BOM, decoded BOM-stripping)
             markup = _boilerplate_html(doc_id, text, "utf-16")
             payload = markup.encode("utf-16")
+            row_text = text
+        elif code == 8:
+            # malformed PDF: strip the BT marker so the primary parser
+            # sees no text block and raises; the salvage pass reads the
+            # same stream without the BT requirement and round-trips
+            # the text exactly (stale /Length and xref offsets are
+            # irrelevant to both parsers — stream framing is regex'd)
+            payload = pdf_text.write_minimal_pdf(text).replace(
+                b"BT ", b"", 1
+            )
             row_text = text
         else:
             markup = _boilerplate_html(doc_id, text, "utf-8")

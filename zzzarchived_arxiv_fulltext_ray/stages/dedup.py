@@ -27,23 +27,17 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def latest_crawl_broadcast(ds, dup_threshold: Optional[int] = None):
-    """Keep the latest crawl per url via a projected aggregate +
-    broadcast anti-filter. Only urls that actually have >1 crawl enter
-    the broadcast map, so its size tracks the duplicate rate, not the
-    corpus size.
+def dup_winner_map(ds) -> dict:
+    """url -> max(warc_ts as int64 micros), for urls with >1 crawl.
 
-    Apply this to the RAW pages Dataset (before any payload-touching
-    stage): the ``select_columns`` projection then pushes down into the
-    Parquet read, so the winner pre-pass scans two tiny columns instead
-    of payload bytes."""
-    import ray
+    Distributed: batch-level combine (vectorized per-batch groupby)
+    BEFORE a ``groupby("url")`` shuffle of at most one
+    (url, max_ts, n) row per url per batch; the duplicate filter also
+    runs distributed, so the driver only ever iterates urls that
+    actually have >1 crawl — O(dup-rate) driver state, never O(#urls).
+    """
     from ray.data.aggregate import Max, Sum
 
-    # batch-level combine (vectorized per-batch groupby) BEFORE the
-    # groupby shuffle: the all-to-all then moves at most one
-    # (url, max_ts, n) row per url per batch. Timestamps travel as
-    # int64 micros (Ray's Max aggregate is happiest on plain ints).
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.Table.from_arrays(
             [
@@ -55,9 +49,6 @@ def latest_crawl_broadcast(ds, dup_threshold: Optional[int] = None):
         g = t.group_by("url").aggregate([("ts_us", "max"), ("url", "count")])
         return g.rename_columns(["url", "max_ts", "n"])
 
-    # distributed per-url aggregate; the duplicate filter runs
-    # distributed too, so the driver only ever iterates urls that
-    # actually have >1 crawl (O(dup-rate), not O(#urls))
     def only_dups(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.greater(batch["n"], 1))
 
@@ -75,7 +66,22 @@ def latest_crawl_broadcast(ds, dup_threshold: Optional[int] = None):
     for b in dup_winners.iter_batches(batch_format="pyarrow"):
         for url, ts in zip(b["url"].to_pylist(), b["max_ts"].to_pylist()):
             winners[url] = ts
-    winners_ref = ray.put(winners)
+    return winners
+
+
+def latest_crawl_broadcast(ds, dup_threshold: Optional[int] = None):
+    """Keep the latest crawl per url via a projected aggregate +
+    broadcast anti-filter. Only urls that actually have >1 crawl enter
+    the broadcast map, so its size tracks the duplicate rate, not the
+    corpus size.
+
+    Apply this to the RAW pages Dataset (before any payload-touching
+    stage): the ``select_columns`` projection then pushes down into the
+    Parquet read, so the winner pre-pass scans two tiny columns instead
+    of payload bytes."""
+    import ray
+
+    winners_ref = ray.put(dup_winner_map(ds))
 
     def keep_latest(batch: pa.Table) -> pa.Table:
         wmap = ray.get(winners_ref)

@@ -13,12 +13,52 @@ the "vectorized" contract here is batch-in/batch-out Arrow with heavy
 per-row kernels, like any parser/model-inference stage.
 """
 
+import signal
+import threading
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from .. import EXTRACTOR_VERSION
 from ..functions import psv as psv_kernel
 from ..functions.cascade import extract_payload
+
+# Per-document wall-clock cap, mirroring the reference's 600 s
+# subprocess timeout (extractor/fulltext/fulltext.py:12,74). A stuck
+# parse becomes a status='failed' ROW; the actor survives.
+DEFAULT_ROW_TIMEOUT_SEC = 600.0
+
+
+class RowTimeout(Exception):
+    """One document exceeded its extraction wall-clock budget."""
+
+
+def _alarm_handler(signum, frame):
+    raise RowTimeout()
+
+
+def run_with_row_timeout(fn, seconds, *args):
+    """Run ``fn(*args)`` under a SIGALRM watchdog.
+
+    Interrupts pure-Python work (incl. catastrophic regex alternation
+    written in Python and busy loops) between bytecodes; a single
+    C-level call that never returns cannot be interrupted this way —
+    that residual risk is what the size cap (MAX_PAYLOAD_BYTES) and
+    the giant lane bound. No-ops off the main thread (Ray actor tasks
+    run on the main thread of the worker process; anything else falls
+    back to uncapped execution rather than crashing)."""
+    if (
+        not seconds
+        or threading.current_thread() is not threading.main_thread()
+    ):
+        return fn(*args)
+    old = signal.signal(signal.SIGALRM, _alarm_handler)
+    signal.setitimer(signal.ITIMER_REAL, seconds)
+    try:
+        return fn(*args)
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0)
+        signal.signal(signal.SIGALRM, old)
 
 OUTPUT_SCHEMA = pa.schema(
     [
@@ -62,17 +102,36 @@ class ExtractorPool:
         self,
         extractor_version: str = EXTRACTOR_VERSION,
         derive_psv: bool = False,
+        row_timeout_sec: float = DEFAULT_ROW_TIMEOUT_SEC,
     ):
         # Per-actor setup happens once: the kernel modules' compiled
         # regex tables and (when present) pdfminer resources are loaded
         # on first import in this worker process.
         self.extractor_version = extractor_version
         self.derive_psv = derive_psv
+        self.row_timeout_sec = row_timeout_sec
         from ..functions import cascade, html_main, pdf_text  # warm imports
 
         self._extract = cascade.extract_payload
         self.n_rows = 0
         self.n_failed = 0
+
+    def _extract_row(self, payload, fallback, url):
+        from ..functions.cascade import ExtractResult
+
+        try:
+            return run_with_row_timeout(
+                self._extract, self.row_timeout_sec,
+                payload or b"", fallback or None, url,
+            )
+        except RowTimeout:
+            return ExtractResult(
+                None,
+                "failed",
+                f"extraction timed out after {self.row_timeout_sec}s "
+                f'for "{url}"',
+                "timeout",
+            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -82,7 +141,7 @@ class ExtractorPool:
         out_text, out_status, out_error, out_kind = [], [], [], []
         out_psv = [] if self.derive_psv else None
         for url, payload, fallback in zip(urls, payloads, texts):
-            res = self._extract(payload or b"", fallback or None, url)
+            res = self._extract_row(payload, fallback, url)
             out_text.append(res.text)
             out_status.append(res.status)
             out_error.append(res.error)

@@ -13,12 +13,16 @@ rename), then a manifest JSON records lineage + metrics:
   blake2b(url, text) digests mod 2^64) so a resumed run can be checked
   byte-equivalent to a clean one
 
-``run_resumable`` skips shards whose manifest exists and whose input
-fingerprint still matches — re-running after a crash (or with new input
-files dropped in) processes exactly the missing work. This re-expresses
-the reference's skip-if-output-exists resume
-(``extractor/fulltext/fulltext.py:239-242``) and its placeholder-based
-work dedup (``fulltext/extract.py:89-107``) as idempotent dataflow.
+``run_resumable`` skips shards whose manifest exists, whose input
+fingerprint still matches AND whose config fingerprint (extractor
+version + pipeline knobs) still matches — re-running after a crash (or
+with new input files dropped in) processes exactly the missing work,
+and bumping ``EXTRACTOR_VERSION`` (or any config in the fingerprint)
+lazily re-extracts everything, mirroring the reference's
+version-namespaced store (``fulltext/services/store/store.py:130-165``)
+on top of its skip-if-output-exists resume
+(``extractor/fulltext/fulltext.py:239-242``) and placeholder-based
+work dedup (``fulltext/extract.py:89-107``).
 
 Shards run sequentially (each saturates the cluster); at 10^12-doc
 scale shard = a few thousand input files, so the sequential loop is
@@ -34,8 +38,20 @@ from typing import Callable, Dict, Iterable, List, Optional, Sequence
 
 import pyarrow as pa
 
+from .. import EXTRACTOR_VERSION
+
 MANIFEST_SUFFIX = ".manifest.json"
 _HASH_MOD = 1 << 64
+
+
+def default_config_fingerprint(**extra) -> Dict:
+    """The config identity a shard output is valid FOR: extractor
+    version plus any pipeline knobs the caller passes (dedup method,
+    giant threshold, ...). Stored in the manifest; a mismatch on
+    resume invalidates the shard."""
+    fp = {"extractor_version": EXTRACTOR_VERSION}
+    fp.update(extra)
+    return fp
 
 
 def shard_id_for(paths: Sequence[str]) -> str:
@@ -101,8 +117,14 @@ def shard_out_dir(out_dir: str, shard_id: str) -> Path:
     return Path(out_dir) / f"shard={shard_id}"
 
 
-def is_shard_done(out_dir: str, shard: Sequence[str]) -> bool:
-    """Manifest present, input unchanged, output dir present."""
+def is_shard_done(
+    out_dir: str,
+    shard: Sequence[str],
+    config_fingerprint: Optional[Dict] = None,
+) -> bool:
+    """Manifest present, input unchanged, output dir present, and (when
+    given) produced under the same config fingerprint — a version bump
+    re-extracts instead of serving stale text."""
     sid = shard_id_for(shard)
     mpath = manifest_path(out_dir, sid)
     if not mpath.exists() or not shard_out_dir(out_dir, sid).exists():
@@ -111,7 +133,11 @@ def is_shard_done(out_dir: str, shard: Sequence[str]) -> bool:
         manifest = json.loads(mpath.read_text())
     except json.JSONDecodeError:
         return False
-    return manifest.get("input_fingerprint") == input_fingerprint(shard)
+    if manifest.get("input_fingerprint") != input_fingerprint(shard):
+        return False
+    if config_fingerprint is not None:
+        return manifest.get("config_fingerprint") == config_fingerprint
+    return True
 
 
 def run_resumable(
@@ -120,20 +146,26 @@ def run_resumable(
     out_dir: str,
     hash_columns: Sequence[str] = ("url", "text"),
     read_fn: Optional[Callable] = None,
+    config_fingerprint: Optional[Dict] = None,
 ) -> Dict:
     """Process every not-yet-done shard: read -> build(ds) -> atomic
     write + manifest. Returns a run summary (shards done/skipped,
-    rows, combined content hash)."""
+    rows, combined content hash).
+
+    ``config_fingerprint`` defaults to the extractor version: resuming
+    after a version bump reprocesses every shard."""
     import ray.data as rd
 
     read_fn = read_fn or (lambda paths: rd.read_parquet(list(paths)))
+    if config_fingerprint is None:
+        config_fingerprint = default_config_fingerprint()
     Path(out_dir).mkdir(parents=True, exist_ok=True)
 
     summary = {"processed": 0, "skipped": 0, "rows": 0, "failed_rows": 0}
     combined_hash = 0
     for shard in input_shards:
         sid = shard_id_for(shard)
-        if is_shard_done(out_dir, shard):
+        if is_shard_done(out_dir, shard, config_fingerprint):
             summary["skipped"] += 1
             manifest = json.loads(manifest_path(out_dir, sid).read_text())
             summary["rows"] += manifest["rows"]
@@ -179,6 +211,7 @@ def run_resumable(
             "shard_id": sid,
             "input_paths": sorted(shard),
             "input_fingerprint": input_fingerprint(shard),
+            "config_fingerprint": config_fingerprint,
             "rows": rows,
             "failed_rows": n_failed,
             "content_hash": chash,
@@ -197,6 +230,99 @@ def run_resumable(
         combined_hash = (combined_hash + chash) % _HASH_MOD
 
     summary["content_hash"] = combined_hash
+    return summary
+
+
+def global_latest_crawl_pass(
+    out_dir: str, hash_columns: Sequence[str] = ("url", "text")
+) -> Dict:
+    """Second-pass winner resolution ACROSS shard outputs (the global
+    analogue of the reference's placeholder dedup,
+    ``fulltext/extract.py:89-107``).
+
+    ``run_resumable`` dedups within each shard; re-crawls of one url
+    split across shards survive it. This pass projects (url, warc_ts)
+    over every finished shard's output, resolves global winners with
+    the same distributed aggregate the in-pipeline dedup uses
+    (O(cross-shard-dup) driver state), then rewrites ONLY the shards
+    that hold losing rows — atomically, with their manifests updated
+    (rows/content_hash recomputed, ``global_dedup`` stamped) so a
+    subsequent resume still validates.
+
+    Idempotent: a second invocation finds no losers and rewrites
+    nothing.
+    """
+    import ray.data as rd
+
+    from ..stages.dedup import dup_winner_map
+
+    manifests = {m["shard_id"]: m for m in run_status(out_dir)}
+    summary = {"shards_rewritten": 0, "rows_removed": 0}
+    if not manifests:
+        return summary
+
+    shard_dirs = {
+        sid: shard_out_dir(out_dir, sid)
+        for sid in manifests
+        if shard_out_dir(out_dir, sid).exists()
+    }
+    # read_parquet accepts one dir or a list of FILES, not a dir list
+    out_files = [
+        str(f)
+        for d in shard_dirs.values()
+        for f in sorted(Path(d).glob("*.parquet"))
+    ]
+    all_out = rd.read_parquet(out_files, columns=["url", "warc_ts"])
+    winners = dup_winner_map(all_out)
+    if not winners:
+        return summary
+
+    import ray
+
+    winners_ref = ray.put(winners)
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        wmap = ray.get(winners_ref)
+        urls = batch["url"].to_pylist()
+        stamps = batch["warc_ts"].cast(pa.int64()).to_pylist()
+        mask = pa.array(
+            [
+                (u not in wmap) or (ts == wmap[u])
+                for u, ts in zip(urls, stamps)
+            ],
+            type=pa.bool_(),
+        )
+        return batch.filter(mask)
+
+    for sid, sdir in shard_dirs.items():
+        before = manifests[sid]["rows"]
+        kept = rd.read_parquet(str(sdir)).map_batches(
+            keep_winners, batch_format="pyarrow"
+        )
+        tmp_dir = sdir.parent / (sdir.name + ".gdtmp")
+        if tmp_dir.exists():
+            shutil.rmtree(tmp_dir)
+        kept.write_parquet(str(tmp_dir))
+        rows = rd.read_parquet(str(tmp_dir)).count()
+        if rows == before:
+            shutil.rmtree(tmp_dir)  # no losers in this shard
+            continue
+        shutil.rmtree(sdir)
+        tmp_dir.rename(sdir)
+
+        manifest = manifests[sid]
+        manifest["rows"] = rows
+        manifest["content_hash"] = dataset_content_hash(
+            rd.read_parquet(str(sdir)), manifest.get("hash_columns", hash_columns)
+        )
+        manifest["global_dedup"] = True
+        mtmp = manifest_path(out_dir, sid).with_suffix(".tmp")
+        mtmp.write_text(json.dumps(manifest, indent=1))
+        mtmp.rename(manifest_path(out_dir, sid))
+
+        summary["shards_rewritten"] += 1
+        summary["rows_removed"] += before - rows
+
     return summary
 
 
