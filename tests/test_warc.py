@@ -37,6 +37,53 @@ class TestFraming:
         assert (dt.year, dt.hour) == (2024, 10) and dt.tzinfo is None
         assert warc.parse_warc_date("nonsense") is None
 
+    def test_warc_11_version_accepted(self):
+        blob = warc.build_warc(_records()).replace(
+            b"WARC/1.0", b"WARC/1.1"
+        )
+        out = list(warc.iter_warc_records(blob))
+        assert len(out) == 2
+
+    def test_chunked_transfer_encoding_dechunked(self):
+        body = b"7\r\nchunked\r\n6\r\n body \r\n4\r\ndata\r\n0\r\n\r\n"
+        payload = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Transfer-Encoding: chunked\r\n"
+            b"\r\n" + body
+        )
+        http, out = warc.split_http_response(payload)
+        assert out == b"chunked body data"
+
+    def test_plain_body_untouched(self):
+        payload = b"HTTP/1.1 200 OK\r\nContent-Length: 4\r\n\r\nwxyz"
+        _, out = warc.split_http_response(payload)
+        assert out == b"wxyz"
+
+
+class TestStreamParser:
+    def _collect(self, blob, chunk_size):
+        p = warc.WarcStreamParser()
+        out = []
+        for i in range(0, len(blob), chunk_size):
+            out.extend(p.feed(blob[i : i + chunk_size]))
+        out.extend(p.finish())
+        return out
+
+    def test_equivalent_to_whole_buffer_any_chunking(self):
+        many = _records() * 20
+        for gz in (False, True):
+            blob = warc.build_warc(many, gzip_members=gz)
+            want = list(warc.iter_warc_records(blob))
+            assert len(want) == 40
+            for chunk_size in (1, 7, 64, 1000, len(blob)):
+                got = self._collect(blob, chunk_size)
+                assert got == want, (gz, chunk_size)
+
+    def test_truncated_tail_dropped(self):
+        blob = warc.build_warc(_records())
+        got = self._collect(blob[: len(blob) - 40], chunk_size=50)
+        assert len(got) == 1
+
 
 def test_warc_to_pipeline(ray_session, tmp_path):
     from zzzarchived_arxiv_fulltext_ray.pipelines.extraction import (
@@ -59,3 +106,58 @@ def test_warc_to_pipeline(ray_session, tmp_path):
     assert out.status.tolist() == ["succeeded", "succeeded"]
     assert out.payload_kind.tolist() == ["html", "text"]
     assert out.warc_ts.iloc[0].hour == 10
+
+
+def test_streaming_warc_datasource(ray_session, tmp_path):
+    """Chunked datasource over a multi-member gz WARC, read in tiny
+    chunks and tiny blocks, matches the whole-file reader."""
+    from zzzarchived_arxiv_fulltext_ray.sources.pages import (
+        read_pages_from_warc,
+    )
+    from zzzarchived_arxiv_fulltext_ray.sources.warc_source import (
+        read_pages_from_warc_stream,
+    )
+
+    many = _records() * 25  # 50 records across gzip members
+    path = tmp_path / "big.warc.gz"
+    path.write_bytes(warc.build_warc(many, gzip_members=True))
+
+    streamed = (
+        read_pages_from_warc_stream(
+            str(path), chunk_bytes=256, block_rows=8
+        )
+        .to_pandas()
+        .sort_values(["url", "warc_ts"])
+        .reset_index(drop=True)
+    )
+    whole = (
+        read_pages_from_warc(str(path))
+        .to_pandas()
+        .sort_values(["url", "warc_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(streamed) == 50
+    assert streamed.equals(whole)
+
+
+def test_streaming_warc_to_pipeline(ray_session, tmp_path):
+    from zzzarchived_arxiv_fulltext_ray.pipelines.extraction import (
+        extraction_pipeline,
+    )
+    from zzzarchived_arxiv_fulltext_ray.sources.warc_source import (
+        read_pages_from_warc_stream,
+    )
+
+    path = tmp_path / "crawl.warc"
+    path.write_bytes(warc.build_warc(_records()))
+    out = (
+        extraction_pipeline(
+            read_pages_from_warc_stream(str(path), chunk_bytes=128),
+            dedup=None,
+            derive_psv=False,
+        )
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert out.status.tolist() == ["succeeded", "succeeded"]

@@ -7,19 +7,27 @@ This module implements the framing only (no network), enough to turn
 
 * ``iter_warc_records(data)`` — parse a (possibly multi-member-gzip)
   WARC byte stream into (headers, payload) records.
+* ``WarcStreamParser`` — the incremental version: ``feed(chunk)``
+  yields complete records as they close, holding only the unparsed
+  tail — this is what lets a 1 GB Common Crawl segment stream through
+  bounded buffers (see ``sources/warc_source.py``).
 * ``split_http_response(payload)`` — strip the HTTP/1.x response
-  header block from a ``response`` record's payload.
+  header block from a ``response`` record's payload, de-chunking
+  ``Transfer-Encoding: chunked`` bodies.
 * ``build_warc(records)`` — deterministic writer for tests/synthetic
   corpora (plain or member-gzipped).
 
+Any WARC/x.y version line is accepted (ISO 28500 covers 1.0 and 1.1).
 Everything is stdlib (zlib); no warcio dependency.
 """
 
+import re
 import zlib
 from datetime import datetime, timezone
 from typing import Dict, Iterator, List, Optional, Tuple
 
 WARC_VERSION = b"WARC/1.0"
+_VERSION_RE = re.compile(rb"WARC/\d+\.\d+")
 _CRLF = b"\r\n"
 
 
@@ -51,9 +59,10 @@ def _parse_headers(block: bytes) -> Dict[str, str]:
 def iter_warc_records(data: bytes) -> Iterator[Tuple[Dict[str, str], bytes]]:
     """Yield (warc_headers, payload_bytes) per record.
 
-    Accepts plain or gzip-member-compressed streams (sniffed by magic).
-    Malformed trailing bytes end iteration rather than raising — a
-    truncated WARC yields its complete prefix records.
+    Accepts plain or gzip-member-compressed streams (sniffed by magic)
+    and any WARC/x.y version line. Malformed trailing bytes end
+    iteration rather than raising — a truncated WARC yields its
+    complete prefix records.
     """
     if data[:2] == b"\x1f\x8b":
         data = _gunzip_members(data)
@@ -61,13 +70,14 @@ def iter_warc_records(data: bytes) -> Iterator[Tuple[Dict[str, str], bytes]]:
     pos = 0
     n = len(data)
     while pos < n:
-        start = data.find(WARC_VERSION, pos)
-        if start == -1:
+        m = _VERSION_RE.search(data, pos)
+        if m is None:
             return
+        start = m.start()
         header_end = data.find(_CRLF + _CRLF, start)
         if header_end == -1:
             return
-        headers = _parse_headers(data[start + len(WARC_VERSION): header_end])
+        headers = _parse_headers(data[m.end(): header_end])
         try:
             length = int(headers.get("Content-Length", ""))
         except ValueError:
@@ -79,15 +89,124 @@ def iter_warc_records(data: bytes) -> Iterator[Tuple[Dict[str, str], bytes]]:
         pos = body_start + length
 
 
+class WarcStreamParser:
+    """Incremental WARC record parser over arbitrary byte chunks.
+
+    ``feed(chunk)`` returns the records that COMPLETED within the data
+    seen so far; call ``finish()`` after the last chunk (returns any
+    final records, drops a truncated tail). Gzip member compression is
+    detected on the first bytes and decompressed incrementally, so the
+    resident state is one unparsed record tail plus zlib's window —
+    never the file.
+    """
+
+    def __init__(self):
+        self._raw = bytearray()  # pre-sniff holding (first <2 bytes)
+        self._buf = bytearray()
+        self._decomp = None  # created lazily per gzip member
+        self._gzipped = None  # unknown until 2 bytes seen
+
+    def _decompress(self, chunk: bytes) -> bytes:
+        out = bytearray()
+        while chunk:
+            if self._decomp is None:
+                self._decomp = zlib.decompressobj(wbits=31)
+            out += self._decomp.decompress(chunk)
+            if self._decomp.eof:  # member boundary: start the next one
+                chunk = self._decomp.unused_data
+                self._decomp = None
+            else:
+                chunk = b""
+        return bytes(out)
+
+    def feed(self, chunk: bytes) -> List[Tuple[Dict[str, str], bytes]]:
+        if self._gzipped is None:
+            self._raw += chunk
+            if len(self._raw) < 2:
+                return []
+            self._gzipped = bytes(self._raw[:2]) == b"\x1f\x8b"
+            chunk = bytes(self._raw)
+            self._raw.clear()
+        self._buf += self._decompress(chunk) if self._gzipped else chunk
+        return self._drain()
+
+    def _drain(self) -> List[Tuple[Dict[str, str], bytes]]:
+        out = []
+        data = bytes(self._buf)
+        pos = 0
+        n = len(data)
+        while pos < n:
+            m = _VERSION_RE.search(data, pos)
+            if m is None:
+                # no version line yet: keep a small tail in case one
+                # is split across the chunk boundary
+                pos = max(pos, n - 16)
+                break
+            header_end = data.find(_CRLF + _CRLF, m.start())
+            if header_end == -1:
+                pos = m.start()
+                break
+            headers = _parse_headers(data[m.end(): header_end])
+            try:
+                length = int(headers.get("Content-Length", ""))
+            except ValueError:
+                pos = header_end + 4  # skip the malformed header block
+                continue
+            body_start = header_end + 4
+            if body_start + length > n:
+                pos = m.start()  # record incomplete: wait for more
+                break
+            out.append((headers, data[body_start : body_start + length]))
+            pos = body_start + length
+        del self._buf[:pos]
+        return out
+
+    def finish(self) -> List[Tuple[Dict[str, str], bytes]]:
+        records = self._drain()
+        self._buf.clear()
+        return records
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked transfer-encoded body; returns the
+    joined chunk data (a malformed framing falls back to the raw
+    body rather than raising)."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while pos < n:
+        line_end = body.find(_CRLF, pos)
+        if line_end == -1:
+            return bytes(body)
+        size_token = body[pos:line_end].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            return bytes(body)
+        if size == 0:
+            break  # terminal chunk (trailers ignored)
+        start = line_end + 2
+        if start + size > n:
+            return bytes(body)
+        out += body[start : start + size]
+        pos = start + size + 2  # skip chunk-data CRLF
+    return bytes(out)
+
+
 def split_http_response(payload: bytes) -> Tuple[Dict[str, str], bytes]:
     """(http_headers, body) of a ``response`` record payload; payloads
-    without an HTTP status line pass through as bare bodies."""
+    without an HTTP status line pass through as bare bodies. Bodies
+    sent with ``Transfer-Encoding: chunked`` are de-chunked."""
     if not payload.startswith(b"HTTP/"):
         return {}, payload
     split_at = payload.find(_CRLF + _CRLF)
     if split_at == -1:
         return {}, payload
-    return _parse_headers(payload[:split_at]), payload[split_at + 4 :]
+    headers = _parse_headers(payload[:split_at])
+    body = payload[split_at + 4 :]
+    if "chunked" in headers.get("Transfer-Encoding", "").lower():
+        body = _dechunk(body)
+    return headers, body
 
 
 def parse_warc_date(value: str) -> Optional[datetime]:

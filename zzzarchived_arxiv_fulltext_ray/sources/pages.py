@@ -290,6 +290,10 @@ def read_pages_from_warc(paths):
     ``response`` records become rows (url = WARC-Target-URI,
     warc_ts = WARC-Date, html = HTTP body). Non-response records are
     skipped; records without a parseable date get BASE_TS.
+
+    NOTE: whole-file rows — fine for modest WARCs; for real ~1 GB
+    crawl segments use ``sources.warc_source
+    .read_pages_from_warc_stream`` (chunked, bounded memory).
     """
     import ray.data
 
