@@ -46,6 +46,22 @@ def test_ngram_matches_brute_force(ray_session, truth_pairs):
     assert list(zip(got.doc_a, got.doc_b, got.jaccard)) == truth_pairs
 
 
+def test_verify_physical_plans_equivalent(ray_session, truth_pairs):
+    """broadcast and partitioned verify are the same logical operator:
+    identical exact-Jaccard output on the same candidates."""
+    from zzzarchived_arxiv_fulltext_ray.stages.neardup import neardup_pairs
+
+    for verify in ("broadcast", "partitioned"):
+        got = (
+            neardup_pairs(
+                _docs_ds(), method="ngram", threshold=0.5, verify=verify
+            )
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+        )
+        assert list(zip(got.doc_a, got.doc_b, got.jaccard)) == truth_pairs, verify
+
+
 def test_minhash_matches_brute_force(ray_session, truth_pairs):
     from zzzarchived_arxiv_fulltext_ray.stages.neardup import neardup_pairs
 

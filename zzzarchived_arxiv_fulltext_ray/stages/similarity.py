@@ -382,8 +382,15 @@ def embedding_neardup_lsh(
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
+    from ray.data.aggregate import Max
+
     candidates = bucket_pairs(keyed, max_bucket=4096)
-    return verify_cosine_partitioned(candidates, emb_ds, threshold)
+    verified = verify_cosine_partitioned(candidates, emb_ds, threshold)
+    # bucket_pairs dedups locally only; collapse cross-batch duplicate
+    # pairs (identical sims) over the small verified output
+    return verified.groupby(["vec_a", "vec_b"]).aggregate(
+        Max("sim", alias_name="sim")
+    )
 
 
 # -- IVF (inverted-file) ANN: the coarse-quantizer scale path ---------------
