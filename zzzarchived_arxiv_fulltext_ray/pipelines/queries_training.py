@@ -51,6 +51,26 @@ def _q_dedup_minhash(sf_dir: str):
     )
 
 
+def _q_dedup_ngram_partitioned(sf_dir: str):
+    """Same logical operator as dedup_ngram, forced onto the
+    partitioned-join verify plan (the no-broadcast 10^12-doc path) —
+    shares the exact-Jaccard oracle, proving plan equivalence under
+    the driver gate."""
+    from ..stages.neardup import neardup_pairs
+
+    ds = neardup_pairs(
+        _docs(sf_dir, ["doc_id", "text"]),
+        method="ngram",
+        threshold=0.5,
+        verify="partitioned",
+    )
+    return (
+        ds.to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_dedup_simhash(sf_dir: str):
     """SimHash pairs within hamming<=3 (rows-only: the bit mixing is
     not expressible in SQL)."""
@@ -239,6 +259,7 @@ FROM scored
 
 TRAINING_QUERIES: Dict[str, Callable] = {
     "dedup_ngram": _q_dedup_ngram,
+    "dedup_ngram_partitioned": _q_dedup_ngram_partitioned,
     "dedup_minhash": _q_dedup_minhash,
     "dedup_simhash": _q_dedup_simhash,
     "ann_topk": _q_ann_topk,
@@ -252,6 +273,7 @@ TRAINING_QUERIES: Dict[str, Callable] = {
 
 TRAINING_ORACLE_SQL: Dict[str, str] = {
     "dedup_ngram": _SHINGLE_JACCARD_SQL,
+    "dedup_ngram_partitioned": _SHINGLE_JACCARD_SQL,
     "dedup_minhash": _SHINGLE_JACCARD_SQL,
     # dedup_simhash, doc_winnow: rows-only (bit-mixing not in SQL)
     "ann_topk": """
@@ -546,6 +568,60 @@ def _q_join_priority_revenue(sf_dir: str):
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def _q_join_priority_revenue_native(sf_dir: str):
+    """Same join on Ray Data's built-in ``Dataset.join`` (hash-shuffle
+    aggregator actors) — shares the bucketed join's oracle; the two
+    physical joins are benchmarked against each other per round."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.relational import native_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64()
+        )
+        t = pa.Table.from_arrays(
+            [batch["l_orderkey"].combine_chunks(), cents],
+            names=["orderkey", "cents"],
+        )
+        g = t.group_by("orderkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["orderkey", "cents"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch["o_orderkey"].combine_chunks(),
+                batch["o_orderpriority"].combine_chunks(),
+            ],
+            names=["orderkey", "o_orderpriority"],
+        )
+
+    joined = native_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        key="orderkey",
+        num_partitions=16,
+    )
+    out = (
+        joined.groupby("o_orderpriority")
+        .aggregate(Sum("cents", alias_name="sum_cents"))
+        .to_pandas()
+    )
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def _q_top_longest_docs(sf_dir: str):
     """Global sort + limit: the 10 longest documents (doc_id as the
     deterministic tiebreak)."""
@@ -590,10 +666,21 @@ def _q_extract_psv(sf_dir: str):
 
 
 TRAINING_QUERIES["join_priority_revenue"] = _q_join_priority_revenue
+TRAINING_QUERIES["join_priority_revenue_native"] = (
+    _q_join_priority_revenue_native
+)
 TRAINING_QUERIES["top_longest_docs"] = _q_top_longest_docs
 TRAINING_QUERIES["url_blocklist"] = _q_url_blocklist
 TRAINING_QUERIES["extract_psv"] = _q_extract_psv
 
+TRAINING_ORACLE_SQL["join_priority_revenue_native"] = """
+SELECT o.o_orderpriority,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
 TRAINING_ORACLE_SQL["join_priority_revenue"] = """
 SELECT o.o_orderpriority,
        CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
