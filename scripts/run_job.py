@@ -44,7 +44,16 @@ def main():
     ap.add_argument("--concurrency", type=int, default=0,
                     help="extraction actors (default: 3/4 of CPUs)")
     ap.add_argument("--batch-size", type=int, default=128)
-    ap.add_argument("--giant-threshold", type=int, default=2 * 1024 * 1024)
+    # OFF by default: the giant lane derives a second branch from the
+    # same upstream and Ray Data has no common-subexpression reuse, so
+    # enabling it re-scans read+dedup+sniff (a measured double scan).
+    # The per-row 600 s watchdog in ExtractorPool already converts
+    # pathological documents into failed rows; reserve the lane for
+    # corpora where individual documents legitimately cost minutes.
+    ap.add_argument("--giant-threshold", type=int, default=0,
+                    help="bytes; >0 routes larger payloads to a "
+                         "dedicated single-row-batch actor lane "
+                         "(costs a second scan of read+dedup+sniff)")
     ap.add_argument("--dedup", default="broadcast",
                     choices=["broadcast", "shuffle", "none"])
     ap.add_argument("--global-dedup", action="store_true",
@@ -84,7 +93,7 @@ def main():
             dedup=None if args.dedup == "none" else args.dedup,
             concurrency=concurrency,
             batch_size=args.batch_size,
-            giant_threshold_bytes=args.giant_threshold,
+            giant_threshold_bytes=args.giant_threshold or None,
         )
 
     t0 = time.time()

@@ -176,6 +176,46 @@ def test_training_batch_loader(ray_session):
     assert total_tokens > 0
 
 
+def test_pack_sequences(ray_session):
+    """Packed pretraining examples: every row exactly seq_len int32
+    ids; token stream preserved in order within each input batch."""
+    import numpy as np
+
+    from zzzarchived_arxiv_fulltext_ray.functions.shingles import (
+        stable_hash64,
+    )
+    from zzzarchived_arxiv_fulltext_ray.functions.textstats import _BPE_TOKEN
+    from zzzarchived_arxiv_fulltext_ray.pipelines.extraction import (
+        extraction_pipeline,
+    )
+    from zzzarchived_arxiv_fulltext_ray.pipelines.loader import (
+        VOCAB_SIZE,
+        pack_sequences,
+    )
+    from zzzarchived_arxiv_fulltext_ray.sources.pages import read_pages
+
+    ds = extraction_pipeline(read_pages(SF), derive_psv=False)
+    packed = pack_sequences(ds, seq_len=128, eos_id=0).to_pandas()
+    assert len(packed) > 0
+    lens = packed.input_ids.map(len)
+    assert (lens == 128).all()
+
+    # conservation: total packed tokens == total tokens+separators
+    # minus the per-batch dropped tails (< seq_len per input batch)
+    df = extraction_pipeline(read_pages(SF), derive_psv=False).to_pandas()
+    ok_texts = df[df.status == "succeeded"].text
+    total = sum(len(_BPE_TOKEN.findall(t)) + 1 for t in ok_texts)
+    packed_total = int(lens.sum())
+    assert packed_total <= total
+    assert packed_total > 0.5 * total  # tails are a bounded loss here
+
+    # id space: stable hash % VOCAB_SIZE
+    flat = np.concatenate(packed.input_ids.to_numpy())
+    assert flat.min() >= 0 and flat.max() < VOCAB_SIZE
+    probe = _BPE_TOKEN.findall(ok_texts.iloc[0])[0]
+    assert stable_hash64(probe) % VOCAB_SIZE in flat
+
+
 def test_read_pages_from_files(ray_session, tmp_path):
     """Raw-file source: directory of page files -> same pipeline."""
     from zzzarchived_arxiv_fulltext_ray.functions.pdf_text import (

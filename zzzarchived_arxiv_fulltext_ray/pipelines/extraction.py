@@ -60,8 +60,13 @@ def extraction_pipeline(
     if giant_threshold_bytes:
         # A3 skew control: pathological documents ride in their own
         # single-row batches so one multi-MB page never stalls a batch
-        # of thousands of small ones (the streaming analogue of the
-        # reference's per-document 600 s timeout isolation)
+        # of thousands of small ones. COST: both branches derive from
+        # the same upstream and Ray Data has no common-subexpression
+        # reuse, so read+dedup-filter+sniff execute twice (the winner
+        # aggregate itself runs once — its broadcast map is shared).
+        # The per-row watchdog in ExtractorPool handles *stuck* rows
+        # without any second scan; enable the lane only when giant
+        # documents are legitimate work costing minutes each.
         import pyarrow.compute as pc
 
         def smalls(batch):

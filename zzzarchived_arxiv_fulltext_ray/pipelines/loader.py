@@ -37,6 +37,51 @@ def tokenize_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def pack_sequences(
+    extracted_ds, seq_len: int = 512, eos_id: int = 0
+) -> "object":
+    """Fixed-length pretraining-example packing, as a Dataset op.
+
+    Documents are tokenized, joined with ``eos_id`` separators and
+    chopped into exactly-``seq_len`` rows (``input_ids: list<int32>``)
+    — the standard packed-pretraining layout. Packing is per input
+    batch (stateless task): each batch's final partial sequence is
+    dropped rather than carried across batches, losing < seq_len
+    tokens per batch — negligible at scale and what keeps the stage an
+    embarrassingly parallel ``map_batches`` instead of a stateful
+    single-actor bottleneck. Only succeeded rows contribute.
+    """
+    import pyarrow.compute as pc
+
+    def pack(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["status"], "succeeded"))
+        pieces: List[np.ndarray] = []
+        for text in batch["text"].to_pylist():
+            toks = _BPE_TOKEN.findall(text or "")
+            ids = np.fromiter(
+                (stable_hash64(t) % VOCAB_SIZE for t in toks),
+                dtype=np.int32,
+                count=len(toks),
+            )
+            pieces.append(ids)
+            pieces.append(np.array([eos_id], dtype=np.int32))
+        flat = (
+            np.concatenate(pieces) if pieces else np.empty(0, np.int32)
+        )
+        n_seqs = len(flat) // seq_len
+        flat = flat[: n_seqs * seq_len]
+        return pa.Table.from_pydict(
+            {
+                "input_ids": pa.array(
+                    flat.reshape(n_seqs, seq_len).tolist(),
+                    pa.list_(pa.int32()),
+                )
+            }
+        )
+
+    return extracted_ds.map_batches(pack, batch_format="pyarrow")
+
+
 def iter_training_batches(
     extracted_ds, batch_tokens: int = 8192
 ) -> Iterator[dict]:

@@ -745,6 +745,67 @@ def _q_corpus_sketch_stats(sf_dir: str):
 TRAINING_QUERIES["corpus_sketch_stats"] = _q_corpus_sketch_stats
 
 
+def _q_extract_quality(sf_dir: str):
+    """Composed pipeline: extraction cascade -> per-document quality
+    metrics over the EXTRACTED text (stopword density, alpha fraction,
+    punctuation, BPE-ish token counts). The byte-identity contract is
+    what lets the oracle compute the same integers from the synthetic
+    ground-truth text — a cross-check of extraction x analysis
+    composition, and the metric set a quality-gating cascade stage
+    would consume."""
+    import pyarrow.compute as pc
+
+    from ..functions.textstats import quality_counts
+    from ..sources.pages import read_pages
+    from .extraction import extraction_pipeline
+
+    ds = extraction_pipeline(read_pages(sf_dir), derive_psv=False)
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["status"], "succeeded"))
+        cols = {"url": batch["url"].to_pylist()}
+        rows = [quality_counts(t) for t in batch["text"].to_pylist()]
+        for key in (
+            "n_chars", "n_tokens", "n_stop", "n_alpha_chars",
+            "n_punct", "n_bpe_tokens",
+        ):
+            cols[key] = pa.array([r[key] for r in rows], pa.int64())
+        return pa.Table.from_pydict(cols)
+
+    return (
+        ds.map_batches(metrics, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+TRAINING_QUERIES["extract_quality"] = _q_extract_quality
+TRAINING_ORACLE_SQL["extract_quality"] = f"""
+WITH pages AS (
+    SELECT
+        'https://site' || lpad(CAST(doc_id % 50 AS VARCHAR), 2, '0')
+            || '.example.org/articles/' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+            AS url,
+        doc_id % 20 AS kind,
+        text
+    FROM documents
+)
+SELECT url,
+       length(text) AS n_chars,
+       len(list_filter(regexp_split_to_array(text, '\\s+'),
+                       x -> x <> '')) AS n_tokens,
+       len(list_filter(regexp_split_to_array(text, '\\s+'),
+                       x -> list_contains({{stop}}, lower(x)))) AS n_stop,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha_chars,
+       length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+           AS n_punct,
+       len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens
+FROM pages WHERE kind NOT IN (4, 5, 6)
+ORDER BY url
+""".replace("{stop}", _sql_list(STOPWORDS))
+
+
 def _q_extract_errors(sf_dir: str):
     """Failure-record parity: per failed url, the exact error message
     (the reference stores exception text in FAILED records,
