@@ -745,6 +745,165 @@ def _q_corpus_sketch_stats(sf_dir: str):
 TRAINING_QUERIES["corpus_sketch_stats"] = _q_corpus_sketch_stats
 
 
+def _q_events_sliding(sf_dir: str):
+    """Sliding-window aggregate (1 h windows every 15 min): each event
+    is fanned out to the <=4 windows containing it inside map_batches
+    (vectorized), then a per-(user, window) groupby with batch-level
+    combine — the standard replicate-then-aggregate spelling of
+    overlapping windows (no per-event Python in the shuffle)."""
+    import numpy as np
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    step_us = 15 * 60 * 1_000_000
+    width_steps = 4  # 1 h / 15 min
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        base = ts_us // step_us  # last window START step containing ts
+        outs = []
+        for k in range(width_steps):
+            start = (base - k) * step_us
+            outs.append(
+                pa.Table.from_pydict(
+                    {
+                        "user_id": users,
+                        "window_start": start,
+                        "cents": cents,
+                        "one": np.ones(len(users), np.int64),
+                    }
+                )
+            )
+        t = pa.concat_tables(outs)
+        # batch-level combine before the shuffle
+        g = t.group_by(["user_id", "window_start"]).aggregate(
+            [("cents", "sum"), ("one", "sum")]
+        )
+        return g.rename_columns(
+            ["user_id", "window_start", "sum_cents", "n_events"]
+        )
+
+    out = (
+        ev.map_batches(fan_out, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(
+            Sum("sum_cents", alias_name="sum_cents"),
+            Sum("n_events", alias_name="n_events"),
+        )
+        .to_pandas()
+    )
+    import pandas as pd
+
+    out["window_start"] = pd.to_datetime(
+        out["window_start"], unit="us"
+    ).astype("datetime64[us]")
+    return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+
+
+def _q_lang_length_median(sf_dir: str):
+    """Exact per-group order statistics: median (lower) + max doc
+    length per language via a per-group sort (map_groups); integers,
+    so hash-exact against quantile_disc."""
+    def stats(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = np.sort(group["n_chars"].to_numpy(zero_copy_only=False))
+        med = int(v[(len(v) - 1) // 2])  # lower median = quantile_disc 0.5
+        return pa.Table.from_pydict(
+            {
+                "lang": [group["lang"][0].as_py()],
+                "median_chars": pa.array([med], pa.int64()),
+                "max_chars": pa.array([int(v[-1])], pa.int64()),
+                "n_docs": pa.array([len(v)], pa.int64()),
+            }
+        )
+
+    out = (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .groupby("lang")
+        .map_groups(stats, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def _q_top_docs_per_lang(sf_dir: str):
+    """Top-3 longest documents per language (grouped top-k, the
+    keep-best-k dedup pattern): per-group vectorized argsort, doc_id
+    ascending tiebreak to keep the answer deterministic."""
+    def topk(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = group["n_chars"].to_numpy(zero_copy_only=False)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -n))[:3]
+        return pa.Table.from_pydict(
+            {
+                "lang": [group["lang"][0].as_py()] * len(order),
+                "doc_id": pa.array(d[order], pa.int64()),
+                "n_chars": pa.array(n[order], pa.int64()),
+            }
+        )
+
+    out = (
+        _docs(sf_dir, ["lang", "doc_id", "n_chars"])
+        .groupby("lang")
+        .map_groups(topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
+TRAINING_QUERIES["events_sliding"] = _q_events_sliding
+TRAINING_QUERIES["lang_length_median"] = _q_lang_length_median
+TRAINING_QUERIES["top_docs_per_lang"] = _q_top_docs_per_lang
+
+TRAINING_ORACLE_SQL["events_sliding"] = """
+WITH fan AS (
+    SELECT e.user_id,
+           to_timestamp((CAST(epoch_us(e.ts) AS BIGINT) // 900000000 - k.k)
+                        * 900000000 / 1000000)::TIMESTAMP AS window_start,
+           CAST(round(e.value * 100) AS BIGINT) AS cents
+    FROM events e, (VALUES (0), (1), (2), (3)) AS k(k)
+)
+SELECT user_id, window_start,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       count(*) AS n_events
+FROM fan
+GROUP BY user_id, window_start
+ORDER BY user_id, window_start
+"""
+TRAINING_ORACLE_SQL["lang_length_median"] = """
+SELECT lang,
+       CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS median_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       count(*) AS n_docs
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+TRAINING_ORACLE_SQL["top_docs_per_lang"] = """
+SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM (
+    SELECT lang, doc_id, n_chars,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM documents
+)
+WHERE rn <= 3
+ORDER BY lang, doc_id
+"""
+
+
 def _q_extract_quality(sf_dir: str):
     """Composed pipeline: extraction cascade -> per-document quality
     metrics over the EXTRACTED text (stopword density, alpha fraction,
