@@ -86,3 +86,93 @@ def test_pathological_row_fails_alone_batch_completes():
 def test_timeout_result_is_failure_record_shape():
     r = ExtractResult(None, "failed", "x", "timeout")
     assert r.text is None and r.status == "failed"
+
+
+def test_watchdog_interrupts_worker_thread():
+    """Ray runs actor __call__ OFF the main thread (no SIGALRM there);
+    the RowWatchdog must interrupt a busy loop from a plain thread."""
+    import threading
+
+    from zzzarchived_arxiv_fulltext_ray.stages.extract import (
+        get_process_watchdog,
+    )
+
+    wd = get_process_watchdog()
+    result = {}
+
+    def worker():
+        t0 = time.monotonic()
+        try:
+            wd.run(_busy, 0.3, 10.0)
+            result["fired"] = False
+        except RowTimeout:
+            result["fired"] = True
+        result["wall"] = time.monotonic() - t0
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join(timeout=8.0)
+    assert result.get("fired") is True
+    assert result["wall"] < 5.0
+
+
+def test_watchdog_inside_ray_actor_pool(ray_session):
+    """End-to-end: a stuck document inside a REAL Ray Data actor pool
+    becomes a failed row while its batch completes quickly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    class StallingPool(ExtractorPool):
+        # NOTE: everything referenced here must be local or installed-
+        # module scope — the class ships to the actor via cloudpickle
+        # and the pytest test module is not importable there
+        def __init__(self):
+            super().__init__(row_timeout_sec=1.0)
+            real = self._extract
+
+            def extract(payload, fallback, url):
+                if b"pathological" in payload:
+                    import time as _t
+
+                    end = _t.monotonic() + 30.0
+                    x = 0
+                    while _t.monotonic() < end:
+                        x += 1
+                return real(payload, fallback, url)
+
+            self._extract = extract
+
+    good = (
+        b"<html><body><p>perfectly ordinary page content with many "
+        b"plain words in it</p></body></html>"
+    )
+    t = pa.Table.from_pydict(
+        {
+            "url": ["u1", "u2-stuck", "u3", "u4"],
+            "warc_ts": pa.array([0] * 4, pa.timestamp("us")),
+            "lang": ["en"] * 4,
+            "html": pa.array(
+                [good, b"<html>pathological</html>", good, good],
+                pa.large_binary(),
+            ),
+            "text": [""] * 4,
+            "n_bytes": pa.array([len(good), 25, len(good), len(good)],
+                                pa.int64()),
+            "size_bucket": pa.array([6, 4, 6, 6], pa.int32()),
+        }
+    )
+    t0 = time.monotonic()
+    out = (
+        rd.from_arrow(t)
+        .map_batches(
+            StallingPool, batch_format="pyarrow", batch_size=4,
+            concurrency=1,
+        )
+        .to_pandas()
+        .sort_values("url")
+    )
+    assert time.monotonic() - t0 < 20.0
+    assert out.status.tolist() == [
+        "succeeded", "failed", "succeeded", "succeeded"
+    ]
+    assert "timed out" in out.error.tolist()[1]

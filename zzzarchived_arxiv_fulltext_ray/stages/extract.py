@@ -37,28 +37,101 @@ def _alarm_handler(signum, frame):
     raise RowTimeout()
 
 
-def run_with_row_timeout(fn, seconds, *args):
-    """Run ``fn(*args)`` under a SIGALRM watchdog.
+class RowWatchdog:
+    """Per-actor watchdog thread: raises :class:`RowTimeout` *inside
+    the executing thread* when the guarded row overruns its deadline.
 
-    Interrupts pure-Python work (incl. catastrophic regex alternation
-    written in Python and busy loops) between bytecodes; a single
-    C-level call that never returns cannot be interrupted this way —
-    that residual risk is what the size cap (MAX_PAYLOAD_BYTES) and
-    the giant lane bound. No-ops off the main thread (Ray actor tasks
-    run on the main thread of the worker process; anything else falls
-    back to uncapped execution rather than crashing)."""
-    if (
-        not seconds
-        or threading.current_thread() is not threading.main_thread()
-    ):
+    Ray Data executes actor ``__call__`` OFF the main thread (verified
+    empirically), so SIGALRM handlers never interrupt the work — the
+    watchdog instead uses ``PyThreadState_SetAsyncExc``, which queues
+    the exception at the target thread's next bytecode boundary. That
+    interrupts pure-Python work (catastrophic alternation written in
+    Python, busy loops); a single C-level call that never returns is
+    not interruptible this way — that residual risk is what the size
+    cap (MAX_PAYLOAD_BYTES) bounds.
+
+    One daemon thread per actor, ~1 poll/sec; per-row overhead is a
+    lock + two assignments. Precision is +-poll_sec — irrelevant at
+    the 600 s default. A row finishing exactly at its deadline can
+    race the raise (window ~1 poll); callers therefore catch
+    :class:`RowTimeout` around the whole row, making the stray raise
+    land as that row's failure rather than escaping the batch.
+    """
+
+    def __init__(self, poll_sec: float = 1.0):
+        self._poll = poll_sec
+        self._lock = threading.Lock()
+        self._deadline = None
+        self._target_tid = None
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self):
+        import ctypes
+        import time as _time
+
+        while True:
+            _time.sleep(self._poll)
+            with self._lock:
+                if (
+                    self._deadline is not None
+                    and _time.monotonic() > self._deadline
+                ):
+                    ctypes.pythonapi.PyThreadState_SetAsyncExc(
+                        ctypes.c_ulong(self._target_tid),
+                        ctypes.py_object(RowTimeout),
+                    )
+                    self._deadline = None
+
+    def run(self, fn, seconds, *args):
+        import time as _time
+
+        with self._lock:
+            self._deadline = _time.monotonic() + seconds
+            self._target_tid = threading.get_ident()
+        try:
+            return fn(*args)
+        finally:
+            with self._lock:
+                self._deadline = None
+
+
+_WATCHDOG_LOCK = threading.Lock()
+_PROCESS_WATCHDOG = None
+
+
+def get_process_watchdog() -> "RowWatchdog":
+    """One watchdog thread per worker process. A single guard slot
+    suffices: Ray executes one task at a time per worker process
+    (actors default to max_concurrency=1; task-pool workers are
+    single-task too)."""
+    global _PROCESS_WATCHDOG
+    with _WATCHDOG_LOCK:
+        if _PROCESS_WATCHDOG is None:
+            _PROCESS_WATCHDOG = RowWatchdog()
+        return _PROCESS_WATCHDOG
+
+
+def run_with_row_timeout(fn, seconds, *args, watchdog: "RowWatchdog" = None):
+    """Run ``fn(*args)`` under a wall-clock cap.
+
+    On the main thread a SIGALRM timer is used (precise, no helper
+    thread — the unit-test / driver-script path); elsewhere the
+    supplied :class:`RowWatchdog` interrupts via async exception (the
+    Ray actor path). With neither applicable, runs uncapped."""
+    if not seconds:
         return fn(*args)
-    old = signal.signal(signal.SIGALRM, _alarm_handler)
-    signal.setitimer(signal.ITIMER_REAL, seconds)
-    try:
-        return fn(*args)
-    finally:
-        signal.setitimer(signal.ITIMER_REAL, 0)
-        signal.signal(signal.SIGALRM, old)
+    if threading.current_thread() is threading.main_thread():
+        old = signal.signal(signal.SIGALRM, _alarm_handler)
+        signal.setitimer(signal.ITIMER_REAL, seconds)
+        try:
+            return fn(*args)
+        finally:
+            signal.setitimer(signal.ITIMER_REAL, 0)
+            signal.signal(signal.SIGALRM, old)
+    if watchdog is not None:
+        return watchdog.run(fn, seconds, *args)
+    return fn(*args)
 
 OUTPUT_SCHEMA = pa.schema(
     [
@@ -110,6 +183,9 @@ class ExtractorPool:
         self.extractor_version = extractor_version
         self.derive_psv = derive_psv
         self.row_timeout_sec = row_timeout_sec
+        # per-process watchdog thread (Ray runs __call__ off the main
+        # thread, where SIGALRM can't interrupt the work)
+        self._watchdog = get_process_watchdog() if row_timeout_sec else None
         from ..functions import cascade, html_main, pdf_text  # warm imports
 
         self._extract = cascade.extract_payload
@@ -123,6 +199,7 @@ class ExtractorPool:
             return run_with_row_timeout(
                 self._extract, self.row_timeout_sec,
                 payload or b"", fallback or None, url,
+                watchdog=self._watchdog,
             )
         except RowTimeout:
             return ExtractResult(
