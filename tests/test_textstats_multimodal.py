@@ -107,6 +107,48 @@ class TestMultimodal:
         assert len(df) == 500
         assert (df.status == "failed").sum() == 25  # doc_id % 20 == 19
 
+    def test_audio_header_roundtrip_and_windows(self):
+        p = multimodal.fake_audio_payload(42)
+        sr, n, c = multimodal.decode_audio_header(p)
+        assert (sr, c) == (8000 + 2 * 4000, 1)
+        stage = multimodal.AudioDecodeStage()
+        import pyarrow as pa
+
+        out = stage(
+            pa.Table.from_pydict(
+                {"doc_id": [42, 19], "payload": [p, b"\x00junk"]}
+            )
+        )
+        assert out["status"].to_pylist() == ["succeeded", "failed"]
+        assert out["duration_ms"][0].as_py() == n * 1000 // sr
+        assert out["n_windows"][0].as_py() == (n + sr - 1) // sr
+
+    def test_video_frame_sampling(self):
+        import pyarrow as pa
+
+        p = multimodal.fake_video_payload(7)
+        fps, nf, w, h = multimodal.decode_video_header(p)
+        stage = multimodal.VideoFrameSampleStage(sample_every=10)
+        out = stage(
+            pa.Table.from_pydict({"doc_id": [7], "payload": [p]})
+        )
+        n_sampled = out["n_sampled"][0].as_py()
+        assert n_sampled == (nf + 9) // 10
+        assert out["last_sampled"][0].as_py() == (n_sampled - 1) * 10
+        assert out["last_sampled"][0].as_py() < nf
+
+    def test_audio_video_pipelines(self, ray_session):
+        import ray.data
+
+        docs = ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+        )
+        adf = multimodal.audio_pipeline(docs).to_pandas()
+        vdf = multimodal.video_pipeline(docs).to_pandas()
+        assert len(adf) == len(vdf) == 500
+        assert (adf.status == "failed").sum() == 25
+        assert (vdf.status == "failed").sum() == 25
+
 
 class TestSketches:
     def test_hll_accuracy_and_merge(self):

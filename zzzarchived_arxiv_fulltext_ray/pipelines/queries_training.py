@@ -171,6 +171,28 @@ def _q_multimodal_decode(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_multimodal_audio(sf_dir: str):
+    from ..stages.multimodal import audio_pipeline
+
+    ds = audio_pipeline(_docs(sf_dir, ["doc_id"]))
+    df = ds.to_pandas()[
+        ["doc_id", "sample_rate", "n_samples", "channels", "duration_ms",
+         "n_windows", "status"]
+    ]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_multimodal_video(sf_dir: str):
+    from ..stages.multimodal import video_pipeline
+
+    ds = video_pipeline(_docs(sf_dir, ["doc_id"]), sample_every=25)
+    df = ds.to_pandas()[
+        ["doc_id", "fps", "n_frames", "width", "height", "n_sampled",
+         "last_sampled", "status"]
+    ]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_events_windowed(sf_dir: str):
     import ray.data
 
@@ -268,6 +290,8 @@ TRAINING_QUERIES: Dict[str, Callable] = {
     "lang_id": _q_lang_id,
     "doc_winnow": _q_doc_winnow,
     "multimodal_decode": _q_multimodal_decode,
+    "multimodal_audio": _q_multimodal_audio,
+    "multimodal_video": _q_multimodal_video,
     "events_windowed": _q_events_windowed,
 }
 
@@ -339,6 +363,52 @@ TRAINING_ORACLE_SQL: Dict[str, str] = {
            status, CAST(resized_w AS INT) resized_w,
            CAST(resized_h AS INT) resized_h
     FROM meta
+    """,
+    "multimodal_audio": """
+    WITH base AS (
+        SELECT doc_id,
+               8000 + (doc_id % 5) * 4000 AS sr,
+               1000 + (doc_id * 13) % 100000 AS n,
+               1 + doc_id % 2 AS c,
+               doc_id % 20 = 19 AS corrupt
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN corrupt THEN NULL ELSE sr END AS INT)
+               AS sample_rate,
+           CAST(CASE WHEN corrupt THEN NULL ELSE n END AS BIGINT)
+               AS n_samples,
+           CAST(CASE WHEN corrupt THEN NULL ELSE c END AS INT) AS channels,
+           CAST(CASE WHEN corrupt THEN NULL
+                ELSE n * 1000 // sr END AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN corrupt THEN NULL
+                ELSE (n + sr - 1) // sr END AS BIGINT) AS n_windows,
+           CASE WHEN corrupt THEN 'failed' ELSE 'succeeded' END AS status
+    FROM base ORDER BY doc_id
+    """,
+    "multimodal_video": """
+    WITH base AS (
+        SELECT doc_id,
+               12 + (doc_id % 4) * 6 AS fps,
+               100 + (doc_id * 11) % 5000 AS nf,
+               64 + doc_id % 577 AS w,
+               64 + (doc_id * 7) % 353 AS h,
+               doc_id % 20 = 19 AS corrupt
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN corrupt THEN NULL ELSE fps END AS INT) AS fps,
+           CAST(CASE WHEN corrupt THEN NULL ELSE nf END AS BIGINT)
+               AS n_frames,
+           CAST(CASE WHEN corrupt THEN NULL ELSE w END AS INT) AS width,
+           CAST(CASE WHEN corrupt THEN NULL ELSE h END AS INT) AS height,
+           CAST(CASE WHEN corrupt THEN NULL
+                ELSE (nf + 24) // 25 END AS BIGINT) AS n_sampled,
+           CAST(CASE WHEN corrupt THEN NULL
+                ELSE ((nf + 24) // 25 - 1) * 25 END AS BIGINT)
+               AS last_sampled,
+           CASE WHEN corrupt THEN 'failed' ELSE 'succeeded' END AS status
+    FROM base ORDER BY doc_id
     """,
     "events_windowed": """
     SELECT user_id, date_trunc('hour', ts) AS window_start,

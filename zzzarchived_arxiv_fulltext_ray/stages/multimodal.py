@@ -165,3 +165,199 @@ def image_pipeline(docs_ds, batch_size: int = 256):
         concurrency=(1, 4),
     )
     return decoded.map_batches(resize_metadata_batch, batch_format="pyarrow")
+
+
+# -- audio: decode + windowing (same contract as images) ---------------------
+
+AUDIO_MAGIC = b"FAUD"
+# ``b"FAUD" | sample_rate:u32 | n_samples:u32 | channels:u8 | pcm...``
+
+
+def fake_audio_payload(doc_id: int) -> bytes:
+    """Deterministic synthetic audio clip: sample_rate = 8000 +
+    (doc_id % 5) * 4000, n_samples = 1000 + (doc_id * 13) % 100000,
+    channels = 1 + doc_id % 2; body is a truncated byte ramp standing
+    in for PCM."""
+    sr = 8000 + (doc_id % 5) * 4000
+    n_samples = 1000 + (doc_id * 13) % 100000
+    channels = 1 + doc_id % 2
+    body = bytes((doc_id + i) % 256 for i in range(min(n_samples, 2048)))
+    return AUDIO_MAGIC + struct.pack(">IIB", sr, n_samples, channels) + body
+
+
+def decode_audio_header(payload: bytes) -> Tuple[int, int, int]:
+    if len(payload) < 13 or not payload.startswith(AUDIO_MAGIC):
+        raise ValueError("not a FAUD payload")
+    sr, n_samples, channels = struct.unpack(">IIB", payload[4:13])
+    return sr, n_samples, channels
+
+
+class AudioDecodeStage:
+    """Actor-pool audio decode: (doc_id, payload) -> clip metadata +
+    1-second feature-window count (the shape a feature extractor —
+    fbank/MFCC over fixed windows — consumes). Real-codec decode is
+    import-gated exactly like images; undecodable rows fail as data."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        cols = {k: [] for k in (
+            "sample_rate", "n_samples", "channels", "duration_ms",
+            "n_windows", "status", "error",
+        )}
+        for payload in payloads:
+            try:
+                sr, n, c = decode_audio_header(payload or b"")
+                cols["sample_rate"].append(sr)
+                cols["n_samples"].append(n)
+                cols["channels"].append(c)
+                cols["duration_ms"].append(n * 1000 // sr)
+                cols["n_windows"].append((n + sr - 1) // sr)  # 1 s windows
+                cols["status"].append("succeeded")
+                cols["error"].append(None)
+            except ValueError as exc:
+                for k in ("sample_rate", "n_samples", "channels",
+                          "duration_ms", "n_windows"):
+                    cols[k].append(None)
+                cols["status"].append("failed")
+                cols["error"].append(str(exc))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sample_rate": pa.array(cols["sample_rate"], pa.int32()),
+                "n_samples": pa.array(cols["n_samples"], pa.int64()),
+                "channels": pa.array(cols["channels"], pa.int32()),
+                "duration_ms": pa.array(cols["duration_ms"], pa.int64()),
+                "n_windows": pa.array(cols["n_windows"], pa.int64()),
+                "status": pa.array(cols["status"], pa.string()),
+                "error": pa.array(cols["error"], pa.string()),
+            }
+        )
+
+
+def synth_audio_batch(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_pylist()
+    payloads = [
+        b"\x00garbage" if i % 20 == 19 else fake_audio_payload(int(i))
+        for i in ids
+    ]
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.large_binary()),
+        }
+    )
+
+
+def audio_pipeline(docs_ds, batch_size: int = 256):
+    return docs_ds.map_batches(
+        synth_audio_batch, batch_format="pyarrow"
+    ).map_batches(
+        AudioDecodeStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 4),
+    )
+
+
+# -- video: header decode + frame sampling -----------------------------------
+
+VIDEO_MAGIC = b"FVID"
+# ``b"FVID" | fps:u16 | n_frames:u32 | width:u16 | height:u16 | data...``
+
+
+def fake_video_payload(doc_id: int) -> bytes:
+    """Deterministic synthetic video: fps = 12 + (doc_id % 4) * 6,
+    n_frames = 100 + (doc_id * 11) % 5000, frame dims like images."""
+    fps = 12 + (doc_id % 4) * 6
+    n_frames = 100 + (doc_id * 11) % 5000
+    width = 64 + doc_id % 577
+    height = 64 + (doc_id * 7) % 353
+    body = bytes((doc_id + i) % 256 for i in range(1024))
+    return (
+        VIDEO_MAGIC
+        + struct.pack(">HIHH", fps, n_frames, width, height)
+        + body
+    )
+
+
+def decode_video_header(payload: bytes) -> Tuple[int, int, int, int]:
+    if len(payload) < 14 or not payload.startswith(VIDEO_MAGIC):
+        raise ValueError("not a FVID payload")
+    return struct.unpack(">HIHH", payload[4:14])
+
+
+class VideoFrameSampleStage:
+    """Actor-pool frame sampler: every ``sample_every``-th frame index
+    (0-based). Emits the sampled-frame count + first/last sampled
+    index — the plan a real decoder executes; pixel extraction is
+    codec-gated."""
+
+    def __init__(self, sample_every: int = 25):
+        self.sample_every = sample_every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        cols = {k: [] for k in (
+            "fps", "n_frames", "width", "height", "n_sampled",
+            "last_sampled", "status", "error",
+        )}
+        k = self.sample_every
+        for payload in payloads:
+            try:
+                fps, n_frames, w, h = decode_video_header(payload or b"")
+                n_sampled = (n_frames + k - 1) // k
+                cols["fps"].append(fps)
+                cols["n_frames"].append(n_frames)
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["n_sampled"].append(n_sampled)
+                cols["last_sampled"].append((n_sampled - 1) * k)
+                cols["status"].append("succeeded")
+                cols["error"].append(None)
+            except ValueError as exc:
+                for key in ("fps", "n_frames", "width", "height",
+                            "n_sampled", "last_sampled"):
+                    cols[key].append(None)
+                cols["status"].append("failed")
+                cols["error"].append(str(exc))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "fps": pa.array(cols["fps"], pa.int32()),
+                "n_frames": pa.array(cols["n_frames"], pa.int64()),
+                "width": pa.array(cols["width"], pa.int32()),
+                "height": pa.array(cols["height"], pa.int32()),
+                "n_sampled": pa.array(cols["n_sampled"], pa.int64()),
+                "last_sampled": pa.array(cols["last_sampled"], pa.int64()),
+                "status": pa.array(cols["status"], pa.string()),
+                "error": pa.array(cols["error"], pa.string()),
+            }
+        )
+
+
+def synth_video_batch(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_pylist()
+    payloads = [
+        b"\x00garbage" if i % 20 == 19 else fake_video_payload(int(i))
+        for i in ids
+    ]
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.large_binary()),
+        }
+    )
+
+
+def video_pipeline(docs_ds, sample_every: int = 25, batch_size: int = 256):
+    return docs_ds.map_batches(
+        synth_video_batch, batch_format="pyarrow"
+    ).map_batches(
+        VideoFrameSampleStage,
+        fn_constructor_kwargs={"sample_every": sample_every},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 4),
+    )
