@@ -143,7 +143,12 @@ _TRAILING_SPACE = re.compile(r"\s+$")
 
 
 def expand_abbreviations(line: str) -> str:
-    """Fig./Eqs./Sects./Refs. -> full words; drop the dot on Prof./Dr."""
+    """Fig./Eqs./Sects./Refs. -> full words; drop the dot on Prof./Dr.
+
+    Sequential C-level constant-replacement subs; a fused alternation
+    with a Python replacement callback measured SLOWER (the patterns
+    have no word boundary, so ...ref/...eq word tails match often and
+    each match would pay a Python call)."""
     for pat, repl in _ABBREV_EXPANSIONS:
         line = pat.sub(repl, line)
     return line
@@ -171,6 +176,9 @@ def strip_single_letters(line: str) -> str:
 
 
 def squeeze_spaces(line: str) -> str:
+    # two C-level literal subs beat one Python-callback sub here:
+    # whitespace runs are frequent, so a replacement function would
+    # pay a Python call per run (measured slower)
     line = _MULTI_SPACE.sub(" ", line)
     return _LEADING_SPACE.sub("", line)
 
