@@ -53,7 +53,9 @@ class _Node:
 
     def __init__(self, tag: str, attrs, parent: Optional["_Node"]):
         self.tag = tag
-        self.attrs = dict(attrs)
+        # raw (name, value) pairs as delivered by HTMLParser — only
+        # _class_weight ever reads them, so skip the per-node dict
+        self.attrs = attrs
         self.children: list = []  # str (text) or _Node
         self.parent = parent
 
@@ -139,7 +141,9 @@ def _link_text_len(node: _Node) -> int:
 
 def _class_weight(node: _Node) -> float:
     ident = " ".join(
-        str(node.attrs.get(k, "")) for k in ("class", "id", "role")
+        str(v)
+        for k, v in node.attrs
+        if k in ("class", "id", "role") and v is not None
     )
     if _NEGATIVE.search(ident):
         return 0.2
