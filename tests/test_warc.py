@@ -84,6 +84,32 @@ class TestStreamParser:
         got = self._collect(blob[: len(blob) - 40], chunk_size=50)
         assert len(got) == 1
 
+    def test_property_chunking_invariance(self):
+        """Property: for random record sets and random chunk splits,
+        the stream parser equals the whole-buffer parser."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            bodies=st.lists(
+                st.binary(min_size=0, max_size=300), min_size=1, max_size=8
+            ),
+            chunk=st.integers(min_value=1, max_value=400),
+            gz=st.booleans(),
+        )
+        def check(bodies, chunk, gz):
+            recs = [
+                (f"https://h/{i}", body, "2024-03-01T10:00:00Z")
+                for i, body in enumerate(bodies)
+            ]
+            blob = warc.build_warc(recs, gzip_members=gz)
+            want = list(warc.iter_warc_records(blob))
+            got = self._collect(blob, chunk)
+            assert got == want
+
+        check()
+
 
 def test_warc_to_pipeline(ray_session, tmp_path):
     from zzzarchived_arxiv_fulltext_ray.pipelines.extraction import (
