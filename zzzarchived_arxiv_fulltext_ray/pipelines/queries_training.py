@@ -171,6 +171,44 @@ def _q_multimodal_decode(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_corpus_filter(sf_dir: str):
+    """C4-style quality-filter cascade: per-verdict document counts +
+    kept character mass (batch-level combine before the tiny groupby)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.textstage import filter_verdict_batch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = filter_verdict_batch(batch)
+        t = pa.Table.from_arrays(
+            [
+                v["verdict"].combine_chunks(),
+                v["n_chars"].combine_chunks(),
+                pa.array([1] * v.num_rows, pa.int64()),
+            ],
+            names=["verdict", "n_chars", "one"],
+        )
+        g = t.group_by("verdict").aggregate(
+            [("n_chars", "sum"), ("one", "sum")]
+        )
+        return g.rename_columns(["verdict", "sum_chars", "n_docs"])
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("verdict")
+        .aggregate(
+            Sum("sum_chars", alias_name="sum_chars"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("verdict").reset_index(drop=True)
+
+
+
+
+
 def _q_multimodal_audio(sf_dir: str):
     from ..stages.multimodal import audio_pipeline
 
@@ -279,6 +317,32 @@ SELECT doc_id,
 FROM scored
 """
 
+_CORPUS_FILTER_SQL = f"""
+WITH q AS (
+    SELECT length(text) AS n_chars,
+           len(list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '')) AS n_tokens,
+           len(list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> list_contains({{stop}}, lower(x))))
+               AS n_stop,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               AS n_alpha
+    FROM documents
+),
+v AS (
+    SELECT n_chars,
+           CASE WHEN n_tokens < 50 THEN 'too_short'
+                WHEN n_stop * 20 < n_tokens THEN 'low_stopword'
+                WHEN n_alpha * 10 < n_chars * 6 THEN 'low_alpha'
+                WHEN n_chars > n_tokens * 12 THEN 'gibberish'
+                ELSE 'keep' END AS verdict
+    FROM q
+)
+SELECT verdict, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       count(*) AS n_docs
+FROM v GROUP BY verdict ORDER BY verdict
+""".replace("{stop}", _sql_list(STOPWORDS))
+
 TRAINING_QUERIES: Dict[str, Callable] = {
     "dedup_ngram": _q_dedup_ngram,
     "dedup_ngram_partitioned": _q_dedup_ngram_partitioned,
@@ -289,6 +353,7 @@ TRAINING_QUERIES: Dict[str, Callable] = {
     "text_quality": _q_text_quality,
     "lang_id": _q_lang_id,
     "doc_winnow": _q_doc_winnow,
+    "corpus_filter": _q_corpus_filter,
     "multimodal_decode": _q_multimodal_decode,
     "multimodal_audio": _q_multimodal_audio,
     "multimodal_video": _q_multimodal_video,
@@ -364,6 +429,7 @@ TRAINING_ORACLE_SQL: Dict[str, str] = {
            CAST(resized_h AS INT) resized_h
     FROM meta
     """,
+    "corpus_filter": _CORPUS_FILTER_SQL,
     "multimodal_audio": """
     WITH base AS (
         SELECT doc_id,

@@ -18,6 +18,51 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pydict(cols)
 
 
+# C4-style quality-filter cascade: first matching rule wins. All
+# thresholds are integer-cross-multiplied so a SQL oracle reproduces
+# the verdicts exactly (no float ratios).
+#   too_short:    n_tokens < 50
+#   low_stopword: n_stop * 20 < n_tokens          (stopword ratio < 5%)
+#   low_alpha:    n_alpha_chars * 10 < n_chars * 6 (alpha fraction < 60%)
+#   gibberish:    n_chars > n_tokens * 12          (mean word len > 12,
+#                 the reference's E5 gate shape at a corpus-filter bar)
+#   keep:         everything else
+def filter_verdict_batch(batch: pa.Table) -> pa.Table:
+    """Per-document filter verdict + the counts it was derived from."""
+    out = quality_batch(batch)
+    verdicts = []
+    for n_chars, n_tokens, n_stop, n_alpha in zip(
+        out["n_chars"].to_pylist(),
+        out["n_tokens"].to_pylist(),
+        out["n_stop"].to_pylist(),
+        out["n_alpha_chars"].to_pylist(),
+    ):
+        if n_tokens < 50:
+            verdicts.append("too_short")
+        elif n_stop * 20 < n_tokens:
+            verdicts.append("low_stopword")
+        elif n_alpha * 10 < n_chars * 6:
+            verdicts.append("low_alpha")
+        elif n_chars > n_tokens * 12:
+            verdicts.append("gibberish")
+        else:
+            verdicts.append("keep")
+    return out.append_column("verdict", pa.array(verdicts, pa.string()))
+
+
+def quality_filter(docs_ds, keep_only: bool = True):
+    """The corpus-filter op: classify every document, keep survivors
+    (or all rows with their verdicts when ``keep_only=False``)."""
+    ds = docs_ds.map_batches(filter_verdict_batch, batch_format="pyarrow")
+    if not keep_only:
+        return ds
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["verdict"], "keep"))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def langid_batch(batch: pa.Table) -> pa.Table:
     """Marker-word language ID per document."""
     langs = [
