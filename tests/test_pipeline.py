@@ -176,6 +176,55 @@ def test_training_batch_loader(ray_session):
     assert total_tokens > 0
 
 
+def test_partition_pages_by_url(ray_session, tmp_path):
+    """Hash-partitioned layout: all crawls of a url land in ONE bucket
+    dir, so per-bucket dedup is globally correct with no second pass."""
+    from zlib import crc32
+
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.sources.pages import read_pages
+    from zzzarchived_arxiv_fulltext_ray.stages.dedup import (
+        latest_crawl_broadcast,
+        partition_pages_by_url,
+    )
+
+    out = tmp_path / "parts"
+    partition_pages_by_url(read_pages(SF), str(out), num_buckets=8)
+    bucket_dirs = sorted(out.glob("url_bucket=*"))
+    assert len(bucket_dirs) == 8
+
+    # co-location: every url appears in exactly one bucket
+    seen = {}
+    for d in bucket_dirs:
+        b = int(d.name.split("=")[1])
+        for u in rd.read_parquet(str(d)).unique("url"):
+            assert seen.setdefault(u, b) == b
+            assert crc32(u.encode()) % 8 == b
+
+    # per-bucket dedup == global dedup
+    per_bucket = []
+    for d in bucket_dirs:
+        per_bucket.append(
+            latest_crawl_broadcast(rd.read_parquet(str(d)))
+            .to_pandas()[["url", "warc_ts"]]
+        )
+    import pandas as pd
+
+    got = (
+        pd.concat(per_bucket)
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = (
+        latest_crawl_broadcast(read_pages(SF))
+        .to_pandas()[["url", "warc_ts"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
 def test_pack_sequences(ray_session):
     """Packed pretraining examples: every row exactly seq_len int32
     ids; token stream preserved in order within each input batch."""

@@ -142,3 +142,33 @@ def latest_crawl(ds, method: str = "broadcast"):
     if method == "shuffle":
         return latest_crawl_shuffle(ds)
     raise ValueError(f"unknown dedup method: {method}")
+
+
+def partition_pages_by_url(ds, out_dir: str, num_buckets: int = 64):
+    """Write the pages stream hash-partitioned by url (hive layout,
+    ``url_bucket=N/`` dirs) — the shuffle-free alternative to a global
+    cross-shard dedup pass: once re-crawls of a url are CO-LOCATED in
+    one bucket, sharding job input by bucket makes per-shard
+    latest-crawl dedup globally correct by construction, and any later
+    url-keyed operator (blocklist joins, per-url aggregation) reads
+    only its bucket. One-time cost: one all-to-all write of the
+    corpus; amortized across every downstream run.
+
+    Bucket = crc32(url) % num_buckets (process-stable; matches no
+    other operator's bucketing on purpose — this is a storage layout,
+    not an in-flight exchange).
+    """
+    from zlib import crc32
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        buckets = pa.array(
+            [crc32(u.encode()) % num_buckets
+             for u in batch["url"].to_pylist()],
+            pa.int32(),
+        )
+        return batch.append_column("url_bucket", buckets)
+
+    ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["url_bucket"]
+    )
+    return out_dir
