@@ -27,6 +27,7 @@ def extraction_pipeline(
     batch_size: int = 128,
     derive_psv: bool = True,
     giant_threshold_bytes: Optional[int] = None,
+    materialize_for_split: bool = True,
 ):
     """Build the lazy extraction graph over a pages Dataset.
 
@@ -60,14 +61,21 @@ def extraction_pipeline(
     if giant_threshold_bytes:
         # A3 skew control: pathological documents ride in their own
         # single-row batches so one multi-MB page never stalls a batch
-        # of thousands of small ones. COST: both branches derive from
-        # the same upstream and Ray Data has no common-subexpression
-        # reuse, so read+dedup-filter+sniff execute twice (the winner
-        # aggregate itself runs once — its broadcast map is shared).
-        # The per-row watchdog in ExtractorPool handles *stuck* rows
-        # without any second scan; enable the lane only when giant
-        # documents are legitimate work costing minutes each.
+        # of thousands of small ones. Both branches derive from the
+        # same upstream and Ray Data has no common-subexpression
+        # reuse, so by default the pre-split stages are MATERIALIZED
+        # once into the object store (spill-backed; callers run this
+        # per bounded shard, cf. scripts/run_job.py) instead of
+        # re-executing read+dedup-filter+sniff per branch. Pass
+        # ``materialize_for_split=False`` to trade the double scan
+        # back for zero pinned blocks (unbounded single-pipeline
+        # inputs). The per-row watchdog already handles *stuck* rows
+        # without any lane; enable the lane only when giant documents
+        # are legitimate work costing minutes each.
         import pyarrow.compute as pc
+
+        if materialize_for_split:
+            ds = ds.materialize()
 
         def smalls(batch):
             return batch.filter(
