@@ -55,3 +55,40 @@ def test_psv_differential(reference_kernel, text):
 @_settings
 def test_tidy_lines_differential(reference_kernel, lines):
     assert psv.tidy_lines(list(lines)) == reference_kernel["tidy"](list(lines))
+
+
+# -- total-function fuzz: the cascade never raises ---------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(payload=st.binary(min_size=0, max_size=4096),
+       fallback=st.one_of(st.none(), st.text(max_size=200)))
+def test_cascade_total_on_arbitrary_bytes(payload, fallback):
+    """Errors-as-data contract: ANY payload yields an ExtractResult
+    row (status succeeded|failed), never an exception — the property
+    that keeps a 100 TB run from dying on one malformed record."""
+    from zzzarchived_arxiv_fulltext_ray.functions.cascade import (
+        extract_payload,
+    )
+
+    res = extract_payload(payload, fallback or None, "https://fuzz/x")
+    assert res.status in ("succeeded", "failed")
+    if res.status == "succeeded":
+        assert isinstance(res.text, str) and res.text
+    else:
+        assert res.text is None and res.error
+
+
+@settings(max_examples=150, deadline=None)
+@given(payload=st.binary(min_size=0, max_size=2048))
+def test_sniff_total(payload):
+    from zzzarchived_arxiv_fulltext_ray.functions import sniff
+
+    kind, charset = sniff.sniff(payload)
+    assert kind in ("empty", "pdf", "html", "text", "binary")
+    if kind in ("html", "text"):
+        # decode never raises on the sniffed charset
+        sniff.decode_payload(payload, charset)
