@@ -233,6 +233,22 @@ def test_global_dedup_across_shards(ray_session, tmp_path):
     assert resume["processed"] == 0 and resume["skipped"] == 2
 
 
+def test_manifest_sketch_merges_to_corpus_estimate(
+    ray_session, sharded_input, tmp_path
+):
+    """Per-shard HLL sketches in the manifests merge into a corpus
+    distinct-url estimate with no re-scan — and survive resume."""
+    out = tmp_path / "out"
+    mf.run_resumable(sharded_input, _build, str(out))
+    est = mf.run_distinct_estimate(str(out))
+    assert est is not None
+    assert abs(est - 500) / 500 < 0.1  # HLL p=12 -> ~1.6% typical error
+
+    # skipped-resume keeps the sketches intact
+    mf.run_resumable(sharded_input, _build, str(out))
+    assert mf.run_distinct_estimate(str(out)) == est
+
+
 def test_content_hash_order_independent(ray_session):
     """The manifest content hash must not depend on row order."""
     import ray.data

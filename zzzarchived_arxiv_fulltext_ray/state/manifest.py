@@ -109,6 +109,68 @@ def dataset_content_hash(ds, columns: Sequence[str]) -> int:
     return total
 
 
+def shard_digests(
+    ds, hash_columns: Sequence[str], sketch_column: Optional[str] = None
+):
+    """One pass over a shard's output producing BOTH the
+    order-independent content hash and (optionally) an HLL distinct
+    sketch of ``sketch_column`` — the mergeable per-shard accounting
+    state. Distributed partials; the driver folds one uint64 and one
+    4 KiB register array per batch."""
+    import base64
+
+    from ..functions.sketches import HyperLogLog
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {
+            "h": pa.array(
+                [content_hash_batch(batch, hash_columns)], pa.uint64()
+            )
+        }
+        if sketch_column is not None:
+            hll = HyperLogLog()
+            hll.add_values(
+                str(v) for v in batch[sketch_column].to_pylist()
+            )
+            cols["hll"] = pa.array([hll.serialize()], pa.large_binary())
+        return pa.Table.from_pydict(cols)
+
+    total = 0
+    merged = HyperLogLog() if sketch_column is not None else None
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for v in b["h"].to_pylist():
+            total = (total + int(v)) % _HASH_MOD
+        if merged is not None:
+            for blob in b["hll"].to_pylist():
+                merged = merged.merge(HyperLogLog.deserialize(blob))
+    sketch_b64 = (
+        base64.b64encode(merged.serialize()).decode()
+        if merged is not None
+        else None
+    )
+    return total, sketch_b64
+
+
+def run_distinct_estimate(out_dir: str) -> Optional[float]:
+    """Corpus-level distinct estimate by merging the per-shard HLL
+    sketches out of the manifests — no data re-scan. Returns None when
+    no shard carries a sketch."""
+    import base64
+
+    from ..functions.sketches import HyperLogLog
+
+    merged = None
+    for m in run_status(out_dir):
+        blob = (m.get("sketch") or {}).get("hll")
+        if not blob:
+            continue
+        hll = HyperLogLog.deserialize(base64.b64decode(blob))
+        merged = hll if merged is None else merged.merge(hll)
+    return merged.estimate() if merged is not None else None
+
+
 def manifest_path(out_dir: str, shard_id: str) -> Path:
     return Path(out_dir) / f"shard={shard_id}{MANIFEST_SUFFIX}"
 
@@ -147,13 +209,20 @@ def run_resumable(
     hash_columns: Sequence[str] = ("url", "text"),
     read_fn: Optional[Callable] = None,
     config_fingerprint: Optional[Dict] = None,
+    sketch_column: Optional[str] = "__first_hash_column__",
 ) -> Dict:
     """Process every not-yet-done shard: read -> build(ds) -> atomic
     write + manifest. Returns a run summary (shards done/skipped,
     rows, combined content hash).
 
     ``config_fingerprint`` defaults to the extractor version: resuming
-    after a version bump reprocesses every shard."""
+    after a version bump reprocesses every shard.
+
+    ``sketch_column`` (default: first hash column) adds a per-shard
+    HLL distinct sketch to the manifest — mergeable corpus accounting
+    (see :func:`run_distinct_estimate`); pass None to disable."""
+    if sketch_column == "__first_hash_column__":
+        sketch_column = hash_columns[0] if hash_columns else None
     import ray.data as rd
 
     read_fn = read_fn or (lambda paths: rd.read_parquet(list(paths)))
@@ -186,8 +255,8 @@ def run_resumable(
 
         out_ds = rd.read_parquet(str(final_dir))
         rows = out_ds.count()
-        chash = dataset_content_hash(
-            rd.read_parquet(str(final_dir)), hash_columns
+        chash, sketch_b64 = shard_digests(
+            rd.read_parquet(str(final_dir)), hash_columns, sketch_column
         )
         n_failed = 0
         if "status" in [f.name for f in out_ds.schema().base_schema]:
@@ -216,6 +285,11 @@ def run_resumable(
             "failed_rows": n_failed,
             "content_hash": chash,
             "hash_columns": list(hash_columns),
+            "sketch": (
+                {"column": sketch_column, "hll": sketch_b64}
+                if sketch_b64
+                else None
+            ),
             "started": started,
             "ended": time.time(),
             "wall_sec": round(time.time() - started, 3),
