@@ -59,6 +59,13 @@ def main():
     ap.add_argument("--global-dedup", action="store_true",
                     help="second-pass latest-crawl winner resolution "
                          "across shards after all shards finish")
+    ap.add_argument("--shard-by", default="files", choices=["files", "dir"],
+                    help="'files': group N input files per shard. "
+                         "'dir': each immediate parent directory is one "
+                         "shard — use over a url-hash-partitioned layout "
+                         "(stages/dedup.partition_pages_by_url), where "
+                         "per-shard dedup is globally correct by "
+                         "construction and --global-dedup is unnecessary")
     args = ap.parse_args()
 
     import ray
@@ -82,7 +89,13 @@ def main():
     files = sorted(glob.glob(args.input))
     if not files:
         raise SystemExit(f"no input files match {args.input}")
-    shards = mf.shard_input_files(files, args.files_per_shard)
+    if args.shard_by == "dir":
+        by_dir = {}
+        for f in files:
+            by_dir.setdefault(str(Path(f).parent), []).append(f)
+        shards = [sorted(v) for _, v in sorted(by_dir.items())]
+    else:
+        shards = mf.shard_input_files(files, args.files_per_shard)
 
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
     concurrency = args.concurrency or max(1, n_cpus * 3 // 4)

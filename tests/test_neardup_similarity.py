@@ -205,6 +205,33 @@ def test_partitioned_hash_join_matches_pandas(ray_session):
     assert sorted(kept.k.tolist()) == [1, 3]
 
 
+def test_partitioned_anti_semi_join(ray_session):
+    """The no-broadcast spelling of the blocklist / exists-already
+    patterns; anti + semi partition the left side exactly."""
+    import pandas as pd
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.relational import (
+        partitioned_hash_join,
+    )
+
+    left = pd.DataFrame({"k": [1, 2, 2, 3, 5], "lv": ["a", "b", "c", "d", "e"]})
+    right = pd.DataFrame({"k": [2, 3, 3, 4], "rv": [10, 20, 30, 40]})
+    anti = partitioned_hash_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        key="k", num_buckets=4, how="anti",
+    ).to_pandas()
+    semi = partitioned_hash_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        key="k", num_buckets=4, how="semi",
+    ).to_pandas()
+    assert sorted(anti.k.tolist()) == [1, 5]
+    assert sorted(semi.lv.tolist()) == ["b", "c", "d"]
+    # anti + semi is a partition of left
+    assert len(anti) + len(semi) == len(left)
+    assert list(anti.columns) == ["k", "lv"]  # left columns only
+
+
 def test_native_join_matches_bucketed(ray_session):
     import pandas as pd
     import ray.data

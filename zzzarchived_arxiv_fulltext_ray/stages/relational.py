@@ -33,6 +33,11 @@ _ARROW_JOIN_TYPE = {
     "left": "left outer",
     "right": "right outer",
     "outer": "full outer",
+    # anti/semi emit LEFT columns only — the partitioned spelling of
+    # the blocklist / exists-already patterns for when the filter side
+    # outgrows a broadcast set
+    "anti": "left anti",
+    "semi": "left semi",
 }
 
 
@@ -52,6 +57,13 @@ def partitioned_hash_join(
     Acero-joinable (fixed-width, string or binary); encode list
     columns as binary blobs first (see ``stages/neardup.py``).
     """
+    if how in ("anti", "semi"):
+        # only the right side's KEYS matter: project them before the
+        # exchange so the shuffle never moves the filter side's payload
+        right_ds = right_ds.map_batches(
+            lambda b: b.select([key]), batch_format="pyarrow"
+        )
+
     def _arrow_fields(schema_obj):
         # pandas-backed Datasets report numpy dtypes / `object` in
         # .types — normalize everything to Arrow types
