@@ -786,6 +786,34 @@ def _q_url_blocklist(sf_dir: str):
     return pd.DataFrame({"url": urls})
 
 
+def _q_url_blocklist_partitioned(sf_dir: str):
+    """Same blocklist filter as url_blocklist, spelled as a
+    PARTITIONED anti join on the string url key (no broadcast set) —
+    the plan for blocklists too large to ship to every task."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..sources.pages import read_pages, url_for
+    from ..stages.relational import partitioned_hash_join
+
+    ids = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    blocked = ray.data.from_items(
+        [{"url": url_for(i)} for i in ids if i % 97 == 0]
+    )
+
+    pages_urls = read_pages(sf_dir).map_batches(
+        lambda b: b.select(["url"]), batch_format="pyarrow"
+    )
+    kept = partitioned_hash_join(
+        pages_urls, blocked, key="url", num_buckets=32, how="anti"
+    )
+    urls = sorted(set(kept.unique("url")))
+    return pd.DataFrame({"url": urls})
+
+
 def _q_extract_psv(sf_dir: str):
     """Full pipeline incl. PSV derivation (rows-only: the PSV chain is
     not SQL-expressible; byte-identity is pinned by the kernel tests)."""
@@ -807,6 +835,7 @@ TRAINING_QUERIES["join_priority_revenue_native"] = (
 )
 TRAINING_QUERIES["top_longest_docs"] = _q_top_longest_docs
 TRAINING_QUERIES["url_blocklist"] = _q_url_blocklist
+TRAINING_QUERIES["url_blocklist_partitioned"] = _q_url_blocklist_partitioned
 TRAINING_QUERIES["extract_psv"] = _q_extract_psv
 
 TRAINING_ORACLE_SQL["join_priority_revenue_native"] = """
@@ -836,6 +865,9 @@ SELECT 'https://site' || lpad(CAST(doc_id % 50 AS VARCHAR), 2, '0')
 FROM documents WHERE doc_id % 97 <> 0
 ORDER BY url
 """
+TRAINING_ORACLE_SQL["url_blocklist_partitioned"] = TRAINING_ORACLE_SQL[
+    "url_blocklist"
+]
 
 
 def _q_ann_topk_ivf(sf_dir: str):

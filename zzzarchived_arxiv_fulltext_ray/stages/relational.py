@@ -28,6 +28,27 @@ def _bucket_of(keys: np.ndarray, num_buckets: int) -> np.ndarray:
     return (z % np.uint64(num_buckets)).astype(np.int64)
 
 
+def _bucket_of_column(col, num_buckets: int) -> np.ndarray:
+    """Bucket ids for an Arrow key column: numpy mix for numeric keys,
+    crc32 for strings/binary (process-stable, like every other
+    url-bucketing in the engine)."""
+    import pyarrow as _pa
+
+    typ = col.type
+    if _pa.types.is_integer(typ) or _pa.types.is_floating(typ):
+        return _bucket_of(col.to_numpy(zero_copy_only=False), num_buckets)
+    from zlib import crc32
+
+    return np.array(
+        [
+            crc32(v if isinstance(v, bytes) else str(v).encode())
+            % num_buckets
+            for v in col.to_pylist()
+        ],
+        dtype=np.int64,
+    )
+
+
 _ARROW_JOIN_TYPE = {
     "inner": "inner",
     "left": "left outer",
@@ -48,7 +69,8 @@ def partitioned_hash_join(
     num_buckets: int = 128,
     how: str = "inner",
 ):
-    """Join two large Datasets on an int64 ``key`` without broadcast.
+    """Join two large Datasets on ``key`` (numeric or string) without
+    broadcast.
 
     Column names (other than ``key``) must be disjoint. Returns the
     joined Dataset; the exchange is a single groupby shuffle on the
@@ -101,8 +123,9 @@ def partitioned_hash_join(
                     arrays.append(batch[name])
                 else:
                     arrays.append(pa.nulls(n, type=typ))
-            keys = batch[key].to_numpy(zero_copy_only=False)
-            arrays.append(pa.array(_bucket_of(keys, num_buckets)))
+            arrays.append(
+                pa.array(_bucket_of_column(batch[key], num_buckets))
+            )
             arrays.append(pa.array([side] * n, pa.string()))
             return pa.Table.from_arrays(
                 arrays,
