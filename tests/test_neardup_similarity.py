@@ -94,6 +94,30 @@ def test_simhash_exact_hamming_recall(ray_session):
     assert set(zip(got.doc_a, got.doc_b, got.hamming)) == truth
 
 
+def test_minhash_scale_preset_recall_at_high_threshold(ray_session):
+    """The documented scale preset (bands=16, rows=8) must recover
+    every J>=0.8 pair (miss prob (1-J^8)^16 <= 3% at J=0.8, ~0 above;
+    this corpus's near-dup pairs are near-identical)."""
+    from zzzarchived_arxiv_fulltext_ray.stages.neardup import neardup_pairs
+
+    truth = [
+        (a, b, j) for a, b, j in _brute_force_pairs(threshold=0.8)
+    ]
+    got = (
+        neardup_pairs(
+            _docs_ds(), method="minhash", threshold=0.8,
+            bands=16, rows=8,
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+    )
+    got_pairs = set(zip(got.doc_a, got.doc_b))
+    want_pairs = {(a, b) for a, b, _ in truth}
+    assert got_pairs <= want_pairs  # verify is exact: no false positives
+    if want_pairs:
+        assert len(got_pairs & want_pairs) / len(want_pairs) >= 0.97
+
+
 def test_minhash_estimate_tracks_jaccard():
     mh = sk.MinHasher(256)
     a = sk.shingle_hashes("the quick brown fox jumps over the lazy dog " * 5)

@@ -231,6 +231,44 @@ def _q_multimodal_video(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_events_lag(sf_dir: str):
+    """Windowed analytic (lag): each event with the user's previous
+    event value; money in exact cents for hashing."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..stages.textstage import lag_events
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["value"], 100.0)), pa.int64()
+        )
+        prev = batch["prev_value"]
+        prev_cents = pc.cast(
+            pc.round(pc.multiply(prev, 100.0)), pa.int64()
+        )
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch["user_id"].to_pylist(),
+                "ts": batch["ts"].to_pylist(),
+                "cents": cents.to_pylist(),
+                "prev_cents": prev_cents.to_pylist(),
+            }
+        )
+
+    return (
+        lag_events(ev)
+        .map_batches(to_cents, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["user_id", "ts", "cents"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_events_windowed(sf_dir: str):
     import ray.data
 
@@ -358,6 +396,7 @@ TRAINING_QUERIES: Dict[str, Callable] = {
     "multimodal_audio": _q_multimodal_audio,
     "multimodal_video": _q_multimodal_video,
     "events_windowed": _q_events_windowed,
+    "events_lag": _q_events_lag,
 }
 
 TRAINING_ORACLE_SQL: Dict[str, str] = {
@@ -475,6 +514,15 @@ TRAINING_ORACLE_SQL: Dict[str, str] = {
                AS last_sampled,
            CASE WHEN corrupt THEN 'failed' ELSE 'succeeded' END AS status
     FROM base ORDER BY doc_id
+    """,
+    "events_lag": """
+    SELECT user_id, ts,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           CAST(round(lag(value) OVER (PARTITION BY user_id
+                                       ORDER BY ts, value) * 100)
+                AS BIGINT) AS prev_cents
+    FROM events
+    ORDER BY user_id, ts, cents
     """,
     "events_windowed": """
     SELECT user_id, date_trunc('hour', ts) AS window_start,

@@ -77,6 +77,37 @@ def langid_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def lag_events(ev_ds):
+    """Windowed analytic: per user ordered by ts, attach the previous
+    event's value (lag). One hash shuffle on user_id; the per-group
+    sort+shift is vectorized numpy."""
+    import numpy as np
+
+    def with_lag(group: pa.Table) -> pa.Table:
+        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals = group["value"].to_numpy(zero_copy_only=False)
+        # (ts, value) ordering — deterministic under equal timestamps,
+        # mirrored by the oracle's ORDER BY ts, value
+        order = np.lexsort((vals, ts))
+        prev = np.empty(len(vals), dtype=object)
+        prev[order[0]] = None
+        sorted_vals = vals[order]
+        for i in range(1, len(order)):
+            prev[order[i]] = float(sorted_vals[i - 1])
+        return pa.Table.from_pydict(
+            {
+                "user_id": group["user_id"].combine_chunks(),
+                "ts": group["ts"].combine_chunks(),
+                "value": group["value"].combine_chunks(),
+                "prev_value": pa.array(prev.tolist(), pa.float64()),
+            }
+        )
+
+    return ev_ds.groupby("user_id").map_groups(
+        with_lag, batch_format="pyarrow"
+    )
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Winnowing rolling-hash fingerprints per document."""
     fps = [
