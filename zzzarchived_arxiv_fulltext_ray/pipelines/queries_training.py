@@ -171,6 +171,61 @@ def _q_multimodal_decode(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+_STRATA_PERMILLE = {"en": 800, "de": 500, "fr": 500, "es": 250, "ja": 100}
+_STRATA_DEFAULT_PERMILLE = 100
+# Knuth multiplicative hash — pure BIGINT arithmetic so the oracle
+# reproduces the sample membership exactly
+_STRATA_MIX = 2654435761
+_STRATA_MOD = 1 << 32
+
+
+def stratified_keep(doc_id: int, lang: str) -> bool:
+    rate = _STRATA_PERMILLE.get(lang, _STRATA_DEFAULT_PERMILLE)
+    return (doc_id * _STRATA_MIX) % _STRATA_MOD % 1000 < rate
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic per-language downsampling (data-curation op):
+    membership is a pure function of (doc_id, lang), so the sample is
+    stable across reruns and cluster sizes; per-language kept counts +
+    character mass, batch-combined."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pa.array(
+            [
+                stratified_keep(d, l)
+                for d, l in zip(
+                    batch["doc_id"].to_pylist(), batch["lang"].to_pylist()
+                )
+            ],
+            pa.bool_(),
+        )
+        kept = batch.filter(keep)
+        t = pa.Table.from_arrays(
+            [
+                kept["lang"].combine_chunks(),
+                kept["n_chars"].combine_chunks(),
+                pa.array([1] * kept.num_rows, pa.int64()),
+            ],
+            names=["lang", "n_chars", "one"],
+        )
+        g = t.group_by("lang").aggregate([("n_chars", "sum"), ("one", "sum")])
+        return g.rename_columns(["lang", "sum_chars", "n_docs"])
+
+    out = (
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("sum_chars", alias_name="sum_chars"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def _q_corpus_filter(sf_dir: str):
     """C4-style quality-filter cascade: per-verdict document counts +
     kept character mass (batch-level combine before the tiny groupby)."""
@@ -392,6 +447,7 @@ TRAINING_QUERIES: Dict[str, Callable] = {
     "lang_id": _q_lang_id,
     "doc_winnow": _q_doc_winnow,
     "corpus_filter": _q_corpus_filter,
+    "stratified_sample": _q_stratified_sample,
     "multimodal_decode": _q_multimodal_decode,
     "multimodal_audio": _q_multimodal_audio,
     "multimodal_video": _q_multimodal_video,
@@ -469,6 +525,21 @@ TRAINING_ORACLE_SQL: Dict[str, str] = {
     FROM meta
     """,
     "corpus_filter": _CORPUS_FILTER_SQL,
+    "stratified_sample": """
+    WITH rates(lang, permille) AS (
+        VALUES ('en', 800), ('de', 500), ('fr', 500), ('es', 250),
+               ('ja', 100)
+    ),
+    kept AS (
+        SELECT d.lang, d.n_chars
+        FROM documents d LEFT JOIN rates r ON d.lang = r.lang
+        WHERE (d.doc_id * 2654435761) % 4294967296 % 1000
+              < coalesce(r.permille, 100)
+    )
+    SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           count(*) AS n_docs
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
     "multimodal_audio": """
     WITH base AS (
         SELECT doc_id,
