@@ -150,6 +150,60 @@ class TestMultimodal:
         assert (vdf.status == "failed").sum() == 25
 
 
+class TestHeavyHitters:
+    def test_count_min_exact_and_merge(self):
+        import numpy as np
+
+        from zzzarchived_arxiv_fulltext_ray.functions.shingles import (
+            stable_hash64,
+        )
+        from zzzarchived_arxiv_fulltext_ray.functions.sketches import (
+            CountMinSketch,
+        )
+
+        a, b = CountMinSketch(), CountMinSketch()
+        h = np.array(
+            [stable_hash64(w) for w in ("x", "y", "z")], dtype=np.uint64
+        )
+        a.add_hashes(h, np.array([10, 2, 1]))
+        b.add_hashes(h[:1], np.array([5]))
+        merged = CountMinSketch.deserialize(a.serialize()).merge(b)
+        est = merged.estimate_hashes(h)
+        assert est[0] >= 15 and est[1] >= 2 and est[2] >= 1
+        # few keys, wide table: estimates are exact here
+        assert list(est) == [15, 2, 1]
+
+    def test_heavy_hitters_match_exact_counts(self, ray_session):
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from zzzarchived_arxiv_fulltext_ray.stages.textstage import (
+            heavy_hitter_tokens,
+        )
+
+        texts = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+        )["text"].to_pylist()
+        exact = Counter()
+        for t in texts:
+            exact.update(t.split())
+        total = sum(exact.values())
+
+        docs = ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+        )
+        got = heavy_hitter_tokens(docs, k=10)
+        bound = 2 * total / (1 << 14)
+        for token, est in zip(got.token, got.est_count):
+            true = exact[token]
+            assert true <= est <= true + bound  # CM overcounts only
+        # the true top-5 are all reported in the top-10
+        top_true = {t for t, _ in exact.most_common(5)}
+        assert top_true <= set(got.token)
+
+
 class TestSketches:
     def test_hll_accuracy_and_merge(self):
         import numpy as np

@@ -149,3 +149,67 @@ class QuantileHistogram:
         out.n_bins = int(head[1])
         out.counts = np.frombuffer(blob[16:], dtype=np.int64).copy()
         return out
+
+
+# -- Count-Min sketch --------------------------------------------------------
+
+
+class CountMinSketch:
+    """Mergeable Count-Min sketch (Cormode & Muthukrishnan): ``depth``
+    rows of ``width`` counters, each row a distinct seeded splitmix64
+    hash. Point estimates overcount only (min over rows); error is
+    ~ 2N/width with prob 1 - 2^-depth. Exactly mergeable by addition —
+    one sketch per batch, tiny final merge (heavy-hitter counting at
+    corpus scale without a token groupby shuffle)."""
+
+    def __init__(self, width: int = 1 << 14, depth: int = 4,
+                 seed: int = 8675309):
+        self.width = width
+        self.depth = depth
+        rng = np.random.default_rng(seed)
+        self.seeds = rng.integers(
+            0, np.iinfo(np.uint64).max, size=depth, dtype=np.uint64
+        )
+        self.table = np.zeros((depth, width), dtype=np.int64)
+
+    def _rows_cols(self, hashes: np.ndarray) -> np.ndarray:
+        # (depth, n) column indices
+        return (
+            _splitmix64(hashes[None, :] ^ self.seeds[:, None])
+            % np.uint64(self.width)
+        ).astype(np.int64)
+
+    def add_hashes(self, hashes: np.ndarray, counts: np.ndarray):
+        if hashes.size == 0:
+            return
+        cols = self._rows_cols(hashes)
+        for d in range(self.depth):
+            np.add.at(self.table[d], cols[d], counts)
+
+    def estimate_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        if hashes.size == 0:
+            return np.zeros(0, dtype=np.int64)
+        cols = self._rows_cols(hashes)
+        ests = np.stack(
+            [self.table[d][cols[d]] for d in range(self.depth)]
+        )
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.width, self.depth) == (other.width, other.depth)
+        self.table += other.table
+        return self
+
+    def serialize(self) -> bytes:
+        return self.table.astype("<i8").tobytes()
+
+    @classmethod
+    def deserialize(cls, blob: bytes, width: int = 1 << 14,
+                    depth: int = 4, seed: int = 8675309):
+        cms = cls(width=width, depth=depth, seed=seed)
+        cms.table = (
+            np.frombuffer(blob, dtype="<i8")
+            .reshape(depth, width)
+            .astype(np.int64)
+        )
+        return cms

@@ -1012,6 +1012,19 @@ TRAINING_QUERIES["ann_topk_ivf"] = _q_ann_topk_ivf
 TRAINING_ORACLE_SQL["ann_topk_ivf"] = TRAINING_ORACLE_SQL["ann_topk"]
 
 
+def _q_token_heavy_hitters(sf_dir: str):
+    """Top-20 corpus tokens by Count-Min estimate (rows-only: CM
+    estimates overcount within ~2N/width; accuracy + recall vs the
+    exact counts are pinned in pytest). The shuffle-free scale path
+    next to the exact token_frequencies groupby."""
+    from ..stages.textstage import heavy_hitter_tokens
+
+    return heavy_hitter_tokens(_docs(sf_dir, ["text"]), k=20)
+
+
+TRAINING_QUERIES["token_heavy_hitters"] = _q_token_heavy_hitters
+
+
 def _q_corpus_sketch_stats(sf_dir: str):
     """Mergeable-sketch corpus stats (HLL distinct count + log-scale
     quantile histogram). Rows-only: estimates are within ~2-5% of the

@@ -231,3 +231,67 @@ def quantiles_sketch(ds, column: str, qs=(0.5, 0.9, 0.99)) -> dict:
         for blob in b["sketch"].to_pylist():
             merged = merged.merge(QuantileHistogram.deserialize(blob))
     return {q: merged.quantile(q) for q in qs}
+
+
+def heavy_hitter_tokens(
+    docs_ds, k: int = 20, candidates_per_batch: int = 64,
+    width: int = 1 << 14, depth: int = 4,
+):
+    """Approximate corpus heavy hitters WITHOUT a token groupby
+    shuffle: each batch emits one Count-Min sketch + its local top
+    candidate tokens; the driver merges sketches (fixed 512 KiB state)
+    and scores the candidate union. Count-Min only overcounts (error
+    ~2N/width w.h.p.), and any global heavy hitter is a local top
+    candidate in at least one batch, so top-k recall is high by
+    construction. Returns a pandas DataFrame (token, est_count),
+    est desc / token asc."""
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.shingles import stable_hash64
+    from ..functions.sketches import CountMinSketch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = Counter()
+        for t in batch["text"].to_pylist():
+            counts.update(t.split())
+        cms = CountMinSketch(width=width, depth=depth)
+        toks = list(counts.keys())
+        hs = np.array([stable_hash64(t) for t in toks], dtype=np.uint64)
+        cms.add_hashes(
+            hs, np.array([counts[t] for t in toks], dtype=np.int64)
+        )
+        cands = [t for t, _ in counts.most_common(candidates_per_batch)]
+        return pa.Table.from_pydict(
+            {
+                "cms": pa.array([cms.serialize()], pa.large_binary()),
+                "candidates": pa.array([cands], pa.list_(pa.string())),
+            }
+        )
+
+    merged = None
+    candidates = set()
+    for b in (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for blob, cands in zip(
+            b["cms"].to_pylist(), b["candidates"].to_pylist()
+        ):
+            cms = CountMinSketch.deserialize(blob, width=width, depth=depth)
+            merged = cms if merged is None else merged.merge(cms)
+            candidates.update(cands)
+
+    if merged is None or not candidates:
+        return pd.DataFrame({"token": [], "est_count": []})
+    toks = sorted(candidates)
+    hs = np.array([stable_hash64(t) for t in toks], dtype=np.uint64)
+    ests = merged.estimate_hashes(hs)
+    df = pd.DataFrame({"token": toks, "est_count": ests})
+    return (
+        df.sort_values(["est_count", "token"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
