@@ -325,6 +325,11 @@ def global_latest_crawl_pass(
 
     Idempotent: a second invocation finds no losers and rewrites
     nothing.
+
+    Manifest sketches are left as written: removing a LOSING crawl
+    never removes a distinct url from the corpus (its winner survives
+    in another shard), so the merged distinct-url estimate
+    (:func:`run_distinct_estimate`) stays correct.
     """
     import ray.data as rd
 
