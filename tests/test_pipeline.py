@@ -176,6 +176,39 @@ def test_training_batch_loader(ray_session):
     assert total_tokens > 0
 
 
+def test_jsonl_sink_roundtrip(ray_session, tmp_path):
+    """Sink breadth: extraction output written as JSONL re-reads with
+    the same order-independent content hash as the Parquet sink."""
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.pipelines.extraction import (
+        extraction_pipeline,
+    )
+    from zzzarchived_arxiv_fulltext_ray.sources.pages import read_pages
+    from zzzarchived_arxiv_fulltext_ray.state.manifest import (
+        dataset_content_hash,
+    )
+
+    ds = extraction_pipeline(read_pages(SF), derive_psv=False).map_batches(
+        lambda b: b.select(["url", "text", "status"]),
+        batch_format="pyarrow",
+    )
+    pq_dir, js_dir = tmp_path / "pq", tmp_path / "js"
+    ds.write_parquet(str(pq_dir))
+    extraction_pipeline(read_pages(SF), derive_psv=False).map_batches(
+        lambda b: b.select(["url", "text", "status"]),
+        batch_format="pyarrow",
+    ).write_json(str(js_dir))
+
+    h_pq = dataset_content_hash(
+        rd.read_parquet(str(pq_dir)), ["url", "text", "status"]
+    )
+    h_js = dataset_content_hash(
+        rd.read_json(str(js_dir)), ["url", "text", "status"]
+    )
+    assert h_pq == h_js
+
+
 def test_partition_pages_by_url(ray_session, tmp_path):
     """Hash-partitioned layout: all crawls of a url land in ONE bucket
     dir, so per-bucket dedup is globally correct with no second pass."""
