@@ -324,6 +324,52 @@ def _q_events_lag(sf_dir: str):
     )
 
 
+def _q_events_user_stats(sf_dir: str):
+    """Multi-statistic grouped aggregate with batch-level combine:
+    per-user event count, sum and sum-of-squares (exact integer cents
+    — variance/stddev derive from these without float drift)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["value"], 100.0)), pa.int64()
+        )
+        t = pa.Table.from_arrays(
+            [
+                batch["user_id"].combine_chunks(),
+                cents,
+                pc.multiply(cents, cents),
+                pa.array([1] * batch.num_rows, pa.int64()),
+            ],
+            names=["user_id", "cents", "cents_sq", "one"],
+        )
+        g = t.group_by("user_id").aggregate(
+            [("cents", "sum"), ("cents_sq", "sum"), ("one", "sum")]
+        )
+        return g.rename_columns(
+            ["user_id", "sum_cents", "sum_cents_sq", "n_events"]
+        )
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("sum_cents", alias_name="sum_cents"),
+            Sum("sum_cents_sq", alias_name="sum_cents_sq"),
+            Sum("n_events", alias_name="n_events"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_events_windowed(sf_dir: str):
     import ray.data
 
@@ -453,6 +499,7 @@ TRAINING_QUERIES: Dict[str, Callable] = {
     "multimodal_video": _q_multimodal_video,
     "events_windowed": _q_events_windowed,
     "events_lag": _q_events_lag,
+    "events_user_stats": _q_events_user_stats,
 }
 
 TRAINING_ORACLE_SQL: Dict[str, str] = {
@@ -585,6 +632,16 @@ TRAINING_ORACLE_SQL: Dict[str, str] = {
                AS last_sampled,
            CASE WHEN corrupt THEN 'failed' ELSE 'succeeded' END AS status
     FROM base ORDER BY doc_id
+    """,
+    "events_user_stats": """
+    SELECT user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)
+                    * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents_sq,
+           count(*) AS n_events
+    FROM events GROUP BY user_id ORDER BY user_id
     """,
     "events_lag": """
     SELECT user_id, ts,
