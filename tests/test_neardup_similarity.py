@@ -333,3 +333,38 @@ def test_ivf_topk_recall(ray_session):
     )
     for q in range(2):
         assert full[q] == set(exact[q])
+
+
+def test_popcount64_matches_scalar_hamming():
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 2**63, size=500, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, 2**63, size=500, dtype=np.int64).astype(np.uint64)
+    got = sk.popcount64(a ^ b)
+    want = [sk.hamming64(int(x), int(y)) for x, y in zip(a, b)]
+    assert got.tolist() == want
+    assert sk.popcount64(np.array([], np.uint64)).size == 0
+    assert sk.popcount64(np.array([0, 2**64 - 1], np.uint64)).tolist() == [0, 64]
+
+
+def test_simhash_hot_block_capped(ray_session, caplog):
+    """A hot 16-bit block bucket (identical/templated docs) must be
+    dropped+logged at max_bucket, not ground through an O(n^2) task."""
+    import logging
+
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.neardup import simhash_pairs
+
+    n = 40
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": "the same templated boilerplate line " * 10}
+         for i in range(n)]
+    )
+    # uncapped: every pair is hamming 0
+    full = simhash_pairs(docs, max_hamming=3, max_bucket=4096).to_pandas()
+    assert len(full) == n * (n - 1) // 2
+    assert (full.hamming == 0).all()
+    # capped: all 4 block buckets are hot -> dropped, logged, zero pairs
+    with caplog.at_level(logging.WARNING):
+        capped = simhash_pairs(docs, max_hamming=3, max_bucket=10).to_pandas()
+    assert len(capped) == 0

@@ -109,6 +109,23 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+# 256-entry byte popcount table (numpy < 2.0 has no bitwise_count)
+_POPCOUNT8 = np.array(
+    [bin(i).count("1") for i in range(256)], dtype=np.uint8
+)
+
+
+def popcount64(arr: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array, vectorized (byte-table
+    lookup; popcount is byte-order independent so the view is safe)."""
+    if arr.size == 0:
+        return np.empty(0, dtype=np.int64)
+    b = np.ascontiguousarray(arr, dtype=np.uint64).view(np.uint8)
+    return (
+        _POPCOUNT8[b].reshape(arr.size, 8).sum(axis=1).astype(np.int64)
+    )
+
+
 def jaccard(a: Set, b: Set) -> float:
     if not a and not b:
         return 0.0

@@ -1167,54 +1167,99 @@ def _q_events_sliding(sf_dir: str):
 
 
 def _q_lang_length_median(sf_dir: str):
-    """Exact per-group order statistics: median (lower) + max doc
-    length per language via a per-group sort (map_groups); integers,
-    so hash-exact against quantile_disc."""
-    def stats(group: pa.Table) -> pa.Table:
-        import numpy as np
+    """Exact per-group order statistics (lower median + max + count per
+    language) WITHOUT shuffling whole groups of a 5-value key: reduce
+    the stream to a (lang, n_chars) count histogram first (vectorized
+    per-batch combine, then a groupby sum), then read the median off
+    cumulative counts per language. Per-task state is O(distinct
+    lengths per lang), never O(rows) — exact at any corpus size, and
+    still hash-identical to quantile_disc (integer values)."""
+    import numpy as np
 
-        v = np.sort(group["n_chars"].to_numpy(zero_copy_only=False))
-        med = int(v[(len(v) - 1) // 2])  # lower median = quantile_disc 0.5
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "n_chars"]).aggregate(
+            [("n_chars", "count")]
+        )
+        return g.rename_columns(["lang", "n_chars", "n"])
+
+    hist = (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def stats(group: pa.Table) -> pa.Table:
+        # one language's histogram rows: O(distinct lengths), tiny
+        v = group["n_chars"].to_numpy(zero_copy_only=False)
+        c = group["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        total = int(cum[-1])
+        # lower median = quantile_disc 0.5: first value whose
+        # cumulative count covers 0-based index (total-1)//2
+        med = int(v[np.searchsorted(cum, (total - 1) // 2 + 1)])
         return pa.Table.from_pydict(
             {
                 "lang": [group["lang"][0].as_py()],
                 "median_chars": pa.array([med], pa.int64()),
                 "max_chars": pa.array([int(v[-1])], pa.int64()),
-                "n_docs": pa.array([len(v)], pa.int64()),
+                "n_docs": pa.array([total], pa.int64()),
             }
         )
 
     out = (
-        _docs(sf_dir, ["lang", "n_chars"])
-        .groupby("lang")
+        hist.groupby("lang")
         .map_groups(stats, batch_format="pyarrow")
         .to_pandas()
     )
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def _topk_per_lang_partial(batch: pa.Table, k: int = 3) -> pa.Table:
+    """Vectorized per-batch partial top-k: keep each language's top-k
+    rows by (-n_chars, doc_id asc) within this batch. Global top-k rows
+    are necessarily within their batch's top-k, so the partial is
+    lossless (the ``ann_topk`` combiner pattern)."""
+    import numpy as np
+
+    langs = batch["lang"].to_numpy(zero_copy_only=False)
+    n = batch["n_chars"].to_numpy(zero_copy_only=False)
+    d = batch["doc_id"].to_numpy(zero_copy_only=False)
+    _, codes = np.unique(langs, return_inverse=True)
+    order = np.lexsort((d, -n, codes))
+    codes_s = codes[order]
+    starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+    sizes = np.diff(np.r_[starts, codes_s.size])
+    rank = np.arange(codes_s.size) - np.repeat(starts, sizes)
+    keep = order[rank < k]
+    return pa.Table.from_pydict(
+        {
+            "lang": pa.array(langs[keep], pa.string()),
+            "doc_id": pa.array(d[keep], pa.int64()),
+            "n_chars": pa.array(n[keep], pa.int64()),
+        }
+    )
+
+
 def _q_top_docs_per_lang(sf_dir: str):
-    """Top-3 longest documents per language (grouped top-k, the
-    keep-best-k dedup pattern): per-group vectorized argsort, doc_id
-    ascending tiebreak to keep the answer deterministic."""
-    def topk(group: pa.Table) -> pa.Table:
-        import numpy as np
-
-        n = group["n_chars"].to_numpy(zero_copy_only=False)
-        d = group["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((d, -n))[:3]
-        return pa.Table.from_pydict(
-            {
-                "lang": [group["lang"][0].as_py()] * len(order),
-                "doc_id": pa.array(d[order], pa.int64()),
-                "n_chars": pa.array(n[order], pa.int64()),
-            }
-        )
-
-    out = (
+    """Top-3 longest documents per language (grouped top-k) as a
+    combiner tree, never a whole-group shuffle: per-batch partial
+    top-3 -> coalesce the tiny partial stream -> partial top-3 per
+    block -> final merge over <= 3 x blocks rows per language. No task
+    ever holds more than k rows per language per input block."""
+    partials = (
         _docs(sf_dir, ["lang", "doc_id", "n_chars"])
-        .groupby("lang")
-        .map_groups(topk, batch_format="pyarrow")
+        .map_batches(_topk_per_lang_partial, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(_topk_per_lang_partial, batch_format="pyarrow")
+    )
+    out = (
+        partials.groupby("lang")
+        .map_groups(_topk_per_lang_partial, batch_format="pyarrow")
         .to_pandas()
     )
     return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)

@@ -363,9 +363,20 @@ def neardup_pairs(
     return _distinct_pairs(verified, "jaccard")
 
 
-def simhash_pairs(docs_ds, max_hamming: int = 3, k: int = 3):
+def simhash_pairs(
+    docs_ds, max_hamming: int = 3, k: int = 3, max_bucket: int = 4096
+):
     """SimHash near-dup pairs: (doc_a, doc_b, hamming), hamming <=
-    ``max_hamming`` (<=3 guarantees block-level recall via pigeonhole)."""
+    ``max_hamming`` (<=3 guarantees block-level recall via pigeonhole).
+
+    Per-bucket pair generation is numpy-vectorized (XOR + table
+    popcount over the packed uint64 simhashes) and bounded by
+    ``max_bucket`` with the same drop-and-log contract as
+    :func:`bucket_pairs` — a hot 16-bit block (short/templated docs
+    collapsing to near-equal simhashes) costs at most
+    ``max_bucket**2 / 2`` vectorized ops per task instead of an
+    unbounded pure-Python double loop; pairs whose only shared block
+    is a dropped one are lost (logged)."""
     from ray.data.aggregate import Min
 
     shingled = docs_ds.map_batches(
@@ -373,23 +384,43 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, k: int = 3):
     )
     keyed = shingled.map_batches(simhash_block_keys, batch_format="pyarrow")
 
+    _EMPTY = pa.Table.from_pydict(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int32()),
+        }
+    )
+
     def pairs_of_group(group: pa.Table) -> pa.Table:
-        rows_ = sorted(
-            set(zip(group["doc_id"].to_pylist(), group["simhash"].to_pylist()))
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        sims = group["simhash"].to_numpy(zero_copy_only=False).astype(
+            np.uint64, copy=False
         )
-        a, b, h = [], [], []
-        for i in range(len(rows_) - 1):
-            for j in range(i + 1, len(rows_)):
-                d = sk.hamming64(rows_[i][1], rows_[j][1])
-                if d <= max_hamming and rows_[i][0] != rows_[j][0]:
-                    a.append(rows_[i][0])
-                    b.append(rows_[j][0])
-                    h.append(d)
+        # one simhash per doc_id by construction; keep first per doc
+        order = np.argsort(ids, kind="stable")
+        ids, sims = ids[order], sims[order]
+        keep = np.ones(ids.size, dtype=bool)
+        keep[1:] = ids[1:] != ids[:-1]
+        ids, sims = ids[keep], sims[keep]
+        n = int(ids.size)
+        if n < 2:
+            return _EMPTY
+        if n > max_bucket:
+            logger.warning(
+                "simhash: dropping hot block bucket key=%s with %d docs "
+                "(max_bucket=%d); pairs sharing only this block are lost",
+                group["bucket_key"][0].as_py(), n, max_bucket,
+            )
+            return _EMPTY
+        ii, jj = np.triu_indices(n, k=1)
+        d = sk.popcount64(sims[ii] ^ sims[jj])
+        m = d <= max_hamming
         return pa.Table.from_pydict(
             {
-                "doc_a": pa.array(a, pa.int64()),
-                "doc_b": pa.array(b, pa.int64()),
-                "hamming": pa.array(h, pa.int32()),
+                "doc_a": pa.array(ids[ii[m]], pa.int64()),
+                "doc_b": pa.array(ids[jj[m]], pa.int64()),
+                "hamming": pa.array(d[m], pa.int32()),
             }
         )
 
