@@ -1,0 +1,62 @@
+"""Vectorized, process-stable key hashing for in-flight exchanges.
+
+Every hash-partitioned exchange in the engine (winner aggregates,
+bucketed joins, block assignment) needs a bucket id per key that every
+worker computes identically. Two kernels:
+
+* numeric keys — a splitmix64 finalizer-style mix (pure numpy, wraps
+  uint64), so sequential ids spread across buckets;
+* string/binary keys — polars' vectorized 64-bit hash (seed 0).
+  Deterministic for a fixed polars build, which every worker in a run
+  shares — valid for IN-FLIGHT exchanges. NOT for persistent storage
+  layouts, whose bucket ids must survive version upgrades across runs:
+  those keep crc32 (see ``stages.dedup.partition_pages_by_url``).
+
+A crc32 per-row fallback keeps the string path working if polars is
+ever absent (import-gated per the no-new-deps rule).
+"""
+
+import numpy as np
+import pyarrow as pa
+
+try:  # vectorized string hashing; baked into this environment
+    import polars as _pl
+except ImportError:  # pragma: no cover - polars is baked in
+    _pl = None
+
+
+def splitmix_mix(keys: np.ndarray) -> np.ndarray:
+    """Splitmix-style avalanche over a uint64 array (vectorized)."""
+    z = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def hash64_column(col) -> np.ndarray:
+    """uint64 hash per element of an Arrow (chunked) array.
+
+    Numeric columns use the splitmix mix; string/binary columns use
+    polars' vectorized hash (crc32 loop fallback)."""
+    typ = col.type
+    if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+        return splitmix_mix(col.to_numpy(zero_copy_only=False))
+    if _pl is not None:
+        series = _pl.from_arrow(
+            col if isinstance(col, pa.ChunkedArray) else pa.chunked_array([col])
+        )
+        return series.hash(seed=0).to_numpy().astype(np.uint64, copy=False)
+    from zlib import crc32  # pragma: no cover - polars is baked in
+
+    return np.array(
+        [
+            crc32(v if isinstance(v, bytes) else str(v).encode())
+            for v in col.to_pylist()
+        ],
+        dtype=np.uint64,
+    )
+
+
+def bucket_of_column(col, num_buckets: int) -> np.ndarray:
+    """int64 bucket id in [0, num_buckets) per element of an Arrow
+    (chunked) array — the engine's standard exchange partitioner."""
+    return (hash64_column(col) % np.uint64(num_buckets)).astype(np.int64)

@@ -203,7 +203,7 @@ def _q_lineitem_agg(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         cents = pc.cast(
-            pc.round(pc.multiply(batch["l_extendedprice"], 100.0)),
+            pc.round(pc.multiply(batch["l_extendedprice"], 100.0), round_mode="half_towards_infinity"),
             pa.int64(),
         )
         qty = pc.cast(batch["l_quantity"], pa.int64())
@@ -264,7 +264,7 @@ def _q_segment_revenue(sf_dir: str):
         lookup = ray.get(seg_ref)
         segs = [lookup.get(k) for k in batch["o_custkey"].to_pylist()]
         cents = pc.cast(
-            pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64()
+            pc.round(pc.multiply(batch["o_totalprice"], 100.0), round_mode="half_towards_infinity"), pa.int64()
         )
         t = pa.Table.from_arrays(
             [

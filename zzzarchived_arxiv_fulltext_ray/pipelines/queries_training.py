@@ -300,11 +300,11 @@ def _q_events_lag(sf_dir: str):
 
     def to_cents(batch: pa.Table) -> pa.Table:
         cents = pc.cast(
-            pc.round(pc.multiply(batch["value"], 100.0)), pa.int64()
+            pc.round(pc.multiply(batch["value"], 100.0), round_mode="half_towards_infinity"), pa.int64()
         )
         prev = batch["prev_value"]
         prev_cents = pc.cast(
-            pc.round(pc.multiply(prev, 100.0)), pa.int64()
+            pc.round(pc.multiply(prev, 100.0), round_mode="half_towards_infinity"), pa.int64()
         )
         return pa.Table.from_pydict(
             {
@@ -339,7 +339,7 @@ def _q_events_user_stats(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         cents = pc.cast(
-            pc.round(pc.multiply(batch["value"], 100.0)), pa.int64()
+            pc.round(pc.multiply(batch["value"], 100.0), round_mode="half_towards_infinity"), pa.int64()
         )
         t = pa.Table.from_arrays(
             [
@@ -841,7 +841,7 @@ def _q_join_priority_revenue(sf_dir: str):
         # combiner: collapse line items to one row per orderkey per
         # batch before the join shuffle (600k -> ~150k rows at sf0.1)
         cents = pc.cast(
-            pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64()
+            pc.round(pc.multiply(batch["l_extendedprice"], 100.0), round_mode="half_towards_infinity"), pa.int64()
         )
         t = pa.Table.from_arrays(
             [batch["l_orderkey"].combine_chunks(), cents],
@@ -897,7 +897,7 @@ def _q_join_priority_revenue_native(sf_dir: str):
 
     def li_prep(batch: pa.Table) -> pa.Table:
         cents = pc.cast(
-            pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64()
+            pc.round(pc.multiply(batch["l_extendedprice"], 100.0), round_mode="half_towards_infinity"), pa.int64()
         )
         t = pa.Table.from_arrays(
             [batch["l_orderkey"].combine_chunks(), cents],
@@ -1123,9 +1123,10 @@ def _q_events_sliding(sf_dir: str):
     def fan_out(batch: pa.Table) -> pa.Table:
         ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         users = batch["user_id"].to_numpy(zero_copy_only=False)
-        cents = np.rint(
-            batch["value"].to_numpy(zero_copy_only=False) * 100.0
-        ).astype(np.int64)
+        # half-away-from-zero, matching DuckDB round() structurally
+        # (np.rint is half-to-even — agreement would be data-dependent)
+        v = batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        cents = np.copysign(np.floor(np.abs(v) + 0.5), v).astype(np.int64)
         base = ts_us // step_us  # last window START step containing ts
         outs = []
         for k in range(width_steps):

@@ -21,10 +21,12 @@ Assumption (documented per SURVEY.md): (url, warc_ts) pairs are unique
 guarantees this; real WARC data does too at second granularity).
 """
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from ..functions.hashing import bucket_of_column
 
 
 def dup_winner_map(
@@ -32,20 +34,32 @@ def dup_winner_map(
 ) -> dict:
     """url -> max(warc_ts as int64 micros), for urls with >1 crawl.
 
+    Dict spelling of :func:`dup_winner_table` (kept for manifest-level
+    summaries); the filter stages use the Arrow table directly."""
+    t = dup_winner_table(ds, num_buckets, combine_partitions)
+    return dict(
+        zip(t["url"].to_pylist(), t["max_ts"].to_pylist())
+    )
+
+
+def dup_winner_table(
+    ds, num_buckets: int = 64, combine_partitions: int = 16
+) -> pa.Table:
+    """(url, max_ts int64 micros) rows, ONLY for urls with >1 crawl.
+
     Distributed: batch-level combine (vectorized per-batch groupby)
     first, so the shuffle moves at most one (url, max_ts, n) row per
     url per batch; the tiny partial stream is coalesced to
     ``combine_partitions`` blocks (Ray's sort-shuffle overhead is
     per-block — coalescing 256 -> 16 blocks measured 7-9 s -> ~2 s on
-    170k partial rows), then hash-exchanged on crc32(url) %
-    ``num_buckets`` with a vectorized Arrow combine per bucket. The
-    duplicate filter runs distributed, so the driver only ever
-    iterates urls that actually have >1 crawl — O(dup-rate) driver
-    state, never O(#urls). Sizing: each reduce task holds about
-    #urls/num_buckets (url, int64, int64) rows — raise both knobs
-    proportionally in the 10^10+-url regime.
+    170k partial rows), then hash-exchanged on hash64(url) %
+    ``num_buckets`` (vectorized polars xxhash — in-flight only) with a
+    vectorized Arrow combine per bucket. The duplicate filter runs
+    distributed, so the driver only ever holds urls that actually have
+    >1 crawl — O(dup-rate) driver state, never O(#urls). Sizing: each
+    reduce task holds about #urls/num_buckets (url, int64, int64) rows
+    — raise both knobs proportionally in the 10^10+-url regime.
     """
-    from zlib import crc32
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.Table.from_arrays(
@@ -57,10 +71,7 @@ def dup_winner_map(
         )
         g = t.group_by("url").aggregate([("ts_us", "max"), ("url", "count")])
         g = g.rename_columns(["url", "max_ts", "n"])
-        buckets = pa.array(
-            [crc32(u.encode()) % num_buckets for u in g["url"].to_pylist()],
-            pa.int32(),
-        )
+        buckets = pa.array(bucket_of_column(g["url"], num_buckets), pa.int32())
         return g.append_column("bucket", buckets)
 
     def combine_bucket(group: pa.Table) -> pa.Table:
@@ -78,18 +89,40 @@ def dup_winner_map(
         .map_groups(combine_bucket, batch_format="pyarrow")
     )
 
-    winners: dict = {}
-    for b in dup_winners.iter_batches(batch_format="pyarrow"):
-        for url, ts in zip(b["url"].to_pylist(), b["max_ts"].to_pylist()):
-            winners[url] = ts
-    return winners
+    tables = list(dup_winners.iter_batches(batch_format="pyarrow"))
+    if not tables:
+        return pa.table(
+            {"url": pa.array([], pa.string()),
+             "max_ts": pa.array([], pa.int64())}
+        )
+    return pa.concat_tables(
+        [t.select(["url", "max_ts"]) for t in tables]
+    ).combine_chunks()
+
+
+def winner_filter_batch(
+    batch: pa.Table, winners: Tuple[pa.Array, pa.Array]
+) -> pa.Table:
+    """Keep rows whose (url, warc_ts) is the winner — or whose url has
+    no duplicates at all. Fully vectorized: probe the winner url set
+    with ``index_in`` (null = url not contested), gather the winning
+    timestamp, compare, and fill the uncontested nulls with keep=True.
+    """
+    w_urls, w_ts = winners
+    if len(w_urls) == 0:
+        return batch
+    idx = pc.index_in(batch["url"], value_set=w_urls)
+    won_ts = pc.take(w_ts, idx)  # null where url uncontested
+    eq = pc.equal(batch["warc_ts"].cast(pa.int64()), won_ts)
+    return batch.filter(pc.fill_null(eq, True))
 
 
 def latest_crawl_broadcast(ds, dup_threshold: Optional[int] = None):
     """Keep the latest crawl per url via a projected aggregate +
     broadcast anti-filter. Only urls that actually have >1 crawl enter
-    the broadcast map, so its size tracks the duplicate rate, not the
-    corpus size.
+    the broadcast winner table, so its size tracks the duplicate rate,
+    not the corpus size; the per-batch filter is a vectorized Arrow
+    ``index_in``/``take``/``equal`` probe, no per-row Python.
 
     Apply this to the RAW pages Dataset (before any payload-touching
     stage): the ``select_columns`` projection then pushes down into the
@@ -97,22 +130,13 @@ def latest_crawl_broadcast(ds, dup_threshold: Optional[int] = None):
     of payload bytes."""
     import ray
 
-    winners_ref = ray.put(dup_winner_map(ds))
+    wt = dup_winner_table(ds)
+    winners_ref = ray.put(
+        (wt["url"].combine_chunks(), wt["max_ts"].combine_chunks())
+    )
 
     def keep_latest(batch: pa.Table) -> pa.Table:
-        wmap = ray.get(winners_ref)
-        if not wmap:
-            return batch
-        urls = batch["url"].to_pylist()
-        stamps = batch["warc_ts"].cast(pa.int64()).to_pylist()
-        mask = pa.array(
-            [
-                (u not in wmap) or (ts == wmap[u])
-                for u, ts in zip(urls, stamps)
-            ],
-            type=pa.bool_(),
-        )
-        return batch.filter(mask)
+        return winner_filter_batch(batch, ray.get(winners_ref))
 
     return ds.map_batches(keep_latest, batch_format="pyarrow")
 
@@ -154,17 +178,18 @@ def partition_pages_by_url(ds, out_dir: str, num_buckets: int = 64):
     only its bucket. One-time cost: one all-to-all write of the
     corpus; amortized across every downstream run.
 
-    Bucket = crc32(url) % num_buckets (process-stable; matches no
-    other operator's bucketing on purpose — this is a storage layout,
-    not an in-flight exchange).
+    Bucket = crc32(url) % num_buckets. crc32 is deliberate here and
+    NOT the in-flight polars hash (functions/hashing.py): a storage
+    layout must be re-derivable across runs and library upgrades, so
+    it pins a bytes-stable standard hash. The per-row crc32 call is C
+    speed; casting to binary first avoids a per-row str.encode.
     """
     from zlib import crc32
 
     def add_bucket(batch: pa.Table) -> pa.Table:
+        raw = batch["url"].cast(pa.binary()).to_pylist()
         buckets = pa.array(
-            [crc32(u.encode()) % num_buckets
-             for u in batch["url"].to_pylist()],
-            pa.int32(),
+            [crc32(u) % num_buckets for u in raw], pa.int32()
         )
         return batch.append_column("url_bucket", buckets)
 

@@ -21,32 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _bucket_of(keys: np.ndarray, num_buckets: int) -> np.ndarray:
-    # splitmix-style mix so sequential int keys spread across buckets
-    z = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-    z ^= z >> np.uint64(31)
-    return (z % np.uint64(num_buckets)).astype(np.int64)
-
-
-def _bucket_of_column(col, num_buckets: int) -> np.ndarray:
-    """Bucket ids for an Arrow key column: numpy mix for numeric keys,
-    crc32 for strings/binary (process-stable, like every other
-    url-bucketing in the engine)."""
-    import pyarrow as _pa
-
-    typ = col.type
-    if _pa.types.is_integer(typ) or _pa.types.is_floating(typ):
-        return _bucket_of(col.to_numpy(zero_copy_only=False), num_buckets)
-    from zlib import crc32
-
-    return np.array(
-        [
-            crc32(v if isinstance(v, bytes) else str(v).encode())
-            % num_buckets
-            for v in col.to_pylist()
-        ],
-        dtype=np.int64,
-    )
+from ..functions.hashing import bucket_of_column as _bucket_of_column
 
 
 _ARROW_JOIN_TYPE = {
@@ -168,16 +143,18 @@ def native_join(
 
 def broadcast_anti_join(ds, key: str, blocked_keys):
     """Keep rows whose ``key`` is NOT in ``blocked_keys`` (the
-    broadcast anti-join / blocklist-filter pattern)."""
+    broadcast anti-join / blocklist-filter pattern); the per-batch
+    probe is one vectorized Arrow ``is_in``."""
     import ray
 
-    ref = ray.put(frozenset(blocked_keys))
+    ref = ray.put(pa.array(list(blocked_keys)))
 
     def keep(batch: pa.Table) -> pa.Table:
         blocked = ray.get(ref)
-        mask = pa.array(
-            [v not in blocked for v in batch[key].to_pylist()], pa.bool_()
+        if len(blocked) == 0:
+            return batch
+        return batch.filter(
+            pc.invert(pc.is_in(batch[key], value_set=blocked))
         )
-        return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")

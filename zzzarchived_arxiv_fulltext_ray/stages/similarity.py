@@ -159,25 +159,24 @@ def embedding_neardup_blockpair(
     pair fits a worker's heap."""
 
     def replicate(batch: pa.Table) -> pa.Table:
+        # vectorized B-way fan-out: pair keys via broadcasting, row
+        # payload copies via one Arrow take on repeated indices
         vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
         mat = _normalize(_matrix_of(batch))
         blocks = _block_of(vids, num_blocks)
-        blobs = _emb_blob(mat)
-        pk, blk, ids, embs = [], [], [], []
-        for i in range(len(vids)):
-            b = int(blocks[i])
-            for other in range(num_blocks):
-                lo, hi = (b, other) if b <= other else (other, b)
-                pk.append(lo * num_blocks + hi)
-                blk.append(b)
-                ids.append(int(vids[i]))
-                embs.append(blobs[i])
+        blobs = pa.array(_emb_blob(mat), pa.large_binary())
+        other = np.arange(num_blocks, dtype=np.int64)
+        lo = np.minimum(blocks[:, None], other[None, :])
+        hi = np.maximum(blocks[:, None], other[None, :])
+        rep = np.repeat(np.arange(vids.size), num_blocks)
         return pa.Table.from_pydict(
             {
-                "pair_key": pa.array(pk, pa.int64()),
-                "block": pa.array(blk, pa.int64()),
-                "vec_id": pa.array(ids, pa.int64()),
-                "emb": pa.array(embs, pa.large_binary()),
+                "pair_key": pa.array(
+                    (lo * num_blocks + hi).ravel(), pa.int64()
+                ),
+                "block": pa.array(blocks[rep], pa.int64()),
+                "vec_id": pa.array(vids[rep], pa.int64()),
+                "emb": blobs.take(pa.array(rep)),
             }
         )
 
@@ -291,17 +290,24 @@ class HyperplaneLSH:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mat = _normalize(_matrix_of(batch))
-        vids = batch["vec_id"].to_pylist()
-        keys, ids = [], []
+        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        # vectorized sign-bit codes, identical to the packbits +
+        # int.from_bytes(big) values: bit j of band code carries
+        # weight 2^(8*nbytes - 1 - j)
+        p = self.planes.shape[1]
+        nbytes = (p + 7) // 8
+        weights = (
+            np.int64(1) << (8 * nbytes - 1 - np.arange(p, dtype=np.int64))
+        )
+        key_parts, id_parts = [], []
         for b in range(self.bands):
             bits = (mat @ self.planes[b].T) > 0  # (n, planes)
-            words = np.packbits(bits, axis=1)
-            for i, vid in enumerate(vids):
-                keys.append((b << 32) | int.from_bytes(words[i].tobytes(), "big"))
-                ids.append(vid)
+            codes = bits.astype(np.int64) @ weights
+            key_parts.append((np.int64(b) << np.int64(32)) | codes)
+            id_parts.append(vids)
         return pa.Table.from_pydict(
-            {"bucket_key": pa.array(keys, pa.int64()),
-             "doc_id": pa.array(ids, pa.int64())}
+            {"bucket_key": pa.array(np.concatenate(key_parts), pa.int64()),
+             "doc_id": pa.array(np.concatenate(id_parts), pa.int64())}
         )
 
 

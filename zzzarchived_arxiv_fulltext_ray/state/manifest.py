@@ -333,7 +333,7 @@ def global_latest_crawl_pass(
     """
     import ray.data as rd
 
-    from ..stages.dedup import dup_winner_map
+    from ..stages.dedup import dup_winner_table, winner_filter_batch
 
     manifests = {m["shard_id"]: m for m in run_status(out_dir)}
     summary = {"shards_rewritten": 0, "rows_removed": 0}
@@ -352,26 +352,18 @@ def global_latest_crawl_pass(
         for f in sorted(Path(d).glob("*.parquet"))
     ]
     all_out = rd.read_parquet(out_files, columns=["url", "warc_ts"])
-    winners = dup_winner_map(all_out)
-    if not winners:
+    wt = dup_winner_table(all_out)
+    if wt.num_rows == 0:
         return summary
 
     import ray
 
-    winners_ref = ray.put(winners)
+    winners_ref = ray.put(
+        (wt["url"].combine_chunks(), wt["max_ts"].combine_chunks())
+    )
 
     def keep_winners(batch: pa.Table) -> pa.Table:
-        wmap = ray.get(winners_ref)
-        urls = batch["url"].to_pylist()
-        stamps = batch["warc_ts"].cast(pa.int64()).to_pylist()
-        mask = pa.array(
-            [
-                (u not in wmap) or (ts == wmap[u])
-                for u, ts in zip(urls, stamps)
-            ],
-            type=pa.bool_(),
-        )
-        return batch.filter(mask)
+        return winner_filter_batch(batch, ray.get(winners_ref))
 
     for sid, sdir in shard_dirs.items():
         before = manifests[sid]["rows"]
@@ -386,8 +378,16 @@ def global_latest_crawl_pass(
         if rows == before:
             shutil.rmtree(tmp_dir)  # no losers in this shard
             continue
-        shutil.rmtree(sdir)
+        # swap with old-data preserved at every intermediate state: a
+        # crash mid-swap leaves either the old dir (recoverable rename
+        # retry) or the new dir in place — never a window with the
+        # shard's data directory missing while its manifest survives
+        old_dir = sdir.parent / (sdir.name + ".gdold")
+        if old_dir.exists():
+            shutil.rmtree(old_dir)
+        sdir.rename(old_dir)
         tmp_dir.rename(sdir)
+        shutil.rmtree(old_dir)
 
         manifest = manifests[sid]
         manifest["rows"] = rows
