@@ -47,11 +47,11 @@ def test_ngram_matches_brute_force(ray_session, truth_pairs):
 
 
 def test_verify_physical_plans_equivalent(ray_session, truth_pairs):
-    """broadcast and partitioned verify are the same logical operator:
-    identical exact-Jaccard output on the same candidates."""
+    """broadcast, partitioned (blob join) and counts verify are the
+    same logical operator: identical exact-Jaccard output."""
     from zzzarchived_arxiv_fulltext_ray.stages.neardup import neardup_pairs
 
-    for verify in ("broadcast", "partitioned"):
+    for verify in ("broadcast", "partitioned", "counts"):
         got = (
             neardup_pairs(
                 _docs_ds(), method="ngram", threshold=0.5, verify=verify
@@ -368,3 +368,64 @@ def test_simhash_hot_block_capped(ray_session, caplog):
     with caplog.at_level(logging.WARNING):
         capped = simhash_pairs(docs, max_hamming=3, max_bucket=10).to_pandas()
     assert len(capped) == 0
+
+
+def test_ngram_counts_drop_guard(ray_session):
+    """The counts plan must not silently under-count |A intersect B|
+    under hot-bucket drops: 'fallback' reruns the exact blob plan,
+    'approx' proceeds (possibly under-counted), 'error' raises."""
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.neardup import (
+        neardup_pairs_ngram_counts,
+    )
+
+    # 8 docs sharing a hot template (those buckets hold all 8 docs ->
+    # dropped at max_bucket=4); docs 0 and 1 additionally share a rare
+    # suffix, whose buckets (size 2) survive the cap
+    template = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    docs = [
+        {"doc_id": i,
+         "text": template + (
+             "rare quartz needle motif harbor"
+             if i < 2 else f"tailx{i} taily{i} tailz{i}"
+         )}
+        for i in range(8)
+    ]
+    exact = neardup_pairs_ngram_counts(
+        ray.data.from_items(docs), threshold=0.5, max_bucket=256
+    ).to_pandas()
+    assert len(exact) == 8 * 7 // 2  # template dominates every pair
+
+    fb = neardup_pairs_ngram_counts(
+        ray.data.from_items(docs), threshold=0.5, max_bucket=4,
+        on_drop="fallback",
+    ).to_pandas().sort_values(["doc_a", "doc_b"])
+    # fallback = blob plan under the same max_bucket: candidates from
+    # hot buckets are lost the same way bucket_pairs loses them
+    from zzzarchived_arxiv_fulltext_ray.stages.neardup import neardup_pairs
+
+    blob = neardup_pairs(
+        ray.data.from_items(docs), method="ngram", threshold=0.5,
+        max_bucket=4, verify="partitioned",
+    ).to_pandas().sort_values(["doc_a", "doc_b"])
+    assert list(map(tuple, fb.values)) == list(map(tuple, blob.values))
+    # docs 0/1 are full duplicates, found via the surviving rare
+    # buckets; the blob plan scores their FULL sets -> jaccard 1.0
+    assert len(fb) == 1 and fb.iloc[0].jaccard == 1.0
+
+    approx = neardup_pairs_ngram_counts(
+        ray.data.from_items(docs), threshold=0.5, max_bucket=4,
+        on_drop="approx",
+    ).to_pandas()
+    # approx only counts surviving buckets -> under-reports (here the
+    # (0,1) pair's counted jaccard falls below threshold entirely)
+    assert len(approx) < len(fb) or len(approx) == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="hot buckets"):
+        neardup_pairs_ngram_counts(
+            ray.data.from_items(docs), threshold=0.5, max_bucket=4,
+            on_drop="error",
+        )

@@ -53,16 +53,17 @@ def _q_dedup_minhash(sf_dir: str):
 
 def _q_dedup_ngram_partitioned(sf_dir: str):
     """Same logical operator as dedup_ngram, forced onto the
-    partitioned-join verify plan (the no-broadcast 10^12-doc path) —
-    shares the exact-Jaccard oracle, proving plan equivalence under
-    the driver gate."""
+    no-broadcast 10^12-doc plan — now the blob-free counts plan
+    (intersection counts + per-doc set sizes ride the exchange; no
+    shingle-blob joins) — sharing the exact-Jaccard oracle, proving
+    plan equivalence under the driver gate."""
     from ..stages.neardup import neardup_pairs
 
     ds = neardup_pairs(
         _docs(sf_dir, ["doc_id", "text"]),
         method="ngram",
         threshold=0.5,
-        verify="partitioned",
+        verify="counts",
     )
     return (
         ds.to_pandas()

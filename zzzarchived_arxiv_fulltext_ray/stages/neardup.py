@@ -74,19 +74,38 @@ def shingle_batch(batch: pa.Table, k: int = 3) -> pa.Table:
     )
 
 
+def _exploded_arrays(batch: pa.Table):
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    arrs = [_decode_hashes(b) for b in batch["shingles"].to_pylist()]
+    counts = np.array([a.size for a in arrs], dtype=np.int64)
+    keys = (
+        np.concatenate(arrs) if arrs else np.empty(0, np.uint64)
+    )
+    return keys, np.repeat(ids, counts), counts
+
+
 def explode_shingle_keys(batch: pa.Table) -> pa.Table:
-    """(doc_id, shingles) -> one (bucket_key, doc_id) row per shingle."""
-    keys: List[int] = []
-    ids: List[int] = []
-    for doc_id, blob in zip(
-        batch["doc_id"].to_pylist(), batch["shingles"].to_pylist()
-    ):
-        hs = _decode_hashes(blob)
-        keys.extend(hs.tolist())
-        ids.extend([doc_id] * hs.size)
+    """(doc_id, shingles) -> one (bucket_key, doc_id) row per shingle
+    (vectorized: one concatenate + repeat, no per-shingle Python)."""
+    keys, rep_ids, _ = _exploded_arrays(batch)
     return pa.Table.from_pydict(
         {"bucket_key": pa.array(keys, pa.uint64()),
-         "doc_id": pa.array(ids, pa.int64())}
+         "doc_id": pa.array(rep_ids, pa.int64())}
+    )
+
+
+def explode_shingle_keys_sized(batch: pa.Table) -> pa.Table:
+    """Like :func:`explode_shingle_keys` but each row also carries its
+    doc's distinct-shingle-set size — the extra int64 lets the counts
+    verify plan compute Jaccard with no join back to the shingle
+    table."""
+    keys, rep_ids, counts = _exploded_arrays(batch)
+    return pa.Table.from_pydict(
+        {
+            "bucket_key": pa.array(keys, pa.uint64()),
+            "doc_id": pa.array(rep_ids, pa.int64()),
+            "size": pa.array(np.repeat(counts, counts), pa.int64()),
+        }
     )
 
 
@@ -280,6 +299,174 @@ def verify_jaccard_partitioned(
     return with_ab.map_batches(score, batch_format="pyarrow")
 
 
+def neardup_pairs_ngram_counts(
+    docs_ds,
+    threshold: float = 0.5,
+    k: int = 3,
+    max_bucket: int = 256,
+    combine_partitions: int = 16,
+    on_drop: str = "fallback",
+):
+    """Blob-free partitioned ngram near-dup: exact Jaccard from
+    intersection COUNTS, no shingle-set blobs and no joins.
+
+    ``jaccard(A, B) = |A∩B| / (|A| + |B| - |A∩B|)``, and each shared
+    shingle hash lives in exactly one bucket of the inverted index, so
+    counting a pair's bucket co-occurrences IS ``|A∩B|``. The exploded
+    stream carries each doc's set size (one extra int64), each bucket
+    emits (doc_a, doc_b, size_a, size_b, cnt=1) rows, a vectorized
+    per-batch combine sums counts, and the coalesced bucket exchange
+    (the ``dup_winner_table`` pattern) produces one row per candidate
+    pair with everything Jaccard needs. Compared to the blob verify
+    plan (two Acero joins shipping one ~KB shingle blob per candidate
+    pair per side) the exchange moves five int64s per pair partial —
+    the 10^12-doc partitioned plan for pairs-dense corpora.
+
+    Drop-aware guard: a hot bucket dropped at ``max_bucket`` would
+    silently UNDERCOUNT ``|A∩B|`` for surviving pairs (not just lose
+    candidates, as the blob plan does), so drops emit marker rows and
+    ``on_drop`` decides: "fallback" (default) reruns the blob
+    partitioned plan — exact under drops — with a warning; "approx"
+    returns the undercounted result with a warning; "error" raises.
+    The small verified result is materialized to read the marker count
+    (it is the query output anyway).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import splitmix_mix
+
+    shingled = docs_ds.map_batches(
+        lambda b: shingle_batch(b, k), batch_format="pyarrow"
+    )
+    exploded = shingled.map_batches(
+        explode_shingle_keys_sized, batch_format="pyarrow"
+    )
+
+    _EMPTY = pa.Table.from_pydict(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "size_a": pa.array([], pa.int64()),
+            "size_b": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+
+    def pairs_of_group(group: pa.Table) -> pa.Table:
+        # shingle sets are distinct per doc, so each doc appears at
+        # most once per shingle bucket — no in-bucket dedup needed
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        sz = group["size"].to_numpy(zero_copy_only=False)
+        n = int(ids.size)
+        if n < 2:
+            return _EMPTY
+        if n > max_bucket:
+            logger.warning(
+                "neardup-counts: dropping hot bucket key=%s with %d docs "
+                "(max_bucket=%d)",
+                group["bucket_key"][0].as_py(), n, max_bucket,
+            )
+            return pa.Table.from_pydict(
+                {
+                    "doc_a": pa.array([-1], pa.int64()),
+                    "doc_b": pa.array([-1], pa.int64()),
+                    "size_a": pa.array([0], pa.int64()),
+                    "size_b": pa.array([0], pa.int64()),
+                    "cnt": pa.array([1], pa.int64()),
+                }
+            )
+        order = np.argsort(ids)
+        ids, sz = ids[order], sz[order]
+        ii, jj = np.triu_indices(n, k=1)
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(ids[ii], pa.int64()),
+                "doc_b": pa.array(ids[jj], pa.int64()),
+                "size_a": pa.array(sz[ii], pa.int64()),
+                "size_b": pa.array(sz[jj], pa.int64()),
+                "cnt": pa.array(np.ones(ii.size, np.int64), pa.int64()),
+            }
+        )
+
+    _KEYS = ["doc_a", "doc_b", "size_a", "size_b"]
+
+    def local_combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(_KEYS).aggregate([("cnt", "sum")])
+        g = g.rename_columns(_KEYS + ["cnt"])
+        a = g["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = g["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (
+            splitmix_mix(splitmix_mix(a) ^ b) % np.uint64(64)
+        ).astype(np.int32)
+        return g.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    def final_combine(group: pa.Table) -> pa.Table:
+        g = group.select(_KEYS + ["cnt"]).group_by(_KEYS).aggregate(
+            [("cnt", "sum")]
+        )
+        g = g.rename_columns(_KEYS + ["n_common"])
+        a = g["doc_a"].to_numpy(zero_copy_only=False)
+        inter = g["n_common"].to_numpy(zero_copy_only=False)
+        sa = g["size_a"].to_numpy(zero_copy_only=False)
+        sb = g["size_b"].to_numpy(zero_copy_only=False)
+        marker = a < 0
+        union = np.maximum(sa + sb - inter, 1)
+        j = inter / union
+        keep = marker | (j >= threshold)
+        j = np.where(marker, -1.0, j)
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(
+                    g["doc_b"].to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "jaccard": pa.array(j[keep], pa.float64()),
+            }
+        )
+
+    out = (
+        exploded.groupby("bucket_key")
+        .map_groups(pairs_of_group, batch_format="pyarrow")
+        .map_batches(local_combine, batch_format="pyarrow")
+        .repartition(combine_partitions)
+        .groupby("bucket")
+        .map_groups(final_combine, batch_format="pyarrow")
+    ).materialize()
+
+    def only_markers(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["doc_a"], 0))
+
+    def no_markers(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["doc_a"], 0))
+
+    n_dropped = out.map_batches(
+        only_markers, batch_format="pyarrow"
+    ).count()
+    if n_dropped:
+        if on_drop == "error":
+            raise RuntimeError(
+                f"neardup counts plan dropped {n_dropped} hot buckets; "
+                "intersection counts would be under-reported"
+            )
+        if on_drop == "fallback":
+            logger.warning(
+                "neardup counts plan dropped %d hot buckets; falling "
+                "back to the blob-join partitioned verify (exact under "
+                "drops)", n_dropped,
+            )
+            return neardup_pairs(
+                docs_ds, method="ngram", threshold=threshold, k=k,
+                max_bucket=max_bucket, verify="partitioned",
+            )
+        logger.warning(
+            "neardup counts plan dropped %d hot buckets; returned "
+            "jaccards may be under-counted (on_drop='approx')",
+            n_dropped,
+        )
+    return out.map_batches(no_markers, batch_format="pyarrow")
+
+
 def _broadcast_shingle_map(shingled_ds):
     """Collect doc_id -> shingle array into the object store once.
 
@@ -315,22 +502,40 @@ def neardup_pairs(
     ``verify`` selects the physical verify plan — both produce the
     identical exact-Jaccard answer (pinned equal in tests):
 
+    * "counts" (ngram only): fused candidates+verify via intersection
+      counts — no blobs, no joins, drop-aware
+      (:func:`neardup_pairs_ngram_counts`). The preferred no-broadcast
+      plan for the ngram method.
     * "partitioned": hash-join candidates against the shingle table;
       no broadcast/driver corpus state, but the shuffle carries one
-      shingle-set copy PER CANDIDATE PAIR — right when pairs are
-      sparse relative to the corpus (the 10^12-doc regime).
+      shingle-set copy PER CANDIDATE PAIR — the no-broadcast plan for
+      minhash (whose band buckets don't partition the intersection),
+      and the exact-under-drops fallback for ngram.
     * "broadcast": one ``ray.put`` of the doc->shingles map; each
       verify task reads it zero-copy — right while the map fits a
       node (<= ~10^6-10^7 docs), and much faster there because the
       shingle table ships once, not once per pair.
     * "auto" (default): one cheap projected ``count()`` picks
-      broadcast below ``broadcast_max_docs``, partitioned above — the
-      engine's standard small-side-broadcast vs shuffle-join choice.
+      broadcast below ``broadcast_max_docs``; above it, "counts" for
+      ngram and "partitioned" for minhash — the engine's standard
+      small-side-broadcast vs shuffle choice.
     """
     if verify == "auto":
         n_docs = docs_ds.select_columns(["doc_id"]).count()
         verify = (
-            "broadcast" if n_docs <= broadcast_max_docs else "partitioned"
+            "broadcast"
+            if n_docs <= broadcast_max_docs
+            else ("counts" if method == "ngram" else "partitioned")
+        )
+    if verify == "counts":
+        if method != "ngram":
+            raise ValueError(
+                "verify='counts' requires method='ngram': only the "
+                "shingle inverted index partitions |A intersect B| "
+                "exactly across buckets"
+            )
+        return neardup_pairs_ngram_counts(
+            docs_ds, threshold=threshold, k=k, max_bucket=max_bucket
         )
     shingled = docs_ds.map_batches(
         lambda b: shingle_batch(b, k), batch_format="pyarrow"
