@@ -176,3 +176,41 @@ def test_watchdog_inside_ray_actor_pool(ray_session):
         "succeeded", "failed", "succeeded", "succeeded"
     ]
     assert "timed out" in out.error.tolist()[1]
+
+
+def test_watchdog_concurrent_threads_keyed_guards():
+    """Guard state is keyed per thread id: a second thread arming the
+    watchdog must not disarm the first's deadline (the
+    max_concurrency>1 case). The overrunner times out; the slow-but-
+    within-budget thread completes untouched."""
+    import threading
+    import time
+
+    from zzzarchived_arxiv_fulltext_ray.stages.extract import (
+        RowTimeout,
+        get_process_watchdog,
+    )
+
+    wd = get_process_watchdog()
+    results = {}
+
+    def spin(sec):
+        end = time.monotonic() + sec
+        while time.monotonic() < end:
+            pass  # pure-Python busy loop: async-exc interruptible
+        return "done"
+
+    def runner(name, budget, work):
+        try:
+            results[name] = wd.run(spin, budget, work)
+        except RowTimeout:
+            results[name] = "timeout"
+
+    t1 = threading.Thread(target=runner, args=("overrun", 1.0, 30.0))
+    t2 = threading.Thread(target=runner, args=("ok", 30.0, 3.0))
+    t1.start()
+    time.sleep(0.3)  # t2 arms AFTER t1 — the old single-slot bug path
+    t2.start()
+    t1.join(timeout=25)
+    t2.join(timeout=25)
+    assert results == {"overrun": "timeout", "ok": "done"}

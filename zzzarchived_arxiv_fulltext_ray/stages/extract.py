@@ -61,8 +61,12 @@ class RowWatchdog:
     def __init__(self, poll_sec: float = 1.0):
         self._poll = poll_sec
         self._lock = threading.Lock()
-        self._deadline = None
-        self._target_tid = None
+        # tid -> monotonic deadline; keyed per thread so a process
+        # that ever runs rows concurrently (actor max_concurrency>1,
+        # or user code calling run() from two threads) arms one guard
+        # per thread instead of silently disarming the other's —
+        # still one poller thread for the whole process
+        self._deadlines = {}
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -73,27 +77,27 @@ class RowWatchdog:
         while True:
             _time.sleep(self._poll)
             with self._lock:
-                if (
-                    self._deadline is not None
-                    and _time.monotonic() > self._deadline
-                ):
+                now = _time.monotonic()
+                expired = [
+                    tid for tid, dl in self._deadlines.items() if now > dl
+                ]
+                for tid in expired:
                     ctypes.pythonapi.PyThreadState_SetAsyncExc(
-                        ctypes.c_ulong(self._target_tid),
-                        ctypes.py_object(RowTimeout),
+                        ctypes.c_ulong(tid), ctypes.py_object(RowTimeout)
                     )
-                    self._deadline = None
+                    del self._deadlines[tid]
 
     def run(self, fn, seconds, *args):
         import time as _time
 
+        tid = threading.get_ident()
         with self._lock:
-            self._deadline = _time.monotonic() + seconds
-            self._target_tid = threading.get_ident()
+            self._deadlines[tid] = _time.monotonic() + seconds
         try:
             return fn(*args)
         finally:
             with self._lock:
-                self._deadline = None
+                self._deadlines.pop(tid, None)
 
 
 _WATCHDOG_LOCK = threading.Lock()
@@ -101,10 +105,9 @@ _PROCESS_WATCHDOG = None
 
 
 def get_process_watchdog() -> "RowWatchdog":
-    """One watchdog thread per worker process. A single guard slot
-    suffices: Ray executes one task at a time per worker process
-    (actors default to max_concurrency=1; task-pool workers are
-    single-task too)."""
+    """One watchdog thread per worker process; guard state is keyed
+    per thread id, so concurrent rows (actor max_concurrency>1) each
+    keep their own deadline."""
     global _PROCESS_WATCHDOG
     with _WATCHDOG_LOCK:
         if _PROCESS_WATCHDOG is None:
