@@ -992,8 +992,12 @@ def _q_url_blocklist_partitioned(sf_dir: str):
 
 
 def _q_extract_psv(sf_dir: str):
-    """Full pipeline incl. PSV derivation (rows-only: the PSV chain is
-    not SQL-expressible; byte-identity is pinned by the kernel tests)."""
+    """Full pipeline incl. PSV derivation. Oracle: the PSV chain is
+    not SQL-expressible, so the oracle joins pages against a fixture
+    Parquet of the REFERENCE's own normalize_text_psv output keyed by
+    md5(text) (scripts/gen_psv_oracle_fixture.py) — a differential
+    hash check of engine pipeline vs reference kernel over identical
+    ground-truth text."""
     from ..sources.pages import read_pages
     from .extraction import extraction_pipeline
 
@@ -1014,6 +1018,23 @@ TRAINING_QUERIES["top_longest_docs"] = _q_top_longest_docs
 TRAINING_QUERIES["url_blocklist"] = _q_url_blocklist
 TRAINING_QUERIES["url_blocklist_partitioned"] = _q_url_blocklist_partitioned
 TRAINING_QUERIES["extract_psv"] = _q_extract_psv
+TRAINING_ORACLE_SQL["extract_psv"] = """
+WITH pages AS (
+    SELECT
+        'https://site' || lpad(CAST(doc_id % 50 AS VARCHAR), 2, '0')
+            || '.example.org/articles/' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+            AS url,
+        doc_id % 20 AS kind,
+        text
+    FROM documents
+)
+SELECT p.url, f.psv
+FROM pages p
+JOIN read_parquet('/root/repo/tests/fixtures/psv_expected.parquet') f
+  ON md5(p.text) = f.text_md5
+WHERE p.kind NOT IN (4, 5, 6)
+ORDER BY p.url
+"""
 
 TRAINING_ORACLE_SQL["join_priority_revenue_native"] = """
 SELECT o.o_orderpriority,
