@@ -59,6 +59,14 @@ def main():
     ap.add_argument("--global-dedup", action="store_true",
                     help="second-pass latest-crawl winner resolution "
                          "across shards after all shards finish")
+    ap.add_argument("--watch", action="store_true",
+                    help="continuous ingest: keep polling --input and "
+                         "process newly arrived (settled) files via the "
+                         "manifest anti-join; run until interrupted or "
+                         "--watch-max-polls")
+    ap.add_argument("--poll-sec", type=float, default=30.0)
+    ap.add_argument("--watch-max-polls", type=int, default=0,
+                    help="stop after N polls (0 = forever)")
     ap.add_argument("--shard-by", default="files", choices=["files", "dir"],
                     help="'files': group N input files per shard. "
                          "'dir': each immediate parent directory is one "
@@ -87,7 +95,7 @@ def main():
     from zzzarchived_arxiv_fulltext_ray.state import manifest as mf
 
     files = sorted(glob.glob(args.input))
-    if not files:
+    if not files and not args.watch:
         raise SystemExit(f"no input files match {args.input}")
     if args.shard_by == "dir":
         by_dir = {}
@@ -110,12 +118,24 @@ def main():
         )
 
     t0 = time.time()
-    summary = mf.run_resumable(
-        shards, build, args.out,
-        config_fingerprint=mf.default_config_fingerprint(
-            dedup=args.dedup, global_dedup=bool(args.global_dedup)
-        ),
+    fingerprint = mf.default_config_fingerprint(
+        dedup=args.dedup, global_dedup=bool(args.global_dedup)
     )
+    if args.watch:
+        if args.shard_by == "dir":
+            raise SystemExit("--watch supports --shard-by files only")
+        summary = mf.watch_resumable(
+            args.input, build, args.out,
+            files_per_shard=args.files_per_shard,
+            poll_sec=args.poll_sec,
+            max_polls=args.watch_max_polls or None,
+            config_fingerprint=fingerprint,
+            on_poll=lambda t: print(json.dumps({"poll": t}), flush=True),
+        )
+    else:
+        summary = mf.run_resumable(
+            shards, build, args.out, config_fingerprint=fingerprint,
+        )
     if args.global_dedup:
         gd = mf.global_latest_crawl_pass(args.out)
         summary["global_dedup"] = gd

@@ -266,3 +266,61 @@ def test_content_hash_order_independent(ray_session):
     ).random_shuffle(seed=99)
     h2 = dataset_content_hash(shuffled, ["doc_id", "text"])
     assert h1 == h2
+
+
+def test_watch_picks_up_arriving_files_exactly_once(
+    ray_session, tmp_path
+):
+    """--watch (S5 analogue): files dropped between polls are processed
+    exactly once via the manifest anti-join; earlier shard groupings
+    never shift when later files arrive; a no-op poll processes
+    nothing; an unsettled (too-fresh) file waits for the next poll."""
+    import os
+    import time
+
+    t = pq.read_table(f"{SF}/documents.parquet")
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out = tmp_path / "out"
+
+    def drop(name, lo, hi, mtime_ago=120.0):
+        p = in_dir / name
+        pq.write_table(t.slice(lo, hi - lo), p)
+        past = time.time() - mtime_ago
+        os.utime(p, (past, past))
+        return p
+
+    drop("a.parquet", 0, 100)
+    drop("b.parquet", 100, 200)
+
+    polls = []
+    arrivals = {2: lambda: drop("c.parquet", 200, 300),
+                3: lambda: drop("d_fresh.parquet", 300, 400,
+                                mtime_ago=0.0)}
+
+    def on_poll(totals):
+        polls.append(totals)
+        hook = arrivals.pop(totals["polls"], None)
+        if hook:
+            hook()
+
+    totals = mf.watch_resumable(
+        str(in_dir / "*.parquet"), _build, str(out),
+        files_per_shard=2, poll_sec=0.05, settle_sec=60.0,
+        max_polls=4, on_poll=on_poll,
+    )
+    # poll1: a+b -> one shard. poll2: no-op (c arrives after). poll3:
+    # c -> its own shard (a+b grouping unchanged); d too fresh. poll4:
+    # d still unsettled -> skipped known shards only.
+    assert totals["polls"] == 4
+    assert polls[0]["processed"] == 1 and polls[0]["rows"] == 200
+    assert polls[1]["processed"] == 1  # cumulative: no new work
+    assert polls[2]["processed"] == 2 and polls[2]["rows"] == 300
+    assert polls[3]["processed"] == 2  # d_fresh never settled
+    assert totals["rows"] == 300
+    status = mf.run_status(str(out))
+    assert len(status) == 2  # [a, b] and [c] — groups never reshuffled
+    inputs = sorted(
+        tuple(sorted(m["input_fingerprint"].keys())) for m in status
+    )
+    assert sorted(len(i) for i in inputs) == [1, 2]
