@@ -82,6 +82,11 @@ def _decode_pdf_string(raw: bytes) -> bytes:
     return bytes(out)
 
 
+# TJ displacement (thousandths of em, negative = rightward gap) at or
+# beyond which a kern reads as an inter-word space
+KERN_SPACE_THRESHOLD = -180.0
+
+
 def _tokenize_content(stream: bytes):
     """Yield ('str', bytes) for literal/hex strings and ('op', name)
     for operators from a PDF content stream."""
@@ -126,6 +131,20 @@ def _tokenize_content(stream: bytes):
         elif c == 0x25:  # comment
             j = stream.find(b"\n", i)
             i = n if j == -1 else j + 1
+        elif c in (0x5B, 0x5D):  # [ ] — TJ array delimiters
+            yield ("bracket", chr(c))
+            i += 1
+        elif (0x30 <= c <= 0x39) or c in (0x2B, 0x2D, 0x2E):  # number
+            j = i + 1
+            while j < n and (
+                0x30 <= stream[j] <= 0x39 or stream[j] in (0x2E, 0x2D, 0x2B)
+            ):
+                j += 1
+            try:
+                yield ("num", float(stream[i:j]))
+            except ValueError:
+                pass
+            i = j
         else:
             i += 1
 
@@ -171,9 +190,24 @@ def extract_text_from_streams(payload: bytes, require_bt: bool = True) -> str:
         if require_bt and b"BT" not in body:
             continue
         found_stream = True
+        in_array = False
         for kind, value in _tokenize_content(body):
             if kind == "str":
                 pending.append(value)
+            elif kind == "bracket":
+                in_array = value == "["
+            elif kind == "num":
+                # TJ kerning: real-world PDFs (TeX especially) encode
+                # inter-word gaps as negative glyph displacements, not
+                # space glyphs; a displacement beyond ~0.18 em reads as
+                # a word break (the standard naive-extractor heuristic)
+                if (
+                    in_array
+                    and value <= KERN_SPACE_THRESHOLD
+                    and pending
+                    and not pending[-1].endswith(b" ")
+                ):
+                    pending.append(b" ")
             elif value in ("Td", "TD", "T*", "BT"):
                 newline()
             elif value in ("Tj", "TJ"):
