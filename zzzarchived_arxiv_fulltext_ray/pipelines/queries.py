@@ -253,22 +253,29 @@ def _q_segment_revenue(sf_dir: str):
         )
         .to_pandas()
     )
-    seg_by_key = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
-    seg_ref = ray.put(seg_by_key)
+    # broadcast the dim as two aligned arrays; probe via index_in/take
+    # (vectorized) instead of a per-row dict lookup
+    seg_ref = ray.put(
+        (
+            pa.array(cust["c_custkey"], pa.int64()),
+            pa.array(cust["c_mktsegment"], pa.string()),
+        )
+    )
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
     def join_and_partial(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(seg_ref)
-        segs = [lookup.get(k) for k in batch["o_custkey"].to_pylist()]
+        keys, seg_vals = ray.get(seg_ref)
+        idx = pc.index_in(batch["o_custkey"], value_set=keys)
+        segs = pc.take(seg_vals, idx)
         cents = pc.cast(
             pc.round(pc.multiply(batch["o_totalprice"], 100.0), round_mode="half_towards_infinity"), pa.int64()
         )
         t = pa.Table.from_arrays(
             [
-                pa.array(segs),
+                segs,
                 cents,
                 pa.array([1] * batch.num_rows, pa.int64()),
             ],

@@ -142,15 +142,18 @@ def _q_doc_winnow(sf_dir: str):
     )
 
     def flatten(batch: pa.Table) -> pa.Table:
-        ids, hs = [], []
-        for doc_id, fp in zip(
-            batch["doc_id"].to_pylist(), batch["fingerprint"].to_pylist()
-        ):
-            ids.extend([doc_id] * len(fp))
-            hs.extend(int(h) for h in fp)
+        # vectorized list explode: child buffer + repeat on lengths
+        import numpy as np
+        import pyarrow.compute as pc
+
+        col = batch["fingerprint"].combine_chunks()
+        lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        ids = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), lengths
+        )
         return pa.Table.from_pydict(
             {"doc_id": pa.array(ids, pa.int64()),
-             "fp_hash": pa.array(hs, pa.uint64())}
+             "fp_hash": col.flatten().cast(pa.uint64())}
         )
 
     return (
@@ -185,6 +188,21 @@ def stratified_keep(doc_id: int, lang: str) -> bool:
     return (doc_id * _STRATA_MIX) % _STRATA_MOD % 1000 < rate
 
 
+def stratified_keep_mask(doc_ids, langs) -> "pa.Array":
+    """Vectorized membership: same pure function of (doc_id, lang) as
+    :func:`stratified_keep`, computed over whole columns."""
+    import numpy as np
+
+    d = np.asarray(doc_ids, dtype=np.uint64)
+    bucket = (d * np.uint64(_STRATA_MIX)) % np.uint64(_STRATA_MOD) % np.uint64(1000)
+    uniq, codes = np.unique(np.asarray(langs), return_inverse=True)
+    rates = np.array(
+        [_STRATA_PERMILLE.get(l, _STRATA_DEFAULT_PERMILLE) for l in uniq],
+        dtype=np.uint64,
+    )
+    return pa.array(bucket < rates[codes], pa.bool_())
+
+
 def _q_stratified_sample(sf_dir: str):
     """Deterministic per-language downsampling (data-curation op):
     membership is a pure function of (doc_id, lang), so the sample is
@@ -193,16 +211,12 @@ def _q_stratified_sample(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        keep = pa.array(
-            [
-                stratified_keep(d, l)
-                for d, l in zip(
-                    batch["doc_id"].to_pylist(), batch["lang"].to_pylist()
-                )
-            ],
-            pa.bool_(),
+        kept = batch.filter(
+            stratified_keep_mask(
+                batch["doc_id"].to_numpy(zero_copy_only=False),
+                batch["lang"].to_numpy(zero_copy_only=False),
+            )
         )
-        kept = batch.filter(keep)
         t = pa.Table.from_arrays(
             [
                 kept["lang"].combine_chunks(),

@@ -23,12 +23,29 @@ from typing import List
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .relational import partitioned_hash_join
 
 
 def _matrix_of(batch: pa.Table) -> np.ndarray:
-    return np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+    """(n, dim) float64 matrix from the list<float> column — flattened
+    straight off the Arrow child buffer (one cast, no per-row Python);
+    falls back to the row-wise path for ragged/null inputs."""
+    col = batch["embedding"].combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if col.null_count == 0:
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        if flat.size % n == 0:
+            dim = flat.size // n
+            lengths = pc.list_value_length(col).to_numpy(
+                zero_copy_only=False
+            )
+            if (lengths == dim).all():
+                return flat.reshape(n, dim).astype(np.float64, copy=False)
+    return np.array(col.to_pylist(), dtype=np.float64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -41,13 +58,10 @@ def load_query_matrix(emb_ds, query_ids: List[int]):
     """Materialize + broadcast the (small) query matrix once."""
     import ray
 
-    qset = set(query_ids)
+    qset = pa.array(sorted(set(query_ids)), pa.int64())
 
     def pick(batch: pa.Table) -> pa.Table:
-        mask = pa.array(
-            [v in qset for v in batch["vec_id"].to_pylist()], pa.bool_()
-        )
-        return batch.filter(mask)
+        return batch.filter(pc.is_in(batch["vec_id"], value_set=qset))
 
     qdf = (
         emb_ds.map_batches(pick, batch_format="pyarrow")
@@ -468,8 +482,8 @@ def ivf_topk(
     qids_arr, qmat = ray.get(qref)
     sims_qc = qmat @ centroids.T
     for qi, qid in enumerate(qids_arr):
-        probe_lists[int(qid)] = set(
-            np.argsort(-sims_qc[qi])[:n_probe].tolist()
+        probe_lists[int(qid)] = np.sort(
+            np.argsort(-sims_qc[qi])[:n_probe].astype(np.int32)
         )
     pref = ray.put(probe_lists)
 
@@ -482,8 +496,7 @@ def ivf_topk(
         sims = qmat_w @ mat.T
         out_q, out_n, out_s = [], [], []
         for qi, qid in enumerate(qids):
-            allowed = probes[int(qid)]
-            mask = np.array([l in allowed for l in lists]) & (vids != qid)
+            mask = np.isin(lists, probes[int(qid)]) & (vids != qid)
             idxs = np.where(mask)[0]
             # sim desc, neighbor_id asc on ties (same as merge_topk)
             order = idxs[np.lexsort((vids[idxs], -sims[qi, idxs]))][:k]
