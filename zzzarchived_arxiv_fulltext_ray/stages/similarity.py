@@ -200,28 +200,22 @@ def embedding_neardup_blockpair(
         blocks = np.asarray(group["block"].to_pylist(), dtype=np.int64)
         vids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
         mat = np.stack([_emb_of_blob(b) for b in group["emb"].to_pylist()])
-        out_a, out_b, out_s = [], [], []
+        out_a = out_b = out_s = np.empty(0)
         if lo == hi:
             sims = mat @ mat.T
             rows, cols = np.where(sims >= threshold)
-            for r, c in zip(rows, cols):
-                if vids[r] < vids[c]:
-                    out_a.append(int(vids[r]))
-                    out_b.append(int(vids[c]))
-                    out_s.append(float(sims[r, c]))
+            m = vids[rows] < vids[cols]
+            out_a, out_b = vids[rows[m]], vids[cols[m]]
+            out_s = sims[rows[m], cols[m]]
         else:
             li = np.where(blocks == lo)[0]
             ri = np.where(blocks == hi)[0]
             if li.size and ri.size:
                 sims = mat[li] @ mat[ri].T
                 rows, cols = np.where(sims >= threshold)
-                for r, c in zip(rows, cols):
-                    a, b = int(vids[li[r]]), int(vids[ri[c]])
-                    if a > b:
-                        a, b = b, a
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_s.append(float(sims[r, c]))
+                a, b = vids[li[rows]], vids[ri[cols]]
+                out_a, out_b = np.minimum(a, b), np.maximum(a, b)
+                out_s = sims[rows, cols]
         return pa.Table.from_pydict(
             {
                 "vec_a": pa.array(out_a, pa.int64()),
@@ -250,19 +244,13 @@ def embedding_neardup_broadcast(emb_ds, threshold: float = 0.4):
         vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
         bm = _normalize(_matrix_of(batch))
         sims = bm @ mat.T  # (n_batch, n_corpus)
-        out_a, out_b, out_s = [], [], []
-        for r in range(sims.shape[0]):
-            hits = np.where(sims[r] >= threshold)[0]
-            for c in hits:
-                if vids[r] < ids[c]:  # emit each unordered pair once
-                    out_a.append(int(vids[r]))
-                    out_b.append(int(ids[c]))
-                    out_s.append(float(sims[r, c]))
+        rows, cols = np.where(sims >= threshold)
+        m = vids[rows] < np.asarray(ids)[cols]  # each unordered pair once
         return pa.Table.from_pydict(
             {
-                "vec_a": pa.array(out_a, pa.int64()),
-                "vec_b": pa.array(out_b, pa.int64()),
-                "sim": pa.array(out_s, pa.float64()),
+                "vec_a": pa.array(vids[rows[m]], pa.int64()),
+                "vec_b": pa.array(np.asarray(ids)[cols[m]], pa.int64()),
+                "sim": pa.array(sims[rows[m], cols[m]], pa.float64()),
             }
         )
 
