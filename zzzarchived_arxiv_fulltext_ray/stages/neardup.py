@@ -515,18 +515,24 @@ def neardup_pairs(
       verify task reads it zero-copy — right while the map fits a
       node (<= ~10^6-10^7 docs), and much faster there because the
       shingle table ships once, not once per pair.
-    * "auto" (default): one cheap projected ``count()`` picks
-      broadcast below ``broadcast_max_docs``; above it, "counts" for
-      ngram and "partitioned" for minhash — the engine's standard
-      small-side-broadcast vs shuffle choice.
+    * "auto" (default): ngram always takes "counts" — measured at or
+      faster than the broadcast verify at sf0.1 (2.5-5.8 s vs
+      3.3-4.4 s) with zero broadcast state, so there is no regime
+      where broadcast wins enough to justify holding the corpus map.
+      minhash picks broadcast below ``broadcast_max_docs`` (one cheap
+      projected ``count()``) and the partitioned blob join above — the
+      standard small-side-broadcast vs shuffle choice.
     """
     if verify == "auto":
-        n_docs = docs_ds.select_columns(["doc_id"]).count()
-        verify = (
-            "broadcast"
-            if n_docs <= broadcast_max_docs
-            else ("counts" if method == "ngram" else "partitioned")
-        )
+        if method == "ngram":
+            verify = "counts"
+        else:
+            n_docs = docs_ds.select_columns(["doc_id"]).count()
+            verify = (
+                "broadcast"
+                if n_docs <= broadcast_max_docs
+                else "partitioned"
+            )
     if verify == "counts":
         if method != "ngram":
             raise ValueError(
