@@ -1,0 +1,180 @@
+"""Connected-components dedup clustering + as-of join tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pairs_items():
+    # two clusters {1,2,3,9} (chained, not all pairwise) and {5,7},
+    # plus an isolated pair {10, 11}
+    return [
+        {"doc_a": 1, "doc_b": 2, "jaccard": 0.9},
+        {"doc_a": 2, "doc_b": 3, "jaccard": 0.8},
+        {"doc_a": 3, "doc_b": 9, "jaccard": 0.7},
+        {"doc_a": 5, "doc_b": 7, "jaccard": 0.6},
+        {"doc_a": 10, "doc_b": 11, "jaccard": 0.5},
+    ]
+
+
+EXPECT = {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5, 10: 10, 11: 10}
+
+
+@pytest.mark.parametrize("method", ["driver", "distributed"])
+def test_components_methods_equal(ray_session, method):
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.components import (
+        neardup_components,
+    )
+
+    got = (
+        neardup_components(ray.data.from_items(_pairs_items()), method=method)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert dict(zip(got.doc_id, got.component)) == EXPECT
+
+
+def test_components_chain_diameter(ray_session):
+    """A long chain exercises multi-round propagation: 0-1-2-...-19
+    collapses to component 0 (diameter 19 > 1 round)."""
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.components import (
+        neardup_components,
+    )
+
+    pairs = [
+        {"doc_a": i, "doc_b": i + 1, "jaccard": 1.0} for i in range(19)
+    ]
+    got = (
+        neardup_components(
+            ray.data.from_items(pairs), method="distributed"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert got.component.tolist() == [0] * 20
+
+
+def test_canonical_filter_keeps_cluster_minimum(ray_session):
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.components import (
+        canonical_filter,
+        neardup_components,
+    )
+
+    comp = neardup_components(
+        ray.data.from_items(_pairs_items()), method="driver"
+    )
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": f"doc {i}"} for i in range(12)]
+    )
+    kept = sorted(canonical_filter(docs, comp).to_pandas().doc_id)
+    # losers 2,3,9,7,11 removed; everything else (incl. non-clustered)
+    assert kept == [0, 1, 4, 5, 6, 8, 10]
+
+
+def test_components_on_real_neardup_pairs(ray_session):
+    """End-to-end: ngram pairs over the corpus -> components match a
+    brute-force union-find over the same pairs."""
+    import itertools
+
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.functions import shingles as sk
+    from zzzarchived_arxiv_fulltext_ray.stages.components import (
+        neardup_components,
+    )
+    from zzzarchived_arxiv_fulltext_ray.stages.neardup import neardup_pairs
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    hs = {r.doc_id: sk.shingle_hashes(r.text) for r in docs.itertuples()}
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(sorted(hs), 2):
+        if sk.jaccard_arrays(hs[a], hs[b]) >= 0.5:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    expect = {d: find(d) for d in sorted(parent)}
+
+    pairs = neardup_pairs(
+        ray.data.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        method="ngram",
+        threshold=0.5,
+    )
+    got = neardup_components(pairs, method="distributed").to_pandas()
+    assert dict(zip(got.doc_id, got.component)) == expect
+
+
+def test_asof_join_matches_pandas_merge_asof(ray_session):
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.asof import asof_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 200),
+            "t": rng.integers(0, 10_000, 200).astype("int64"),
+            "lv": np.arange(200),
+        }
+    ).drop_duplicates(["k", "t"])
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 150),
+            "t": rng.integers(0, 10_000, 150).astype("int64"),
+            "rv": np.arange(150) * 10,
+        }
+    ).drop_duplicates(["k", "t"])
+
+    got = (
+        asof_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            key="k",
+            on="t",
+        )
+        .to_pandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("t"),
+        right.sort_values("t"),
+        on="t",
+        by="k",
+        direction="backward",
+    ).sort_values(["k", "t"]).reset_index(drop=True)
+    assert got[["k", "t", "lv"]].equals(want[["k", "t", "lv"]])
+    assert (
+        got["rv"].fillna(-1).astype(int).tolist()
+        == want["rv"].fillna(-1).astype(int).tolist()
+    )
+
+    inner = asof_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        key="k",
+        on="t",
+        how="inner",
+    ).to_pandas()
+    assert len(inner) == int(want["rv"].notna().sum())
+    assert inner["rv"].notna().all()

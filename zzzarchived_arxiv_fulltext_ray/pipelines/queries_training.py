@@ -407,8 +407,7 @@ def _q_events_windowed(sf_dir: str):
 # Tokenization mirrors Python str.split(): any whitespace run splits,
 # empties dropped; docs with 0 < words < k yield ONE short shingle
 # (functions/shingles.py word_shingles), empty docs yield none.
-_SHINGLE_JACCARD_SQL = """
-WITH t AS (SELECT doc_id,
+_SHINGLE_CTE = """t AS (SELECT doc_id,
                   list_filter(regexp_split_to_array(text, '\\s+'),
                               x -> x <> '') AS w
            FROM documents),
@@ -419,7 +418,10 @@ sh AS (
                 ELSE list_distinct(list_transform(range(1, len(w) - 1),
                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS s
     FROM t
-)
+)"""
+
+_SHINGLE_JACCARD_SQL = (
+    "WITH " + _SHINGLE_CTE + """
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
            / len(list_distinct(a.s || b.s)) AS jaccard
@@ -428,6 +430,94 @@ WHERE len(list_distinct(a.s || b.s)) > 0
   AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
           / len(list_distinct(a.s || b.s)) >= 0.5
 """
+)
+
+# Connected components of the near-dup pair graph as a recursive-CTE
+# transitive closure (component = min reachable doc_id, incl. self)
+_COMPONENTS_SQL = (
+    "WITH RECURSIVE " + _SHINGLE_CTE + """,
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_distinct(a.s || b.s)) > 0
+      AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(a.s || b.s)) >= 0.5
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
+FROM reach GROUP BY a ORDER BY doc_id
+"""
+)
+
+
+def _q_dedup_components(sf_dir: str):
+    """Near-dup CLUSTERING: ngram pairs -> connected components via
+    distributed min-label propagation (the scale plan; driver
+    union-find pinned equal in pytest). component = min doc_id of the
+    cluster — the canonical survivor. Oracle: recursive-CTE transitive
+    closure over the same SQL-expressed pair graph."""
+    from ..stages.components import neardup_components
+    from ..stages.neardup import neardup_pairs
+
+    pairs = neardup_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), method="ngram", threshold=0.5
+    )
+    out = neardup_components(pairs, method="distributed").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_events_asof(sf_dir: str):
+    """As-of join: each click event enriched with the user's most
+    recent view event (cents; DuckDB ASOF LEFT JOIN oracle)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..stages.asof import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+    def prep(kind: str, cents_name: str, keep_event_id: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["event_type"], kind))
+            cents = pc.cast(
+                pc.round(
+                    pc.multiply(t["value"], 100.0),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+            cols = {}
+            if keep_event_id:
+                cols["event_id"] = t["event_id"]
+            cols["user_id"] = t["user_id"]
+            cols["ts"] = t["ts"]
+            cols[cents_name] = cents
+            return pa.Table.from_pydict(cols)
+
+        return fn
+
+    left = ev.map_batches(
+        prep("click", "cents", True), batch_format="pyarrow"
+    )
+    right = ev.map_batches(
+        prep("view", "view_cents", False), batch_format="pyarrow"
+    )
+    out = asof_join(left, right, key="user_id", on="ts").to_pandas()
+    # unmatched lefts make the int column nullable; pin float64 so the
+    # dtype matches what DuckDB's NULL-bearing BIGINT arrives as
+    out["view_cents"] = out["view_cents"].astype("float64")
+    return out.sort_values("event_id").reset_index(drop=True)
 
 
 def _sql_list(words) -> str:
@@ -500,6 +590,8 @@ FROM v GROUP BY verdict ORDER BY verdict
 TRAINING_QUERIES: Dict[str, Callable] = {
     "dedup_ngram": _q_dedup_ngram,
     "dedup_ngram_partitioned": _q_dedup_ngram_partitioned,
+    "dedup_components": _q_dedup_components,
+    "events_asof": _q_events_asof,
     "dedup_minhash": _q_dedup_minhash,
     "dedup_simhash": _q_dedup_simhash,
     "ann_topk": _q_ann_topk,
@@ -520,6 +612,25 @@ TRAINING_QUERIES: Dict[str, Callable] = {
 TRAINING_ORACLE_SQL: Dict[str, str] = {
     "dedup_ngram": _SHINGLE_JACCARD_SQL,
     "dedup_ngram_partitioned": _SHINGLE_JACCARD_SQL,
+    "dedup_components": _COMPONENTS_SQL,
+    "events_asof": """
+    WITH clicks AS (
+        SELECT event_id, user_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+        SELECT user_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS view_cents
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT c.event_id, c.user_id, c.ts, c.cents,
+           CAST(v.view_cents AS DOUBLE) AS view_cents,
+           v.ts AS matched_ts
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    ORDER BY c.event_id
+    """,
     "dedup_minhash": _SHINGLE_JACCARD_SQL,
     # dedup_simhash, doc_winnow: rows-only (bit-mixing not in SQL)
     "ann_topk": """
