@@ -178,3 +178,41 @@ def test_asof_join_matches_pandas_merge_asof(ray_session):
     ).to_pandas()
     assert len(inner) == int(want["rv"].notna().sum())
     assert inner["rv"].notna().all()
+
+
+def test_tfidf_matches_brute_force(ray_session):
+    import math
+    from collections import Counter
+
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.tfidf import doc_tfidf_topk
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    n = len(docs)
+    tfs = {r.doc_id: Counter(r.text.split()) for r in docs.itertuples()}
+    df = Counter()
+    for c in tfs.values():
+        df.update(c.keys())
+    expect = {}
+    for d, c in tfs.items():
+        ranked = sorted(
+            ((tf * math.log(n / df[t]), t) for t, tf in c.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        expect[d] = [t for _, t in ranked]
+
+    got = doc_tfidf_topk(
+        ray.data.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        k=3,
+    ).to_pandas()
+    by_doc = {
+        d: sorted(g.token) for d, g in got.groupby("doc_id")
+    }
+    assert set(by_doc) == set(expect)
+    for d in expect:
+        assert by_doc[d] == sorted(expect[d]), d

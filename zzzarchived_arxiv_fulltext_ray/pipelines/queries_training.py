@@ -520,6 +520,15 @@ def _q_events_asof(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_doc_tfidf(sf_dir: str):
+    """TF-IDF top-3 terms per document: distributed df aggregate +
+    bucketed token join + per-doc top-k (weight desc, token asc)."""
+    from ..stages.tfidf import doc_tfidf_topk
+
+    out = doc_tfidf_topk(_docs(sf_dir, ["doc_id", "text"]), k=3).to_pandas()
+    return out.sort_values(["doc_id", "token"]).reset_index(drop=True)
+
+
 def _sql_list(words) -> str:
     return "[" + ", ".join(f"'{w}'" for w in sorted(words)) + "]"
 
@@ -592,6 +601,7 @@ TRAINING_QUERIES: Dict[str, Callable] = {
     "dedup_ngram_partitioned": _q_dedup_ngram_partitioned,
     "dedup_components": _q_dedup_components,
     "events_asof": _q_events_asof,
+    "doc_tfidf": _q_doc_tfidf,
     "dedup_minhash": _q_dedup_minhash,
     "dedup_simhash": _q_dedup_simhash,
     "ann_topk": _q_ann_topk,
@@ -630,6 +640,36 @@ TRAINING_ORACLE_SQL: Dict[str, str] = {
     FROM clicks c ASOF LEFT JOIN views v
       ON c.user_id = v.user_id AND c.ts >= v.ts
     ORDER BY c.event_id
+    """,
+    "doc_tfidf": """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM tok GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, count(DISTINCT doc_id) AS df
+        FROM tok GROUP BY token
+    ),
+    n AS (SELECT count(*) AS n FROM documents),
+    w AS (
+        SELECT tf.doc_id, tf.token,
+               tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS weight
+        FROM tf JOIN df USING (token), n
+    )
+    SELECT doc_id, token, weight
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY weight DESC, token
+        ) AS rn FROM w
+    )
+    WHERE rn <= 3
+    ORDER BY doc_id, token
     """,
     "dedup_minhash": _SHINGLE_JACCARD_SQL,
     # dedup_simhash, doc_winnow: rows-only (bit-mixing not in SQL)
