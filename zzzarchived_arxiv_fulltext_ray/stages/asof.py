@@ -82,8 +82,10 @@ def asof_join(left_ds, right_ds, key: str, on: str, how: str = "left"):
         rt = group.filter(pc.invert(is_left))
         lt = lt.sort_by(on)
         rt = rt.sort_by(on)
-        lo = lt[on].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        ro = rt[on].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # native dtype comparison (datetime64 for timestamps, float
+        # stays float) — no int64 cast that would truncate float keys
+        lo = lt[on].to_numpy(zero_copy_only=False)
+        ro = rt[on].to_numpy(zero_copy_only=False)
         idx = np.searchsorted(ro, lo, side="right") - 1
         matched = idx >= 0
         safe = pa.array(np.maximum(idx, 0), pa.int64())

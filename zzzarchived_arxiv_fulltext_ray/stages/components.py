@@ -12,13 +12,13 @@ doc_id in the cluster — deterministic, joinable back to the corpus):
   output* (O(duplicate rate), not O(corpus)); driver state is two
   ints per distinct doc appearing in a pair. Right whenever that set
   fits one machine — up to ~10^8 pair-docs.
-* ``distributed`` — iterative min-label propagation expressed as Ray
-  Data exchanges: labels start as each node's own id; every round
-  each node takes the min of its label and its neighbors' labels
-  (edge join + groupby-min), until a round changes nothing.
-  Converges in O(cluster diameter) rounds — near-dup clusters are
-  shallow (pairwise-similar docs link almost directly), so typically
-  2-4 rounds. No driver state beyond the changed-row counter.
+* ``distributed`` — iterative min-label propagation with pointer
+  jumping, expressed as Ray Data exchanges: labels start as each
+  node's own id; every round each node takes the min over its label,
+  its neighbors' labels (edge join + groupby-min) and its label's
+  label (the pointer jump), converging in O(log diameter) rounds —
+  near-dup clusters are shallow, so typically 2-3 rounds. Driver
+  state is one label-sum per round (monotone convergence check).
 
 ``components="auto"`` counts the pair stream once and picks driver
 below ``driver_max_pairs``. Both plans are pinned equal in tests and
