@@ -429,3 +429,31 @@ def test_ngram_counts_drop_guard(ray_session):
             ray.data.from_items(docs), threshold=0.5, max_bucket=4,
             on_drop="error",
         )
+
+
+def test_neardup_no_duplicates_corpus(ray_session):
+    """A corpus with zero near-dup pairs must yield empty results (not
+    schema errors) through every verify plan and through simhash."""
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.neardup import (
+        neardup_pairs,
+        simhash_pairs,
+    )
+
+    docs = ray.data.from_items(
+        [{"doc_id": i,
+          "text": f"totally unique document number {i} about topic"
+                  f" alpha{i} beta{i} gamma{i} delta{i} epsilon{i}"}
+         for i in range(20)]
+    )
+    for verify in ("broadcast", "partitioned", "counts"):
+        got = neardup_pairs(
+            ray.data.from_items(docs.take_all()), method="ngram",
+            threshold=0.9, verify=verify,
+        ).to_pandas()
+        assert len(got) == 0, verify
+    sh = simhash_pairs(
+        ray.data.from_items(docs.take_all()), max_hamming=0
+    ).to_pandas()
+    assert len(sh) == 0

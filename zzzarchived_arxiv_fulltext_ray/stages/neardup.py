@@ -248,6 +248,20 @@ def verify_jaccard(pairs_ds, shingle_map_ref, threshold: float):
     return pairs_ds.map_batches(verify, batch_format="pyarrow")
 
 
+def _empty_pairs_ds():
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    )
+
+
 def verify_jaccard_partitioned(
     pairs_ds, shingled_ds, threshold: float, num_buckets: int = 64
 ):
@@ -255,6 +269,8 @@ def verify_jaccard_partitioned(
     candidate pairs against the shingle table on doc_a, then doc_b,
     then score each pair locally. Two bounded shuffles; per-task state
     is one bucket's pairs + shingle rows, never the corpus."""
+    if pairs_ds.schema() is None:  # zero candidates -> schema-less
+        return _empty_pairs_ds()
 
     def as_side(name):
         def rename(batch: pa.Table) -> pa.Table:
