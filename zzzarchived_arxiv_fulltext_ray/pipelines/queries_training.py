@@ -520,6 +520,56 @@ def _q_events_asof(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _sample_per_lang_partial(batch: pa.Table, k: int = 10) -> pa.Table:
+    """Vectorized per-batch partial of the fixed-size per-language
+    sample: keep each language's k docs with the smallest Knuth-mix
+    hash of doc_id (asc, doc_id tiebreak). The global winners are
+    within every batch's winners, so the partial is lossless — the
+    same combiner-tree shape as the grouped top-k."""
+    import numpy as np
+
+    langs = batch["lang"].to_numpy(zero_copy_only=False)
+    d = batch["doc_id"].to_numpy(zero_copy_only=False)
+    key = (d.astype(np.uint64) * np.uint64(_STRATA_MIX)) % np.uint64(
+        _STRATA_MOD
+    )
+    _, codes = np.unique(langs, return_inverse=True)
+    order = np.lexsort((d, key, codes))
+    codes_s = codes[order]
+    starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+    sizes = np.diff(np.r_[starts, codes_s.size])
+    rank = np.arange(codes_s.size) - np.repeat(starts, sizes)
+    keep = order[rank < k]
+    return pa.Table.from_pydict(
+        {
+            "lang": pa.array(langs[keep], pa.string()),
+            "doc_id": pa.array(d[keep], pa.int64()),
+        }
+    )
+
+
+def _q_lang_sample(sf_dir: str):
+    """Deterministic fixed-SIZE per-language sample (k=10 docs per
+    language) — the bounded-count complement of the rate-based
+    stratified_sample: rank docs per language by a Knuth multiplicative
+    hash of doc_id (pure BIGINT arithmetic, so the oracle reproduces
+    the exact membership) and keep the k smallest, via per-batch
+    partial -> coalesce -> partial -> tiny merge. No whole-group
+    shuffle at any corpus size."""
+    partials = (
+        _docs(sf_dir, ["lang", "doc_id"])
+        .map_batches(_sample_per_lang_partial, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(_sample_per_lang_partial, batch_format="pyarrow")
+    )
+    out = (
+        partials.groupby("lang")
+        .map_groups(_sample_per_lang_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
 def _q_doc_tfidf(sf_dir: str):
     """TF-IDF top-3 terms per document: distributed df aggregate +
     bucketed token join + per-doc top-k (weight desc, token asc)."""
@@ -602,6 +652,7 @@ TRAINING_QUERIES: Dict[str, Callable] = {
     "dedup_components": _q_dedup_components,
     "events_asof": _q_events_asof,
     "doc_tfidf": _q_doc_tfidf,
+    "lang_sample": _q_lang_sample,
     "dedup_minhash": _q_dedup_minhash,
     "dedup_simhash": _q_dedup_simhash,
     "ann_topk": _q_ann_topk,
@@ -670,6 +721,17 @@ TRAINING_ORACLE_SQL: Dict[str, str] = {
     )
     WHERE rn <= 3
     ORDER BY doc_id, token
+    """,
+    "lang_sample": """
+    SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 10
+    ORDER BY lang, doc_id
     """,
     "dedup_minhash": _SHINGLE_JACCARD_SQL,
     # dedup_simhash, doc_winnow: rows-only (bit-mixing not in SQL)
