@@ -30,35 +30,37 @@ from ..functions.hashing import bucket_of_column
 
 
 def dup_winner_map(
-    ds, num_buckets: int = 64, combine_partitions: int = 16
+    ds, num_buckets: int = 64, partial_batch_size: int = 65536
 ) -> dict:
     """url -> max(warc_ts as int64 micros), for urls with >1 crawl.
 
     Dict spelling of :func:`dup_winner_table` (kept for manifest-level
     summaries); the filter stages use the Arrow table directly."""
-    t = dup_winner_table(ds, num_buckets, combine_partitions)
+    t = dup_winner_table(ds, num_buckets, partial_batch_size)
     return dict(
         zip(t["url"].to_pylist(), t["max_ts"].to_pylist())
     )
 
 
 def dup_winner_table(
-    ds, num_buckets: int = 64, combine_partitions: int = 16
+    ds, num_buckets: int = 64, partial_batch_size: int = 65536
 ) -> pa.Table:
     """(url, max_ts int64 micros) rows, ONLY for urls with >1 crawl.
 
     Distributed: batch-level combine (vectorized per-batch groupby)
-    first, so the shuffle moves at most one (url, max_ts, n) row per
-    url per batch; the tiny partial stream is coalesced to
-    ``combine_partitions`` blocks (Ray's sort-shuffle overhead is
-    per-block — coalescing 256 -> 16 blocks measured 7-9 s -> ~2 s on
-    170k partial rows), then hash-exchanged on hash64(url) %
+    over LARGE batches (``partial_batch_size``) first, so the partial
+    stream is few, big blocks with at most one (url, max_ts, n) row
+    per url per batch, then ONE hash exchange on hash64(url) %
     ``num_buckets`` (vectorized polars xxhash — in-flight only) with a
-    vectorized Arrow combine per bucket. The duplicate filter runs
-    distributed, so the driver only ever holds urls that actually have
-    >1 crawl — O(dup-rate) driver state, never O(#urls). Sizing: each
-    reduce task holds about #urls/num_buckets (url, int64, int64) rows
-    — raise both knobs proportionally in the 10^10+-url regime.
+    vectorized Arrow combine per bucket. Ray's sort-shuffle cost is
+    per-block, so sizing the partial batches IS the coalescing step —
+    measured 1.0 s vs 2.5 s for the earlier
+    partial -> repartition(16) -> groupby spelling and 6.3 s for
+    small-batch partials, on 160k partial rows at 32 CPUs. The
+    duplicate filter runs distributed, so the driver only ever holds
+    urls that actually have >1 crawl — O(dup-rate) driver state, never
+    O(#urls). Sizing: each reduce task holds about #urls/num_buckets
+    (url, int64, int64) rows — raise ``num_buckets`` with corpus size.
     """
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -83,8 +85,9 @@ def dup_winner_table(
 
     dup_winners = (
         ds.select_columns(["url", "warc_ts"])
-        .map_batches(partial, batch_format="pyarrow")
-        .repartition(combine_partitions)
+        .map_batches(
+            partial, batch_format="pyarrow", batch_size=partial_batch_size
+        )
         .groupby("bucket")
         .map_groups(combine_bucket, batch_format="pyarrow")
     )
