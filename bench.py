@@ -193,7 +193,7 @@ def run_once() -> dict:
     # shared VM swings +-15-20% with identical code; the minimum is
     # the stable estimate of the pipeline's true cost. All runs are
     # reported alongside the chosen value.
-    n_runs = int(os.environ.get("GRAFT_HEADLINE_RUNS", "2"))
+    n_runs = int(os.environ.get("GRAFT_HEADLINE_RUNS", "3"))
     runs = [headline(ray) for _ in range(max(1, n_runs))]
     head = min(runs, key=lambda r: r["sec"])
     queries = (
