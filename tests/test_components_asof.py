@@ -216,3 +216,37 @@ def test_tfidf_matches_brute_force(ray_session):
     assert set(by_doc) == set(expect)
     for d in expect:
         assert by_doc[d] == sorted(expect[d]), d
+
+
+def test_asof_join_edge_cases(ray_session):
+    """Keys with no right rows, right rows all after the left row, and
+    an exact timestamp tie (which MUST match, <=)."""
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.asof import asof_join
+
+    left = pd.DataFrame(
+        {"k": [1, 2, 3, 4], "t": [100, 100, 100, 100],
+         "lv": [10, 20, 30, 40]}
+    )
+    right = pd.DataFrame(
+        {
+            # k=1: before (match), k=2: after only (no match),
+            # k=3: exact tie (match), k=4: absent (no match)
+            "k": [1, 2, 3],
+            "t": [50, 150, 100],
+            "rv": [500, 600, 700],
+        }
+    )
+    got = (
+        asof_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            key="k", on="t",
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got.k.tolist() == [1, 2, 3, 4]
+    assert got.rv.fillna(-1).tolist() == [500, -1, 700, -1]
+    assert got.matched_t.fillna(-1).tolist() == [50, -1, 100, -1]

@@ -82,6 +82,13 @@ def asof_join(left_ds, right_ds, key: str, on: str, how: str = "left"):
         rt = group.filter(pc.invert(is_left))
         lt = lt.sort_by(on)
         rt = rt.sort_by(on)
+        if rt.num_rows == 0:  # key has no right rows at all
+            cols = {name: lt[name] for name in left_cols}
+            for name, typ in right_value_fields:
+                cols[name] = pa.nulls(lt.num_rows, type=typ)
+            cols[f"matched_{on}"] = pa.nulls(lt.num_rows, type=on_type)
+            out = pa.Table.from_pydict(cols)
+            return out.slice(0, 0) if how == "inner" else out
         # native dtype comparison (datetime64 for timestamps, float
         # stays float) — no int64 cast that would truncate float keys
         lo = lt[on].to_numpy(zero_copy_only=False)
