@@ -1,0 +1,171 @@
+"""Webtext-curation operators: PII scrubbing, per-domain cap,
+decontamination (both physical plans pinned equal), repetition."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from zzzarchived_arxiv_fulltext_ray.stages.webtext import (
+    capped_topk_per_key,
+    decontaminate,
+    pii_scrub_batch,
+    repetition_batch,
+    shingle_hash_batch,
+    topk_per_key_partial,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _t(**cols):
+    return pa.Table.from_pydict(cols)
+
+
+# ------------------------------------------------------------- PII
+
+def test_pii_scrub_counts_and_redaction():
+    out = pii_scrub_batch(
+        _t(
+            doc_id=[1, 2, 3],
+            text=[
+                "mail a.b+c@x-y.example.com twice a@b.io end",
+                "call 415-555-0001 or 415-555-0002 from 10.0.0.1",
+                "clean document",
+            ],
+        )
+    )
+    assert out["n_email"].to_pylist() == [2, 0, 0]
+    assert out["n_phone"].to_pylist() == [0, 2, 0]
+    assert out["n_ip"].to_pylist() == [0, 1, 0]
+    assert out["clean"].to_pylist() == [
+        "mail <EMAIL> twice <EMAIL> end",
+        "call <PHONE> or <PHONE> from <IP>",
+        "clean document",
+    ]
+
+
+def test_pii_email_domain_not_counted_as_ip():
+    # the email's dotted domain must be redacted before the IP pass
+    out = pii_scrub_batch(_t(doc_id=[1], text=["u@10.1.2.3.example.com x"]))
+    assert out["n_email"].to_pylist() == [1]
+    assert out["n_ip"].to_pylist() == [0]
+
+
+# ------------------------------------------------------ grouped cap
+
+def test_topk_partial_is_lossless_building_block():
+    batch = _t(
+        domain=["a", "a", "a", "b", "b"],
+        doc_id=[1, 2, 3, 4, 5],
+        n_chars=[10, 30, 30, 5, 7],
+    )
+    out = topk_per_key_partial(batch, "domain", k=2, val="n_chars")
+    got = sorted(zip(out["domain"].to_pylist(), out["doc_id"].to_pylist()))
+    # ties broken by doc_id asc: a keeps 2,3 (30,30); b keeps both
+    assert got == [("a", 2), ("a", 3), ("b", 4), ("b", 5)]
+
+
+def test_capped_topk_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "domain": [f"d{int(x)}" for x in rng.integers(0, 17, n)],
+            "doc_id": np.arange(n, dtype=np.int64),
+            "n_chars": rng.integers(0, 1000, n).astype(np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(9)
+    got = (
+        capped_topk_per_key(ds, "domain", k=4, val="n_chars")
+        .to_pandas()
+        .sort_values(["domain", "doc_id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(
+            ["domain", "n_chars", "doc_id"],
+            ascending=[True, False, True],
+        )
+        .groupby("domain")
+        .head(4)
+        .sort_values(["domain", "doc_id"])
+        .reset_index(drop=True)[["domain", "doc_id", "n_chars"]]
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+# -------------------------------------------------- decontamination
+
+def test_shingle_hash_dedups_and_skips_short_docs():
+    out = shingle_hash_batch(
+        _t(doc_id=[1, 2], text=["a b a b a b", "too short"]), n=3
+    )
+    # doc 1 has 4 positional 3-grams but only 2 distinct; doc 2 has none
+    assert out["doc_id"].to_pylist() == [1, 1]
+    assert len(set(out["gram_hash"].to_pylist())) == 2
+
+
+def test_decontaminate_plans_equal(ray_session):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+    def split(member):
+        def fn(b):
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            m = ids % 11 == 0
+            return b.filter(pa.array(m if member else ~m))
+
+        return fn
+
+    corpus = docs.map_batches(split(False), batch_format="pyarrow")
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    a = (
+        decontaminate(corpus, bench, n=3, plan="broadcast")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        decontaminate(corpus, bench, n=3, plan="partitioned", num_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_decontaminate_empty_benchmark(ray_session):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    empty = docs.filter(lambda r: False)
+    out = decontaminate(docs, empty, n=3, plan="broadcast").to_pandas()
+    assert len(out) == 0
+
+
+# ------------------------------------------------------- repetition
+
+def test_repetition_flags_and_threshold_boundary():
+    out = repetition_batch(
+        _t(
+            doc_id=[1, 2, 3],
+            text=[
+                "x y x y x y x y x y x",  # 'x y' 5 of 10 grams -> 50%
+                " ".join(f"w{i}" for i in range(21)),  # all distinct: 5%
+                "a",  # too short: dropped
+            ],
+        ),
+        n=2,
+        pct_threshold=5,
+    )
+    assert out["doc_id"].to_pylist() == [1, 2]
+    assert out["repetitive"].to_pylist() == [True, False]
+    # boundary: 1*100 > 5*20 is False (strict), matching the SQL
+    assert out["n_top"].to_pylist()[1] == 1
+    assert out["n_grams"].to_pylist()[1] == 20

@@ -299,6 +299,7 @@ def _q_segment_revenue(sf_dir: str):
 
 
 from .queries_training import TRAINING_ORACLE_SQL, TRAINING_QUERIES
+from .queries_webtext import WEBTEXT_ORACLE_SQL, WEBTEXT_QUERIES
 
 QUERIES: Dict[str, Callable] = {
     "extract_text": _q_extract_text,
@@ -311,6 +312,7 @@ QUERIES: Dict[str, Callable] = {
     "lineitem_agg": _q_lineitem_agg,
     "segment_revenue": _q_segment_revenue,
     **TRAINING_QUERIES,
+    **WEBTEXT_QUERIES,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -384,3 +386,4 @@ ORACLE_SQL: Dict[str, str] = {
 }
 
 ORACLE_SQL.update(TRAINING_ORACLE_SQL)
+ORACLE_SQL.update(WEBTEXT_ORACLE_SQL)

@@ -1,0 +1,303 @@
+"""Web-corpus curation operators a 100-TB training-data pipeline needs
+on top of the extraction core: PII detection/redaction, per-domain
+document caps, benchmark decontamination, and repetition scoring.
+
+All four are standard webtext-curation stages (C4/RefinedWeb-style
+domain caps and PII scrubbing; GPT-3/PaLM-style n-gram test-set
+decontamination; Gopher-style repetition filters). Reference parity
+note: the reference engine (arXiv/zzzArchived_arxiv-fulltext) has no
+counterpart for any of these — they are the training-data operator
+family this engine adds per SURVEY.md §2's "beyond the reference"
+block.
+
+Scale notes per operator:
+
+* PII redaction is pure Arrow RE2 kernels
+  (``replace_substring_regex`` / ``count_substring_regex``) — one
+  vectorized pass per pattern, zero Python per row, and the SAME regex
+  engine DuckDB uses, so the SQL oracles are structurally (not
+  data-dependently) equivalent.
+* The per-domain cap is the lossless partial-top-k combiner tree (the
+  ``ann_topk`` shape): no task ever holds more than k rows per domain
+  per input block, so a hot domain cannot OOM a reducer.
+* Decontamination ships two physical plans like the near-dup family:
+  ``broadcast`` (benchmark shingle hashes ray.put once, probed with a
+  vectorized searchsorted per batch — right whenever the benchmark
+  side is the small side, which test-set decontamination always is)
+  and ``partitioned`` (hash semi-join on the shingle hash — no driver
+  or broadcast state, for benchmark sides too big to pin per node).
+* Repetition scoring is per-document bounded work inside
+  ``map_batches`` (a document's grams never leave the row), so it
+  streams at any corpus size.
+"""
+
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import hash64_column
+
+# RE2-compatible (works identically under pyarrow's and DuckDB's RE2);
+# no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Detect + redact emails, NANP-style phone numbers and IPv4
+    addresses in one vectorized pass per pattern.
+
+    Emails are counted/redacted first (their domains contain dots that
+    the IP pattern must never see), then IPs, then phones. Returns the
+    input batch minus ``text_col`` plus ``n_email``/``n_phone``/
+    ``n_ip`` counts and the redacted ``clean`` column.
+    """
+    txt = batch[text_col]
+    n_email = pc.count_substring_regex(txt, pattern=EMAIL_RE)
+    clean = pc.replace_substring_regex(txt, pattern=EMAIL_RE, replacement="<EMAIL>")
+    n_ip = pc.count_substring_regex(clean, pattern=IPV4_RE)
+    clean = pc.replace_substring_regex(clean, pattern=IPV4_RE, replacement="<IP>")
+    n_phone = pc.count_substring_regex(clean, pattern=PHONE_RE)
+    clean = pc.replace_substring_regex(clean, pattern=PHONE_RE, replacement="<PHONE>")
+    out = batch.drop_columns([text_col])
+    out = out.append_column("n_email", pc.cast(n_email, pa.int64()))
+    out = out.append_column("n_phone", pc.cast(n_phone, pa.int64()))
+    out = out.append_column("n_ip", pc.cast(n_ip, pa.int64()))
+    return out.append_column("clean", clean)
+
+
+def topk_per_key_partial(
+    batch: pa.Table,
+    key: str,
+    k: int,
+    val: str = "n_chars",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Lossless per-batch partial top-k per ``key`` by
+    (``val`` desc, ``id_col`` asc): any globally-top-k row is in its
+    batch's top-k, so stacking these partials is exact (the
+    ``ann_topk`` combiner shape generalized to an arbitrary string
+    key)."""
+    keys = batch[key].to_numpy(zero_copy_only=False)
+    v = batch[val].to_numpy(zero_copy_only=False)
+    d = batch[id_col].to_numpy(zero_copy_only=False)
+    _, codes = np.unique(keys, return_inverse=True)
+    order = np.lexsort((d, -v, codes))
+    codes_s = codes[order]
+    starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+    sizes = np.diff(np.r_[starts, codes_s.size])
+    rank = np.arange(codes_s.size) - np.repeat(starts, sizes)
+    keep = order[rank < k]
+    return pa.Table.from_pydict(
+        {
+            key: pa.array(keys[keep], pa.string()),
+            id_col: pa.array(d[keep], pa.int64()),
+            val: pa.array(v[keep], pa.int64()),
+        }
+    )
+
+
+def capped_topk_per_key(ds, key: str, k: int, val: str = "n_chars"):
+    """Grouped top-k as a combiner tree: per-batch partials ->
+    coalesce the tiny partial stream -> partials again -> final merge
+    over <= k x blocks rows per key. Never shuffles whole groups."""
+    partials = (
+        ds.map_batches(
+            lambda b: topk_per_key_partial(b, key, k, val=val),
+            batch_format="pyarrow",
+        )
+        .repartition(8)
+        .map_batches(
+            lambda b: topk_per_key_partial(b, key, k, val=val),
+            batch_format="pyarrow",
+        )
+    )
+    return partials.groupby(key).map_groups(
+        lambda g: topk_per_key_partial(g, key, k, val=val),
+        batch_format="pyarrow",
+    )
+
+
+def shingle_hash_batch(
+    batch: pa.Table, n: int = 3, text_col: str = "text"
+) -> pa.Table:
+    """documents batch -> distinct (doc_id, gram_hash) pairs.
+
+    Tokenization is whitespace-split (identical to the SQL oracles'
+    ``regexp_split_to_array(text, '\\s+')`` + non-empty filter); the
+    word n-grams are joined with single spaces and hashed with the
+    engine's vectorized 64-bit string hash. Comparing hashes instead
+    of gram strings is exact up to 2^-64 collisions. Pairs are
+    deduplicated here — a document lives in exactly one row, so
+    within-batch dedup IS global dedup for (doc_id, gram)."""
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    texts = batch[text_col].to_pylist()
+    rep_ids: List[int] = []
+    grams: List[str] = []
+    for doc_id, text in zip(doc_ids, texts):
+        toks = text.split()
+        if len(toks) < n:
+            continue
+        rep_ids.extend([doc_id] * (len(toks) - n + 1))
+        grams.extend(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+    if not grams:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "gram_hash": pa.array([], pa.uint64()),
+            }
+        )
+    hashes = hash64_column(pa.array(grams, pa.string()))
+    pairs = np.stack([np.asarray(rep_ids, np.uint64), hashes], axis=1)
+    pairs = np.unique(pairs, axis=0)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(pairs[:, 0].astype(np.int64), pa.int64()),
+            "gram_hash": pa.array(pairs[:, 1], pa.uint64()),
+        }
+    )
+
+
+def decontaminate(
+    docs_ds,
+    bench_ds,
+    n: int = 3,
+    plan: str = "broadcast",
+    num_buckets: int = 64,
+):
+    """Flag documents sharing any word ``n``-gram with a benchmark set
+    (GPT-3/PaLM-style test-set decontamination). Returns a Dataset of
+    ``(doc_id, n_hits)`` where ``n_hits`` counts DISTINCT contaminated
+    grams per document; docs with no overlap are absent.
+
+    ``plan='broadcast'``: materialize the benchmark's distinct gram
+    hashes (the small side by construction for test-set decontam),
+    ``ray.put`` once, probe per batch with a sorted-array
+    ``searchsorted`` — no shuffle at all, the corpus streams through
+    one map stage. ``plan='partitioned'``: hash semi-join on the gram
+    hash + a doc_id count aggregate — no driver/broadcast state, for
+    benchmark sides too large to pin in every node's object store.
+    Both plans are pinned equal in tests.
+    """
+    import ray
+
+    shingled_bench = bench_ds.map_batches(
+        lambda b: shingle_hash_batch(b, n=n), batch_format="pyarrow"
+    )
+
+    if plan == "broadcast":
+        chunks = [
+            b["gram_hash"].to_numpy(zero_copy_only=False)
+            for b in shingled_bench.iter_batches(batch_format="pyarrow")
+        ]
+        bench_sorted = (
+            np.unique(np.concatenate(chunks))
+            if chunks
+            else np.array([], np.uint64)
+        )
+        ref = ray.put(bench_sorted)
+
+        def probe(batch: pa.Table) -> pa.Table:
+            bench = ray.get(ref)
+            pairs = shingle_hash_batch(batch, n=n)
+            if pairs.num_rows == 0 or bench.size == 0:
+                return pa.Table.from_pydict(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "n_hits": pa.array([], pa.int64()),
+                    }
+                )
+            h = pairs["gram_hash"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(bench, h)
+            pos[pos == bench.size] = 0
+            mask = bench[pos] == h
+            hit_docs = pairs["doc_id"].to_numpy(zero_copy_only=False)[mask]
+            # pairs are already distinct per (doc, gram): counting rows
+            # counts distinct contaminated grams
+            docs, counts = np.unique(hit_docs, return_counts=True)
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(docs, pa.int64()),
+                    "n_hits": pa.array(counts, pa.int64()),
+                }
+            )
+
+        return docs_ds.map_batches(probe, batch_format="pyarrow")
+
+    if plan != "partitioned":
+        raise ValueError(f"unknown decontaminate plan: {plan}")
+
+    from .relational import partitioned_hash_join
+
+    shingled_docs = docs_ds.map_batches(
+        lambda b: shingle_hash_batch(b, n=n), batch_format="pyarrow"
+    )
+    bench_keys = shingled_bench.map_batches(
+        lambda b: b.select(["gram_hash"]), batch_format="pyarrow"
+    )
+    hits = partitioned_hash_join(
+        shingled_docs,
+        bench_keys,
+        key="gram_hash",
+        num_buckets=num_buckets,
+        how="semi",
+    )
+    # distinct (doc_id, gram) pairs survived the semi-join; count rows
+    # per doc. The groupby key is high-cardinality (doc_id), so the
+    # exchange is well-spread.
+    agg = hits.groupby("doc_id").count()
+    return agg.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "n_hits": pc.cast(b["count()"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def repetition_batch(
+    batch: pa.Table,
+    n: int = 2,
+    pct_threshold: int = 5,
+    text_col: str = "text",
+) -> pa.Table:
+    """Gopher-style repetition score per document: the occurrence
+    count of the most frequent word ``n``-gram vs the total gram
+    count. ``repetitive`` is the integer cross-multiplied comparison
+    ``n_top * 100 > pct_threshold * n_grams`` so the SQL oracle is
+    exact (no float ratio). Per-document bounded work; grams never
+    leave the row."""
+    from collections import Counter
+
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    texts = batch[text_col].to_pylist()
+    out_id: List[int] = []
+    n_top: List[int] = []
+    n_grams: List[int] = []
+    for doc_id, text in zip(doc_ids, texts):
+        toks = text.split()
+        if len(toks) < n:
+            continue
+        counts = Counter(
+            tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+        out_id.append(int(doc_id))
+        n_top.append(max(counts.values()))
+        n_grams.append(len(toks) - n + 1)
+    top = np.asarray(n_top, np.int64)
+    tot = np.asarray(n_grams, np.int64)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_top": pa.array(top, pa.int64()),
+            "n_grams": pa.array(tot, pa.int64()),
+            "repetitive": pa.array(top * 100 > pct_threshold * tot, pa.bool_()),
+        }
+    )
