@@ -543,7 +543,10 @@ def neardup_pairs(
         if method == "ngram":
             verify = "counts"
         else:
-            n_docs = docs_ds.select_columns(["doc_id"]).count()
+            # plain Dataset.count() is parquet-metadata-only for an
+            # untransformed read — no scan; transformed inputs fall
+            # back to a projected scan as before
+            n_docs = docs_ds.count()
             verify = (
                 "broadcast"
                 if n_docs <= broadcast_max_docs
@@ -562,6 +565,15 @@ def neardup_pairs(
     shingled = docs_ds.map_batches(
         lambda b: shingle_batch(b, k), batch_format="pyarrow"
     )
+    if verify == "broadcast":
+        # the broadcast verify pulls the whole (projected) shingle
+        # table into the object store anyway; materializing it FIRST
+        # means shingling runs once and both consumers (the candidate
+        # stream and the broadcast map) read the cached blocks,
+        # instead of re-reading + re-shingling the corpus. Strictly
+        # less peak state than the ray.put map the plan already
+        # requires; the partitioned path never does this.
+        shingled = shingled.materialize()
 
     if method == "ngram":
         exploded = shingled.map_batches(
