@@ -22,6 +22,7 @@ import pyarrow.compute as pc
 
 
 from ..functions.hashing import bucket_of_column as _bucket_of_column
+from ..functions.hashing import hash64_column as _hash64_column
 
 
 _ARROW_JOIN_TYPE = {
@@ -40,25 +41,29 @@ _ARROW_JOIN_TYPE = {
 def partitioned_hash_join(
     left_ds,
     right_ds,
-    key: str,
+    key,
     num_buckets: int = 128,
     how: str = "inner",
 ):
-    """Join two large Datasets on ``key`` (numeric or string) without
-    broadcast.
+    """Join two large Datasets on ``key`` — one column name or a LIST
+    of names (composite key) — without broadcast.
 
-    Column names (other than ``key``) must be disjoint. Returns the
+    Column names (other than the keys) must be disjoint. Returns the
     joined Dataset; the exchange is a single groupby shuffle on the
     bucket column, and each bucket is merged with the Arrow (Acero)
-    hash join — no pandas, no dtype widening. Non-key columns must be
+    hash join — no pandas, no dtype widening. Composite keys bucket on
+    the XOR of the per-column hashes (bucket collisions only co-locate
+    rows; the Acero join matches on the REAL key columns, so hashing
+    never affects correctness). Non-key columns must be
     Acero-joinable (fixed-width, string or binary); encode list
     columns as binary blobs first (see ``stages/neardup.py``).
     """
+    keys: List[str] = [key] if isinstance(key, str) else list(key)
     if how in ("anti", "semi"):
         # only the right side's KEYS matter: project them before the
         # exchange so the shuffle never moves the filter side's payload
         right_ds = right_ds.map_batches(
-            lambda b: b.select([key]), batch_format="pyarrow"
+            lambda b: b.select(keys), batch_format="pyarrow"
         )
 
     def _arrow_fields(schema_obj):
@@ -79,7 +84,7 @@ def partitioned_hash_join(
     right_fields = _arrow_fields(right_ds.schema())
     left_cols = [n for n, _ in left_fields]
     right_cols = [n for n, _ in right_fields]
-    overlap = (set(left_cols) & set(right_cols)) - {key}
+    overlap = (set(left_cols) & set(right_cols)) - set(keys)
     if overlap:
         raise ValueError(f"overlapping non-key columns: {overlap}")
 
@@ -98,9 +103,14 @@ def partitioned_hash_join(
                     arrays.append(batch[name])
                 else:
                     arrays.append(pa.nulls(n, type=typ))
-            arrays.append(
-                pa.array(_bucket_of_column(batch[key], num_buckets))
-            )
+            if len(keys) == 1:
+                bucket = _bucket_of_column(batch[keys[0]], num_buckets)
+            else:
+                h = _hash64_column(batch[keys[0]])
+                for extra in keys[1:]:
+                    h = h ^ _hash64_column(batch[extra])
+                bucket = (h % np.uint64(num_buckets)).astype(np.int64)
+            arrays.append(pa.array(bucket))
             arrays.append(pa.array([side] * n, pa.string()))
             return pa.Table.from_arrays(
                 arrays,
@@ -119,7 +129,7 @@ def partitioned_hash_join(
         is_left = pc.equal(group["__side"], "l")
         lf = group.filter(is_left).select(left_cols)
         rf = group.filter(pc.invert(is_left)).select(right_cols)
-        return lf.join(rf, keys=key, join_type=join_type)
+        return lf.join(rf, keys=keys, join_type=join_type)
 
     return tagged.groupby("__bucket").map_groups(
         join_bucket, batch_format="pyarrow"
