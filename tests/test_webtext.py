@@ -169,3 +169,98 @@ def test_repetition_flags_and_threshold_boundary():
     # boundary: 1*100 > 5*20 is False (strict), matching the SQL
     assert out["n_top"].to_pylist()[1] == 1
     assert out["n_grams"].to_pylist()[1] == 20
+
+
+# -------------------------------------------------- cross-doc line dedup
+
+def _line_dedup_brute(texts, min_count):
+    from collections import Counter
+
+    counts = Counter(
+        line for t in texts for line in t.split("\n")
+    )
+    out = []
+    for t in texts:
+        lines = t.split("\n")
+        kept = [l for l in lines if counts[l] < min_count]
+        out.append(
+            (
+                len(lines),
+                len(lines) - len(kept),
+                "\n".join(kept),
+            )
+        )
+    return out
+
+
+def test_line_dedup_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.webtext import line_dedup
+
+    rng = np.random.default_rng(5)
+    boiler = [f"boilerplate {i}" for i in range(4)]
+    texts = []
+    for i in range(300):
+        lines = [f"unique body {i} " + "x" * int(rng.integers(1, 9))]
+        for b in boiler:
+            if rng.random() < 0.4:
+                lines.append(b)
+        if i % 50 == 0:
+            lines.append("semi rare line")  # exactly 6 occurrences
+        rng.shuffle(lines)
+        texts.append("\n".join(lines))
+    df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64), "text": texts})
+    got = (
+        line_dedup(rd.from_pandas(df).repartition(7), min_count=6)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _line_dedup_brute(texts, 6)
+    assert got["n_lines"].tolist() == [w[0] for w in want]
+    assert got["n_removed"].tolist() == [w[1] for w in want]
+    assert got["clean"].tolist() == [w[2] for w in want]
+    # the semi-rare line sits exactly ON the >= min_count boundary
+    assert all("semi rare line" not in c for c in got["clean"])
+
+
+def test_line_dedup_all_boilerplate_doc_keeps_row(ray_session):
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.webtext import line_dedup
+
+    texts = ["same line\nsame line"] + ["same line"] * 4 + ["keep me"]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(6, dtype=np.int64), "text": texts}
+    )
+    got = (
+        line_dedup(rd.from_pandas(df), min_count=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 6
+    assert got.loc[0, "clean"] == "" and got.loc[0, "n_removed"] == 2
+    assert got.loc[5, "clean"] == "keep me" and got.loc[5, "n_removed"] == 0
+
+
+def test_line_dedup_no_hot_lines_is_identity(ray_session):
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.webtext import line_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [f"only {i}\nbody {i}" for i in range(4)],
+        }
+    )
+    got = (
+        line_dedup(rd.from_pandas(df), min_count=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_removed"].sum() == 0
+    assert got["clean"].tolist() == df["text"].tolist()

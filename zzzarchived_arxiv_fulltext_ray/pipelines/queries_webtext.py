@@ -302,3 +302,173 @@ SELECT doc_id, n_top, n_grams,
 FROM agg
 ORDER BY doc_id
 """
+
+
+# ------------------------------------------------ cross-doc line dedup
+
+def inject_boilerplate_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic boilerplate-line augmentation (pure function of
+    doc_id, the pages-synthesizer pattern): even docs gain a hot
+    newsletter header, doc_id % 3 == 0 a footer (one of 7 variants),
+    doc_id % 25 == 0 a rarer promo line. The oracle CTE rebuilds the
+    same multi-line text in SQL."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+
+    def s(arr: np.ndarray):
+        return pc.cast(pa.array(arr.astype(np.int64)), pa.string())
+
+    header = pc.binary_join_element_wise(
+        "subscribe to newsletter ", s(ids % 4), "\n", ""
+    )
+    footer = pc.binary_join_element_wise(
+        "\ncopyright footer ", s(ids % 7), ""
+    )
+    promo = pc.binary_join_element_wise("\npromo ", s(ids % 100), "")
+    empty = pa.scalar("", pa.string())
+    text = pc.binary_join_element_wise(
+        pc.if_else(pa.array(ids % 2 == 0), header, empty),
+        batch["text"],
+        pc.if_else(pa.array(ids % 3 == 0), footer, empty),
+        pc.if_else(pa.array(ids % 25 == 0), promo, empty),
+        "",
+    )
+    return pa.Table.from_pydict({"doc_id": batch["doc_id"], "text": text})
+
+
+def _q_line_dedup(sf_dir: str):
+    """Cross-document line dedup (CCNet/RefinedWeb boilerplate
+    removal) over the deterministically augmented corpus: lines seen
+    >= 5 times corpus-wide are dropped from every document."""
+    from ..stages.webtext import line_dedup
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        inject_boilerplate_batch, batch_format="pyarrow"
+    )
+    out = line_dedup(ds, min_count=5)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+WEBTEXT_QUERIES["line_dedup"] = _q_line_dedup
+WEBTEXT_ORACLE_SQL["line_dedup"] = """
+WITH aug AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'subscribe to newsletter '
+                     || CAST(doc_id % 4 AS VARCHAR) || chr(10)
+                ELSE '' END
+           || text
+           || CASE WHEN doc_id % 3 = 0
+                   THEN chr(10) || 'copyright footer '
+                        || CAST(doc_id % 7 AS VARCHAR)
+                   ELSE '' END
+           || CASE WHEN doc_id % 25 = 0
+                   THEN chr(10) || 'promo '
+                        || CAST(doc_id % 100 AS VARCHAR)
+                   ELSE '' END
+           AS text
+    FROM documents
+),
+ls AS (
+    SELECT doc_id, string_split(text, chr(10)) AS l FROM aug
+),
+lines AS (
+    SELECT doc_id, l[i] AS line, i
+    FROM ls, UNNEST(range(1, len(l) + 1)) AS r(i)
+),
+counts AS (SELECT line, count(*) AS c FROM lines GROUP BY line)
+SELECT l.doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN c.c >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed,
+       coalesce(string_agg(CASE WHEN c.c < 5 THEN l.line END,
+                           chr(10) ORDER BY l.i), '') AS clean
+FROM lines l JOIN counts c ON l.line = c.line
+GROUP BY l.doc_id
+ORDER BY l.doc_id
+"""
+
+
+# ---------------------------------------------------- interval join
+
+def _q_events_interval(sf_dir: str):
+    """Incident enrichment via the interval join: every ``error``
+    event opens a 5-minute window for its user; count and sum (in
+    half-away-from-zero cents) ALL of that user's events inside the
+    window (the error event itself included)."""
+    import ray.data
+
+    from ..stages.interval import interval_join
+
+    FIVE_MIN_US = 5 * 60 * 1_000_000
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def left_prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(batch["value"], 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.Table.from_pydict(
+            {
+                "event_id": batch["event_id"],
+                "ts": batch["ts"],
+                "user_id": batch["user_id"],
+                "cents": cents,
+            }
+        )
+
+    def right_prep(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["event_type"], "error"))
+        start = b["ts"].cast(pa.int64())
+        end = pc.add(start, FIVE_MIN_US)
+        return pa.Table.from_pydict(
+            {
+                "incident_id": b["event_id"],
+                "user_id": b["user_id"],
+                "start_ts": start.cast(pa.timestamp("us")),
+                "end_ts": end.cast(pa.timestamp("us")),
+            }
+        )
+
+    joined = interval_join(
+        events.map_batches(left_prep, batch_format="pyarrow"),
+        events.map_batches(right_prep, batch_format="pyarrow"),
+        key="user_id",
+        ts="ts",
+        start="start_ts",
+        end="end_ts",
+        granule_us=FIVE_MIN_US,
+    )
+    agg = joined.groupby("incident_id").aggregate(
+        ray.data.aggregate.Count(alias_name="n_events"),
+        ray.data.aggregate.Sum("cents", alias_name="sum_cents"),
+    )
+    df = agg.to_pandas().sort_values("incident_id").reset_index(drop=True)
+    df["n_events"] = df["n_events"].astype("int64")
+    df["sum_cents"] = df["sum_cents"].astype("int64")
+    return df
+
+
+WEBTEXT_QUERIES["events_interval"] = _q_events_interval
+WEBTEXT_ORACLE_SQL["events_interval"] = """
+WITH incidents AS (
+    SELECT event_id AS incident_id, user_id, ts AS start_ts,
+           ts + INTERVAL 5 MINUTE AS end_ts
+    FROM events WHERE event_type = 'error'
+)
+SELECT i.incident_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM incidents i JOIN events e
+  ON e.user_id = i.user_id
+ AND e.ts >= i.start_ts AND e.ts < i.end_ts
+GROUP BY i.incident_id
+ORDER BY i.incident_id
+"""

@@ -301,3 +301,135 @@ def repetition_batch(
             "repetitive": pa.array(top * 100 > pct_threshold * tot, pa.bool_()),
         }
     )
+
+
+# ----------------------------------------------- cross-doc line dedup
+
+def split_lines(col) -> "tuple[pa.Array, np.ndarray]":
+    """Arrow string column -> (flat line values, int64 list offsets).
+
+    One vectorized ``split_pattern``; no Python per row."""
+    lst = pc.split_pattern(col, pattern="\n")
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    flat = lst.flatten()
+    offsets = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat, offsets
+
+
+def line_count_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """documents batch -> (line_hash, cnt) partial occurrence counts.
+
+    The combiner half of the CCNet-style cross-document line dedup:
+    only 16-byte (hash, count) pairs ever leave the batch — the line
+    strings themselves never shuffle."""
+    flat, _ = split_lines(batch[text_col])
+    if len(flat) == 0:
+        return pa.Table.from_pydict(
+            {
+                "line_hash": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    hashes = hash64_column(flat).view(np.int64)  # opaque key: int64
+    uniq, counts = np.unique(hashes, return_counts=True)  # bit-view keeps
+    # the exchange off uint64, which Ray's reduce round-trips via Python
+    # ints and overflows
+    return pa.Table.from_pydict(
+        {
+            "line_hash": pa.array(uniq, pa.int64()),
+            "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def hot_line_hashes(docs_ds, min_count: int, text_col: str = "text"):
+    """Global line-occurrence counts -> sorted int64 array of the
+    hashes occurring ``>= min_count`` times corpus-wide.
+
+    Exchange shape: per-batch partial counts (above) -> groupby sum on
+    the 8-byte hash (bit-viewed int64) -> filter. Only the HOT tail reaches the driver —
+    bounded by the number of globally repeated boilerplate lines, not
+    by corpus size (each needs >= min_count occurrences, so the set is
+    at most total_lines / min_count and in practice tiny)."""
+    from ray.data.aggregate import Sum
+
+    counts = (
+        docs_ds.map_batches(
+            lambda b: line_count_partial(b, text_col), batch_format="pyarrow"
+        )
+        .groupby("line_hash")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    hot = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["cnt"], min_count)).select(
+            ["line_hash"]
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    return np.sort(np.array([r["line_hash"] for r in hot], dtype=np.int64))
+
+
+def drop_hot_lines_batch(
+    batch: pa.Table, hot_sorted: np.ndarray, text_col: str = "text"
+) -> pa.Table:
+    """Remove corpus-hot lines from each document (vectorized).
+
+    Emits (doc_id, n_lines, n_removed, clean): the per-doc line
+    totals plus the kept lines re-joined with newlines. List-offset
+    arithmetic in numpy; the rebuilt text is one Arrow
+    ``binary_join`` — no Python per row or per line."""
+    n = batch.num_rows
+    flat, offsets = split_lines(batch[text_col])
+    counts = np.diff(offsets)
+    hashes = (
+        hash64_column(flat).view(np.int64)
+        if len(flat)
+        else np.empty(0, np.int64)
+    )
+    pos = np.searchsorted(hot_sorted, hashes)
+    pos = np.minimum(pos, max(len(hot_sorted) - 1, 0))
+    is_hot = (
+        hot_sorted[pos] == hashes
+        if len(hot_sorted)
+        else np.zeros(len(hashes), bool)
+    )
+    doc_idx = np.repeat(np.arange(n), counts)
+    removed = np.bincount(doc_idx[is_hot], minlength=n).astype(np.int64)
+    kept = counts - removed
+    kept_vals = flat.filter(pa.array(~is_hot))
+    new_offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(kept, out=new_offsets[1:])
+    clean = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(new_offsets, pa.int32()), kept_vals),
+        "\n",
+    )
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch["doc_id"],
+            "n_lines": pa.array(counts.astype(np.int64), pa.int64()),
+            "n_removed": pa.array(removed, pa.int64()),
+            "clean": clean,
+        }
+    )
+
+
+def line_dedup(docs_ds, min_count: int = 5, text_col: str = "text"):
+    """CCNet/RefinedWeb-style cross-document line deduplication: drop
+    every line that occurs ``>= min_count`` times across the corpus
+    (navigation chrome, cookie banners, boilerplate footers).
+
+    Two streaming passes over the corpus: (1) hashed partial counts ->
+    hash groupby -> hot set (small by construction, see
+    ``hot_line_hashes``) broadcast via ``ray.put``; (2) vectorized
+    per-batch removal. Matching on 64-bit hashes instead of line
+    strings is exact up to 2^-64 collisions — the same contract as the
+    decontamination and near-dup operators."""
+    import ray
+
+    hot_ref = ray.put(hot_line_hashes(docs_ds, min_count, text_col))
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        return drop_hot_lines_batch(batch, ray.get(hot_ref), text_col)
+
+    return docs_ds.map_batches(scrub, batch_format="pyarrow")
