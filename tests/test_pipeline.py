@@ -331,3 +331,46 @@ def test_read_pages_from_files(ray_session, tmp_path):
     by_suffix = {u.rsplit(".", 1)[1]: s for u, s in zip(out.url, out.status)}
     assert by_suffix == {"html": "succeeded", "pdf": "succeeded",
                         "bin": "failed"}
+
+
+def test_dedup_overlap_prepass_equals_sync(ray_session):
+    """The async (promise-actor) winner pre-pass must be
+    indistinguishable from the blocking spelling — including when the
+    filter consumer starts before the pre-pass lands."""
+    from zzzarchived_arxiv_fulltext_ray.sources.pages import read_pages
+    from zzzarchived_arxiv_fulltext_ray.stages.dedup import (
+        latest_crawl_broadcast,
+    )
+
+    a = (
+        latest_crawl_broadcast(read_pages(SF), overlap=True)
+        .to_pandas()[["url", "warc_ts"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    b = (
+        latest_crawl_broadcast(read_pages(SF), overlap=False)
+        .to_pandas()[["url", "warc_ts"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_dedup_overlap_prepass_error_surfaces(ray_session):
+    """A pre-pass failure must fail the consuming pipeline loudly,
+    not hang or silently keep everything."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.dedup import (
+        latest_crawl_broadcast,
+    )
+
+    # no warc_ts column -> the winner aggregate inside the pre-pass
+    # thread raises; the filter tasks must re-raise it
+    df = pd.DataFrame({"url": ["a", "b"], "x": [1, 2]})
+    ds = latest_crawl_broadcast(rd.from_pandas(df), overlap=True)
+    with pytest.raises(Exception, match="winner pre-pass failed"):
+        ds.take_all()

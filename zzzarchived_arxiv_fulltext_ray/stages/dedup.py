@@ -120,7 +120,55 @@ def winner_filter_batch(
     return batch.filter(pc.fill_null(eq, True))
 
 
-def latest_crawl_broadcast(ds, dup_threshold: Optional[int] = None):
+class _WinnerPromise:
+    """Async single-value promise actor (num_cpus=0): the winner
+    pre-pass thread ``set``s the winner-table ObjectRef; filter tasks
+    ``get`` it. async methods so a waiting ``get`` never blocks the
+    ``set`` (default actors are one-call-at-a-time)."""
+
+    def __init__(self):
+        import asyncio
+
+        self._ev = asyncio.Event()
+        self._boxed_ref = None
+        self._err: Optional[str] = None
+
+    async def set_value(self, boxed_ref):
+        # the ref arrives boxed in a list so Ray does NOT auto-deref it
+        self._boxed_ref = boxed_ref
+        self._ev.set()
+
+    async def set_error(self, msg: str):
+        self._err = msg
+        self._ev.set()
+
+    async def get(self):
+        await self._ev.wait()
+        if self._err is not None:
+            raise RuntimeError(f"winner pre-pass failed: {self._err}")
+        return self._boxed_ref
+
+
+# per-worker-process cache: one winner-table fetch per process, not one
+# actor RPC per batch
+_WINNER_CACHE: dict = {}
+
+
+def _resolve_winners(handle):
+    import ray
+
+    key = handle._actor_id.hex()
+    got = _WINNER_CACHE.get(key)
+    if got is None:
+        boxed = ray.get(handle.get.remote())
+        got = ray.get(boxed[0])
+        _WINNER_CACHE[key] = got
+    return got
+
+
+def latest_crawl_broadcast(
+    ds, dup_threshold: Optional[int] = None, overlap: bool = True
+):
     """Keep the latest crawl per url via a projected aggregate +
     broadcast anti-filter. Only urls that actually have >1 crawl enter
     the broadcast winner table, so its size tracks the duplicate rate,
@@ -130,16 +178,57 @@ def latest_crawl_broadcast(ds, dup_threshold: Optional[int] = None):
     Apply this to the RAW pages Dataset (before any payload-touching
     stage): the ``select_columns`` projection then pushes down into the
     Parquet read, so the winner pre-pass scans two tiny columns instead
-    of payload bytes."""
+    of payload bytes.
+
+    ``overlap=True`` (default) removes the pre-pass from the serial
+    head: instead of executing the winner aggregate on the driver
+    BEFORE the consumer pipeline can even start (which serialized
+    pre-pass + actor-pool spin-up + first payload read), the aggregate
+    runs in a daemon thread and publishes the winner table through an
+    async promise actor. The filter tasks block in ``ray.get`` until
+    it lands — blocked workers release their CPUs, so the pre-pass,
+    the extraction pool spin-up and the payload read all proceed
+    concurrently. ``overlap=False`` keeps the old synchronous
+    spelling (and zero extra actors) for callers that want the winner
+    map on the driver anyway (e.g. manifest summaries)."""
     import ray
 
-    wt = dup_winner_table(ds)
-    winners_ref = ray.put(
-        (wt["url"].combine_chunks(), wt["max_ts"].combine_chunks())
+    if not overlap:
+        wt = dup_winner_table(ds)
+        winners_ref = ray.put(
+            (wt["url"].combine_chunks(), wt["max_ts"].combine_chunks())
+        )
+
+        def keep_latest_sync(batch: pa.Table) -> pa.Table:
+            return winner_filter_batch(batch, ray.get(winners_ref))
+
+        return ds.map_batches(keep_latest_sync, batch_format="pyarrow")
+
+    import threading
+
+    promise = (
+        ray.remote(_WinnerPromise).options(num_cpus=0).remote()
     )
 
+    def prepass():
+        try:
+            wt = dup_winner_table(ds)
+            ref = ray.put(
+                (wt["url"].combine_chunks(), wt["max_ts"].combine_chunks())
+            )
+            ray.get(promise.set_value.remote([ref]))
+        except Exception as exc:  # surface in every filter task
+            try:
+                ray.get(promise.set_error.remote(repr(exc)))
+            except Exception:
+                pass
+
+    threading.Thread(
+        target=prepass, daemon=True, name="winner-prepass"
+    ).start()
+
     def keep_latest(batch: pa.Table) -> pa.Table:
-        return winner_filter_batch(batch, ray.get(winners_ref))
+        return winner_filter_batch(batch, _resolve_winners(promise))
 
     return ds.map_batches(keep_latest, batch_format="pyarrow")
 
