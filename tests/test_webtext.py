@@ -264,3 +264,72 @@ def test_line_dedup_no_hot_lines_is_identity(ray_session):
     )
     assert got["n_removed"].sum() == 0
     assert got["clean"].tolist() == df["text"].tolist()
+
+
+# ---------------------------------------------- grouped split + scorer
+
+def test_domain_split_never_leaks(ray_session):
+    """Every domain lands in exactly one split, and the assignment is
+    the md5-nibble contract (re-derivable by any engine)."""
+    import hashlib
+
+    from zzzarchived_arxiv_fulltext_ray.stages.webtext import (
+        domain_split_batch,
+    )
+
+    domains = [f"d{i}.example.org" for i in range(40)] * 25
+    batch = _t(
+        domain=domains,
+        doc_id=list(range(1000)),
+    )
+    out = domain_split_batch(batch)
+    df = out.to_pandas()
+    per_domain = df.groupby("domain")["split"].nunique()
+    assert (per_domain == 1).all()
+    for d, s in df.drop_duplicates("domain")[["domain", "split"]].values:
+        nib = int(hashlib.md5(d.encode()).hexdigest()[-1], 16)
+        want = "train" if nib < 12 else ("valid" if nib < 14 else "test")
+        assert s == want
+
+
+def test_hashed_linear_scorer_matches_brute_force():
+    from zzzarchived_arxiv_fulltext_ray.stages.webtext import (
+        HashedLinearScorer,
+    )
+
+    texts = [
+        "alpha bb ccc  dddd",   # double space -> empty token skipped
+        "",                      # zero tokens -> score 0.0
+        "x",                     # single token
+    ]
+    out = HashedLinearScorer()(
+        _t(doc_id=[0, 1, 2], text=texts)
+    ).to_pandas()
+
+    def w(tok):
+        return ((len(tok) * 2654435761) % 1000) / 1000.0 - 0.5
+
+    for i, t in enumerate(texts):
+        toks = [x for x in t.split() if x]
+        assert out.loc[i, "n_tokens"] == len(toks)
+        want = sum(w(x) for x in toks) / len(toks) if toks else 0.0
+        assert abs(out.loc[i, "score"] - want) < 1e-12
+
+
+def test_hashed_linear_scorer_broadcast_weights(ray_session):
+    """The weight_ref slot: learned weights shipped once via ray.put,
+    read in __init__ — scores follow the broadcast table."""
+    import numpy as np
+    import ray
+
+    from zzzarchived_arxiv_fulltext_ray.stages.webtext import (
+        HashedLinearScorer,
+    )
+
+    w = np.zeros(HashedLinearScorer.N_FEATURES)
+    w[(1 * 2654435761) % 1000] = 7.0  # only 1-char tokens score
+    ref = ray.put(w)
+    out = HashedLinearScorer(weight_ref=ref)(
+        _t(doc_id=[0], text=["a bb a"])
+    ).to_pandas()
+    assert abs(out.loc[0, "score"] - (7.0 + 0.0 + 7.0) / 3) < 1e-12

@@ -472,3 +472,114 @@ FROM incidents i JOIN events e
 GROUP BY i.incident_id
 ORDER BY i.incident_id
 """
+
+
+# ------------------------------------------------ leakage-safe split
+
+def _q_domain_split(sf_dir: str):
+    """Group-aware train/valid/test split: assignment is a pure
+    function of the DOMAIN (last md5 nibble, 12/2/2 of 16), so a
+    domain's documents can never straddle splits. Output proves it:
+    per split, the distinct-domain count plus doc/char totals."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.webtext import domain_split_batch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = domain_split_batch(batch)
+        return (
+            t.select(["split", "domain", "n_chars"])
+            .group_by(["split", "domain"])
+            .aggregate([("n_chars", "sum"), ("n_chars", "count")])
+            .rename_columns(["split", "domain", "sum_chars", "n_docs"])
+        )
+
+    per_domain = (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(_url_domain_batch, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["split", "domain"])
+        .aggregate(
+            Sum("sum_chars", alias_name="sum_chars"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+    )
+    out = (
+        per_domain.groupby("split")
+        .aggregate(
+            Count(alias_name="n_domains"),
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+        .to_pandas()
+        .sort_values("split")
+        .reset_index(drop=True)
+    )
+    for c in ("n_domains", "n_docs", "sum_chars"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+WEBTEXT_QUERIES["domain_split"] = _q_domain_split
+WEBTEXT_ORACLE_SQL["domain_split"] = """
+WITH pages AS (
+    SELECT 'site' || lpad(CAST(doc_id % 50 AS VARCHAR), 2, '0')
+           || '.example.org' AS domain,
+           doc_id, n_chars
+    FROM documents
+),
+assigned AS (
+    SELECT domain, n_chars,
+           CASE WHEN strpos('0123456789abcdef',
+                            substr(md5(domain), 32, 1)) - 1 < 12
+                THEN 'train'
+                WHEN strpos('0123456789abcdef',
+                            substr(md5(domain), 32, 1)) - 1 < 14
+                THEN 'valid'
+                ELSE 'test' END AS split
+    FROM pages
+)
+SELECT split,
+       CAST(count(DISTINCT domain) AS BIGINT) AS n_domains,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM assigned
+GROUP BY split
+ORDER BY split
+"""
+
+
+# -------------------------------------------- hashed-linear model score
+
+def _q_model_score(sf_dir: str):
+    """Batched linear-model scoring over the corpus: the actor pool
+    builds the weight table once per actor (the model-load slot),
+    every batch is one vectorized lookup + segmented mean."""
+    from ..stages.webtext import HashedLinearScorer
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        HashedLinearScorer,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+WEBTEXT_QUERIES["model_score"] = _q_model_score
+WEBTEXT_ORACLE_SQL["model_score"] = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CASE WHEN len(t) = 0 THEN 0.0
+            ELSE list_sum(list_transform(t,
+                 x -> ((length(x) * 2654435761) % 1000) / 1000.0 - 0.5))
+                 / len(t) END AS score
+FROM toks
+ORDER BY doc_id
+"""

@@ -433,3 +433,97 @@ def line_dedup(docs_ds, min_count: int = 5, text_col: str = "text"):
         return drop_hot_lines_batch(batch, ray.get(hot_ref), text_col)
 
     return docs_ds.map_batches(scrub, batch_format="pyarrow")
+
+
+# ------------------------------------------- grouped (leakage-safe) split
+
+_HEX = "0123456789abcdef"
+
+
+def domain_split_batch(
+    batch: pa.Table, domain_col: str = "domain"
+) -> pa.Table:
+    """Assign train/valid/test BY DOMAIN (never by document): the last
+    hex nibble of md5(domain) picks the split (12/2/2 of 16), so every
+    document of a domain lands in the same split — the group-aware
+    split that prevents near-duplicate leakage across train/test.
+
+    md5 is deliberate (not the in-flight polars hash): a split
+    assignment is a PERSISTENT contract that must be re-derivable
+    across runs, library versions and engines — DuckDB's ``md5()``
+    reproduces it byte-for-byte, which is what the oracle does. Cost
+    is bounded: md5 runs once per DISTINCT domain per batch, not per
+    row."""
+    import hashlib
+
+    domains = batch[domain_col].to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(domains, return_inverse=True)
+    nib = np.array(
+        [
+            _HEX.index(hashlib.md5(d.encode()).hexdigest()[-1])
+            for d in uniq
+        ],
+        dtype=np.int64,
+    )
+    names = np.array(["train", "valid", "test"])
+    split_of_uniq = names[
+        np.where(nib < 12, 0, np.where(nib < 14, 1, 2))
+    ]
+    return batch.append_column(
+        "split", pa.array(split_of_uniq[inv], pa.string())
+    )
+
+
+# ------------------------------------------ hashed-linear quality model
+
+class HashedLinearScorer:
+    """Batched 'model inference' stage: a hashed-feature linear quality
+    scorer as an actor-pool ``map_batches`` class — the weight table is
+    built ONCE per actor in ``__init__`` (the model-load slot; a real
+    model would ``ray.get`` a broadcast weight ref here), scoring is a
+    vectorized table lookup + segmented mean per batch.
+
+    Features are token-length hashes into ``n_features`` buckets; the
+    weights are a fixed deterministic function of the bucket id so the
+    DuckDB oracle can reproduce every score exactly (swap
+    ``weight_ref`` in for learned weights in production — the Ray
+    plumbing is identical).
+    """
+
+    N_FEATURES = 1000
+
+    def __init__(self, weight_ref=None):
+        if weight_ref is not None:
+            import ray
+
+            self.w = ray.get(weight_ref)
+        else:
+            idx = np.arange(self.N_FEATURES, dtype=np.int64)
+            self.w = idx / float(self.N_FEATURES) - 0.5
+        self.w = np.asarray(self.w, dtype=np.float64)
+
+    def __call__(self, batch: pa.Table, text_col: str = "text") -> pa.Table:
+        lst = pc.split_pattern_regex(batch[text_col], pattern=r"\s+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        flat = lst.flatten()
+        offsets = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offsets)
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        nonempty = tok_len > 0
+        feat = (tok_len * np.int64(2654435761)) % self.N_FEATURES
+        contrib = np.where(nonempty, self.w[feat], 0.0)
+        n = batch.num_rows
+        doc_idx = np.repeat(np.arange(n), counts)
+        sums = np.bincount(doc_idx, weights=contrib, minlength=n)
+        n_tok = np.bincount(doc_idx[nonempty], minlength=n).astype(np.int64)
+        score = np.divide(
+            sums, n_tok, out=np.zeros(n, np.float64), where=n_tok > 0
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "score": pa.array(score, pa.float64()),
+            }
+        )
