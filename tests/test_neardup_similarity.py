@@ -457,3 +457,39 @@ def test_neardup_no_duplicates_corpus(ray_session):
         ray.data.from_items(docs.take_all()), max_hamming=0
     ).to_pandas()
     assert len(sh) == 0
+
+
+def test_grouped_centroids_match_numpy(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.similarity import (
+        grouped_centroids,
+    )
+
+    rng = np.random.default_rng(13)
+    n, d = 1200, 16
+    labels = rng.integers(0, 7, n).astype(np.int64)
+    mat = rng.normal(size=(n, d))
+    df = pd.DataFrame(
+        {"label": labels, "embedding": [row.tolist() for row in mat]}
+    )
+    got = (
+        grouped_centroids(rd.from_pandas(df).repartition(9), key="label")
+        .to_pandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    for _, row in got.iterrows():
+        sel = mat[labels == row["label"]]
+        want = sel.mean(axis=0)
+        np.testing.assert_allclose(
+            np.array(row["centroid"]), want, atol=1e-12
+        )
+        assert row["n_vecs"] == sel.shape[0]
+        np.testing.assert_allclose(
+            row["centroid_norm"], np.linalg.norm(want), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            row["total_sum"], sel.sum(), atol=1e-9
+        )

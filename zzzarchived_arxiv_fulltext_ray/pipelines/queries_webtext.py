@@ -583,3 +583,43 @@ SELECT doc_id,
 FROM toks
 ORDER BY doc_id
 """
+
+
+# ------------------------------------------------- label centroids
+
+def _q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (class prototypes): scalar
+    projections for the oracle (count, centroid L2 norm, grand sum);
+    the full centroid vector stays available on the operator output."""
+    import ray.data
+
+    from ..stages.similarity import grouped_centroids
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    out = grouped_centroids(emb, key="label").drop_columns(["centroid"])
+    return out.to_pandas().sort_values("label").reset_index(drop=True)
+
+
+WEBTEXT_QUERIES["label_centroids"] = _q_label_centroids
+WEBTEXT_ORACLE_SQL["label_centroids"] = """
+WITH flat AS (
+    SELECT label, i, CAST(embedding[i] AS DOUBLE) AS val
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+),
+cent AS (
+    SELECT label, i, avg(val) AS c, sum(val) AS s
+    FROM flat GROUP BY label, i
+),
+sizes AS (
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+    FROM embeddings GROUP BY label
+)
+SELECT cent.label, sizes.n_vecs,
+       sqrt(sum(cent.c * cent.c)) AS centroid_norm,
+       sum(cent.s) AS total_sum
+FROM cent JOIN sizes USING (label)
+GROUP BY cent.label, sizes.n_vecs
+ORDER BY cent.label
+"""

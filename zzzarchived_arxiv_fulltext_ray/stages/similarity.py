@@ -518,3 +518,59 @@ def ivf_topk(
     return partials.groupby("query_id").map_groups(
         merge_topk, batch_format="pyarrow"
     )
+
+
+def grouped_centroids(emb_ds, key: str = "label"):
+    """Per-group centroid of the embedding column — the class-prototype
+    / k-means-M-step aggregate a curation pipeline uses for
+    prototype-based filtering and cluster seeding.
+
+    Partial combiner shape: every batch collapses to ONE
+    (key, vec_sum, n) row per group present (sort + ``reduceat``
+    segmented sum, no per-row Python), so the exchange moves
+    O(groups x blocks) fixed-width rows — never the corpus — and a
+    tiny per-key merge derives the centroid, its L2 norm and the
+    grand total. Safe for any corpus size as long as the number of
+    GROUPS is modest (labels/classes; not for high-cardinality keys).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _matrix_of(batch)
+        keys = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        sums = np.add.reduceat(m[order], starts, axis=0)
+        n = np.diff(np.r_[starts, ks.size]).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                key: pa.array(ks[starts], pa.int64()),
+                "vec_sum": pa.array(
+                    list(sums), pa.list_(pa.float64())
+                ),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        m = np.array(group["vec_sum"].to_pylist(), dtype=np.float64)
+        total = m.sum(axis=0)
+        n = int(pc.sum(group["n"]).as_py())
+        c = total / n
+        return pa.Table.from_pydict(
+            {
+                key: group[key].slice(0, 1),
+                "n_vecs": pa.array([n], pa.int64()),
+                "centroid": pa.array([c.tolist()], pa.list_(pa.float64())),
+                "centroid_norm": pa.array(
+                    [float(np.linalg.norm(c))], pa.float64()
+                ),
+                "total_sum": pa.array([float(total.sum())], pa.float64()),
+            }
+        )
+
+    return (
+        emb_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(merge, batch_format="pyarrow")
+    )
