@@ -493,3 +493,69 @@ def test_grouped_centroids_match_numpy(ray_session):
         np.testing.assert_allclose(
             row["total_sum"], sel.sum(), atol=1e-9
         )
+
+
+def test_kmeans_matches_single_node_lloyds(ray_session):
+    """Distributed Lloyd's == plain numpy Lloyd's with the identical
+    deterministic init, iteration count and distance expression."""
+    import pandas as pd
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.similarity import kmeans
+
+    rng = np.random.default_rng(21)
+    n, d, k, iters = 900, 12, 6, 4
+    mat = rng.normal(size=(n, d)) + rng.integers(0, 3, (n, 1)) * 2.0
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [row.tolist() for row in mat],
+        }
+    )
+
+    final, cents, inertia = kmeans(
+        rd.from_pandas(df).repartition(8), k=k, iters=iters
+    )
+    got = (
+        final.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+
+    # reference Lloyd's
+    c = mat[:k].copy()
+    for _ in range(iters):
+        scores = mat @ c.T * -2.0 + (c * c).sum(axis=1)
+        a = np.argmin(scores, axis=1)
+        for j in range(k):
+            if (a == j).any():
+                c[j] = mat[a == j].mean(axis=0)
+    scores = mat @ c.T * -2.0 + (c * c).sum(axis=1)
+    a = np.argmin(scores, axis=1)
+    d2 = scores[np.arange(n), a] + (mat * mat).sum(axis=1)
+
+    assert (got["cluster"].to_numpy() == a).all()
+    np.testing.assert_allclose(cents, c, atol=1e-9)
+    np.testing.assert_allclose(inertia, d2.sum(), rtol=1e-9)
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.similarity import kmeans
+
+    # centroid 2 seeds far away from all mass -> never assigned
+    mat = np.array(
+        [[0.0, 0.0], [1.0, 1.0], [100.0, 100.0]]
+        + [[0.1 * i, 0.1] for i in range(20)]
+    )
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(mat), dtype=np.int64),
+            "embedding": [r.tolist() for r in mat],
+        }
+    )
+    # vec_id 2 is the far seed; no point is nearer to it than to the
+    # others except itself -> after reassignment it keeps itself
+    final, cents, _ = kmeans(rd.from_pandas(df), k=3, iters=3)
+    assert cents.shape == (3, 2)
+    assert np.isfinite(cents).all()

@@ -623,3 +623,39 @@ FROM cent JOIN sizes USING (label)
 GROUP BY cent.label, sizes.n_vecs
 ORDER BY cent.label
 """
+
+
+# ------------------------------------------------------ k-means
+
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd's k-means (k=8, 5 rounds, deterministic
+    lowest-vec_id init) over the embeddings table; per-cluster sizes
+    and summed squared distance. Iterative -> no SQL oracle (declared
+    rows-only); exact parity with single-node Lloyd's is pinned in
+    pytest (test_kmeans_matches_single_node_lloyds)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.similarity import kmeans
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    final, _cents, _inertia = kmeans(emb, k=8, iters=5)
+    out = (
+        final.groupby("cluster")
+        .aggregate(
+            Count(alias_name="n_vecs"),
+            Sum("dist2", alias_name="inertia"),
+        )
+        .to_pandas()
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    out["n_vecs"] = out["n_vecs"].astype("int64")
+    return out
+
+
+WEBTEXT_QUERIES["kmeans_clusters"] = _q_kmeans_clusters
+# iterative algorithm: deliberately no oracle_sql entry (rows-only);
+# correctness pinned against single-node Lloyd's in pytest

@@ -574,3 +574,87 @@ def grouped_centroids(emb_ds, key: str = "label"):
         .groupby(key)
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def _assign_clusters_batch(batch: pa.Table, cent_ref, id_col: str):
+    """E-step: nearest centroid per row, fully vectorized. Distances
+    are compared as ``-2 x.c + |c|^2`` (the ``|x|^2`` term is constant
+    per row); ``dist2`` adds it back for the inertia sum."""
+    import ray
+
+    cents = ray.get(cent_ref)  # (k, d) float64, zero-copy from plasma
+    m = _matrix_of(batch)
+    scores = m @ cents.T * -2.0 + (cents * cents).sum(axis=1)
+    cluster = np.argmin(scores, axis=1).astype(np.int64)
+    d2 = scores[np.arange(m.shape[0]), cluster] + (m * m).sum(axis=1)
+    return pa.Table.from_pydict(
+        {
+            id_col: batch[id_col],
+            "cluster": pa.array(cluster, pa.int64()),
+            "dist2": pa.array(d2, pa.float64()),
+            "embedding": batch["embedding"],
+        }
+    )
+
+
+def kmeans(
+    emb_ds,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+):
+    """Distributed Lloyd's k-means over the embedding column.
+
+    The iteration state is TINY and driver-side (the k x d centroid
+    matrix, re-``ray.put`` each round); the corpus itself is never
+    mutated, fed back, or materialized — every round is one streaming
+    pass (E-step ``map_batches`` with the broadcast centroids fused
+    into the M-step's ``grouped_centroids`` partial + tiny merge), so
+    the per-round plan has CONSTANT size (no iterative-Dataset plan
+    growth; cf. the components-stage gotcha, which this deliberately
+    avoids by keeping loop state off the Dataset).
+
+    Init is deterministic: the k lowest-``id_col`` rows. Empty
+    clusters keep their previous centroid. Returns
+    ``(assignments_ds, centroids, inertia)`` — the assignment Dataset
+    (id, cluster, dist2), the final (k, d) numpy centroids, and the
+    summed squared distance.
+    """
+    import ray
+
+    seed = (
+        emb_ds.map_batches(
+            lambda b: b.filter(pc.less(b[id_col], k)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    cents = np.array(
+        [list(v) for v in seed["embedding"]], dtype=np.float64
+    )
+    if cents.shape[0] < k:
+        raise ValueError(f"need >= {k} rows with {id_col} < {k} to seed")
+
+    inertia = float("nan")
+    for _ in range(iters):
+        ref = ray.put(cents)
+        assigned = emb_ds.map_batches(
+            lambda b, r=ref: _assign_clusters_batch(b, r, id_col),
+            batch_format="pyarrow",
+        )
+        stats = grouped_centroids(assigned, key="cluster").to_pandas()
+        new = cents.copy()  # empty clusters keep their centroid
+        for _, row in stats.iterrows():
+            new[int(row["cluster"])] = np.array(row["centroid"])
+        cents = new
+
+    ref = ray.put(cents)
+    final = emb_ds.map_batches(
+        lambda b, r=ref: _assign_clusters_batch(b, r, id_col),
+        batch_format="pyarrow",
+    ).drop_columns(["embedding"])
+    from ray.data.aggregate import Sum
+
+    inertia = float(final.aggregate(Sum("dist2"))["sum(dist2)"])
+    return final, cents, inertia
