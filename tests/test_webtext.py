@@ -333,3 +333,62 @@ def test_hashed_linear_scorer_broadcast_weights(ray_session):
         _t(doc_id=[0], text=["a bb a"])
     ).to_pandas()
     assert abs(out.loc[0, "score"] - (7.0 + 0.0 + 7.0) / 3) < 1e-12
+
+
+# ------------------------------------------------- grouped quantiles
+
+def test_grouped_quantile_matches_duckdb_convention(ray_session):
+    """Engine rank = ceil(q*n) in integer arithmetic == DuckDB
+    quantile_disc, across group sizes that stress float rounding
+    (0.9*10 = 9.000000000000002 would ceil to 10 in float math)."""
+    import duckdb
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.webtext import (
+        grouped_quantile_disc,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = []
+    for gi, size in enumerate([10, 4, 5, 11, 100, 1]):
+        frames.append(
+            pd.DataFrame(
+                {
+                    "g": np.full(size, gi, np.int64),
+                    "v": rng.integers(0, 50, size).astype(np.int64),
+                }
+            )
+        )
+    df = pd.concat(frames, ignore_index=True)
+    th = grouped_quantile_disc(
+        rd.from_pandas(df).repartition(5), "g", "v", 9, 10
+    ).to_pandas().sort_values("g").reset_index(drop=True)
+    want = (
+        duckdb.connect()
+        .execute(
+            "SELECT g, quantile_disc(v, 0.9) AS t FROM df GROUP BY g ORDER BY g"
+        )
+        .fetchdf()
+    )
+    assert th["threshold"].tolist() == want["t"].tolist()
+    assert th["n"].tolist() == df.groupby("g").size().tolist()
+
+
+def test_quantile_filter_keeps_at_most_decile_plus_ties(ray_session):
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.webtext import (
+        quantile_filter,
+    )
+
+    df = pd.DataFrame(
+        {
+            "g": np.zeros(100, np.int64),
+            "v": np.arange(100, dtype=np.int64),
+        }
+    )
+    kept = quantile_filter(
+        rd.from_pandas(df), "g", "v", 9, 10
+    ).to_pandas()
+    # threshold = value at rank ceil(0.9*100)=90 -> v=89; keep v>=89
+    assert sorted(kept["v"].tolist()) == list(range(89, 100))

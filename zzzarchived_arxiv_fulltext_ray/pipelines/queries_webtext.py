@@ -659,3 +659,52 @@ def _q_kmeans_clusters(sf_dir: str):
 WEBTEXT_QUERIES["kmeans_clusters"] = _q_kmeans_clusters
 # iterative algorithm: deliberately no oracle_sql entry (rows-only);
 # correctness pinned against single-node Lloyd's in pytest
+
+
+# -------------------------------------------- per-group quantile filter
+
+def _q_lang_p90_filter(sf_dir: str):
+    """Keep each language's longest decile (n_chars >= the exact
+    per-language 0.9 discrete quantile) — the per-group
+    quantile-threshold filter every curation pipeline runs. Exchange
+    is the (lang, n_chars) count histogram, never whole groups."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.webtext import quantile_filter
+
+    kept = quantile_filter(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+        key="lang",
+        val="n_chars",
+        q_num=9,
+        q_den=10,
+    )
+    out = (
+        kept.groupby("lang")
+        .aggregate(
+            Count(alias_name="n_kept"),
+            Sum("n_chars", alias_name="sum_chars"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    for c in ("n_kept", "sum_chars"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+WEBTEXT_QUERIES["lang_p90_filter"] = _q_lang_p90_filter
+WEBTEXT_ORACLE_SQL["lang_p90_filter"] = """
+WITH th AS (
+    SELECT lang, quantile_disc(n_chars, 0.9) AS t
+    FROM documents GROUP BY lang
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+FROM documents d JOIN th USING (lang)
+WHERE d.n_chars >= th.t
+GROUP BY d.lang
+ORDER BY d.lang
+"""
