@@ -392,3 +392,60 @@ def test_quantile_filter_keeps_at_most_decile_plus_ties(ray_session):
     ).to_pandas()
     # threshold = value at rank ceil(0.9*100)=90 -> v=89; keep v>=89
     assert sorted(kept["v"].tolist()) == list(range(89, 100))
+
+
+# ------------------------------------------------- Bloom dedup guard
+
+def test_bloom_guard_no_false_negatives_and_bounded_fp(ray_session):
+    import ray
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.dedup import (
+        bloom_guard_filter,
+        build_key_bloom,
+    )
+
+    n = 20000
+    df = pd.DataFrame(
+        {
+            "url": [f"https://h/{i}" for i in range(n)],
+            "doc_id": np.arange(n, dtype=np.int64),
+        }
+    )
+    seen_df = df[df.doc_id % 2 == 0]
+    seen = rd.from_pandas(seen_df).repartition(6)
+    bloom = build_key_bloom(seen, col="url", n_bits=1 << 20, k=4)
+    ref = ray.put(bloom)
+    passed = bloom_guard_filter(
+        rd.from_pandas(df).repartition(4), ref, col="url"
+    ).to_pandas()
+    # no false negatives: every seen url is skipped
+    assert (passed["doc_id"] % 2 == 1).all()
+    # bounded false positives: 10k keys in 2^20 bits at k=4 -> well
+    # under 1% of the new half wrongly skipped
+    n_new = n // 2
+    fp = (n_new - len(passed)) / n_new
+    assert fp < 0.01, fp
+
+
+def test_bloom_tree_merge_equals_single_build(ray_session):
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.functions.sketches import (
+        BloomFilter,
+    )
+    from zzzarchived_arxiv_fulltext_ray.stages.dedup import build_key_bloom
+
+    df = pd.DataFrame({"url": [f"u{i}" for i in range(5000)]})
+    distributed = build_key_bloom(
+        rd.from_pandas(df).repartition(7), col="url",
+        n_bits=1 << 18, k=3, tree_width=3,
+    )
+    from zzzarchived_arxiv_fulltext_ray.functions.hashing import (
+        hash64_column,
+    )
+    import pyarrow as pa_
+
+    single = BloomFilter(1 << 18, 3)
+    single.add_hashes(hash64_column(pa_.array(df["url"])))
+    assert (distributed.bits == single.bits).all()

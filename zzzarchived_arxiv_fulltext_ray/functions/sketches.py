@@ -213,3 +213,75 @@ class CountMinSketch:
             .astype(np.int64)
         )
         return cms
+
+
+# -- Bloom filter -------------------------------------------------------------
+
+
+class BloomFilter:
+    """Mergeable Bloom filter over 64-bit key hashes: ``n_bits`` bits
+    (power of two), ``k`` probes via double hashing
+    (h_i = h1 + i*h2, h2 forced odd). Same contract as every sketch
+    here: deterministic, one sketch per batch, OR-mergeable.
+
+    Semantics for exists-already guards: NO false negatives — every
+    inserted key always probes positive, so a seen document is never
+    re-processed; false positives (rate ~(1-e^{-kn/m})^k) skip a NEW
+    document. That trade is the point: 2**27 bits = 16 MiB covers
+    ~10^7 urls at k=4 under 1% FP where the exact manifest anti-join
+    would hold the full url set."""
+
+    def __init__(self, n_bits: int = 1 << 27, k: int = 4):
+        if n_bits & (n_bits - 1):
+            raise ValueError("n_bits must be a power of two")
+        self.n_bits = n_bits
+        self.k = k
+        self.bits = np.zeros(n_bits >> 3, dtype=np.uint8)
+
+    def _positions(self, hashes: np.ndarray) -> np.ndarray:
+        h1 = hashes.astype(np.uint64)
+        h2 = _splitmix64(h1) | np.uint64(1)
+        steps = np.arange(self.k, dtype=np.uint64)
+        return (
+            (h1[:, None] + steps[None, :] * h2[:, None])
+            & np.uint64(self.n_bits - 1)
+        ).ravel()
+
+    def add_hashes(self, hashes: np.ndarray):
+        if hashes.size == 0:
+            return
+        pos = self._positions(hashes)
+        np.bitwise_or.at(
+            self.bits,
+            (pos >> np.uint64(3)).astype(np.int64),
+            (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8),
+        )
+
+    def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        if hashes.size == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(hashes)
+        hit = (
+            self.bits[(pos >> np.uint64(3)).astype(np.int64)]
+            >> (pos & np.uint64(7)).astype(np.uint8)
+        ) & 1
+        return hit.reshape(-1, self.k).all(axis=1)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert (self.n_bits, self.k) == (other.n_bits, other.k)
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        return self
+
+    def fill_ratio(self) -> float:
+        return float(np.unpackbits(self.bits).mean())
+
+    def serialize(self) -> bytes:
+        return self.bits.tobytes()
+
+    @classmethod
+    def deserialize(
+        cls, blob: bytes, n_bits: int = 1 << 27, k: int = 4
+    ) -> "BloomFilter":
+        bf = cls(n_bits, k)
+        bf.bits = np.frombuffer(blob, dtype=np.uint8).copy()
+        return bf

@@ -708,3 +708,56 @@ WHERE d.n_chars >= th.t
 GROUP BY d.lang
 ORDER BY d.lang
 """
+
+
+# ----------------------------------------------- Bloom dedup guard
+
+def _q_bloom_dedup_guard(sf_dir: str):
+    """Memory-bounded exists-already guard: a Bloom filter built from
+    the 'prior run' urls (even doc_ids) screens the incoming stream.
+    No false negatives by construction (every even doc is skipped);
+    false positives skip ~FP-rate of the genuinely new odd docs. Not
+    SQL-expressible (bit-mixing) -> rows-only; properties pinned in
+    pytest (test_webtext.py)."""
+    import ray
+
+    from ..stages.dedup import bloom_guard_filter, build_key_bloom
+
+    urls = _docs(sf_dir, ["doc_id"]).map_batches(
+        lambda b: pa.Table.from_pydict(
+            {
+                "doc_id": b["doc_id"],
+                "url": pc.binary_join_element_wise(
+                    "https://x/", pc.cast(b["doc_id"], pa.string()), ""
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    seen = urls.map_batches(
+        lambda b: b.filter(
+            pa.array(
+                b["doc_id"].to_numpy(zero_copy_only=False) % 2 == 0
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    bloom = build_key_bloom(seen, col="url", n_bits=1 << 20, k=4)
+    ref = ray.put(bloom)
+    passed = bloom_guard_filter(urls, ref, col="url").to_pandas()
+    n_in = len(urls.to_pandas())
+    n_passed = len(passed)
+    n_false_neg = int((passed["doc_id"] % 2 == 0).sum())
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "n_in": [n_in],
+            "n_passed": [n_passed],
+            "n_seen_leaked": [n_false_neg],  # must be 0: no false negs
+        }
+    )
+
+
+WEBTEXT_QUERIES["bloom_dedup_guard"] = _q_bloom_dedup_guard
+# bit-mixing, not SQL-expressible: rows-only by declaration

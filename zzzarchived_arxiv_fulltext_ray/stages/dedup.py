@@ -289,3 +289,73 @@ def partition_pages_by_url(ds, out_dir: str, num_buckets: int = 64):
         out_dir, partition_cols=["url_bucket"]
     )
     return out_dir
+
+
+# ---------------------------------------------- Bloom exists-already guard
+
+def build_key_bloom(
+    ds, col: str = "url", n_bits: int = 1 << 27, k: int = 4,
+    tree_width: int = 8,
+):
+    """Build a Bloom filter over ``col`` with a merge TREE: one Bloom
+    partial per input block (vectorized inserts of the 64-bit key
+    hashes), an intermediate OR stage of ``tree_width`` groups, then a
+    driver OR of ``tree_width`` blobs. Driver and per-task memory are
+    O(n_bits/8), independent of corpus size; size ``n_bits`` to the
+    expected key count (~10 bits/key for ~1% FP at k=4).
+
+    The memory-bounded alternative to the exact manifest anti-join
+    (S5/J1): a Bloom guard never re-processes a seen key (no false
+    negatives) at the price of skipping ~FP-rate of genuinely new
+    keys — the right trade for crawl-scale "probably already done"
+    pre-filters where the exact url set no longer fits anywhere.
+    Returns the merged :class:`BloomFilter`.
+    """
+    import numpy as np
+    import ray
+
+    from ..functions.hashing import hash64_column
+    from ..functions.sketches import BloomFilter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_bits, k)
+        bf.add_hashes(hash64_column(batch[col]))
+        return pa.Table.from_pydict(
+            {"blob": pa.array([bf.serialize()], pa.large_binary())}
+        )
+
+    def merge_rows(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_bits, k)
+        for blob in batch["blob"].to_pylist():
+            bf.merge(BloomFilter.deserialize(blob, n_bits, k))
+        return pa.Table.from_pydict(
+            {"blob": pa.array([bf.serialize()], pa.large_binary())}
+        )
+
+    partials = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(tree_width)
+        .map_batches(merge_rows, batch_format="pyarrow")
+    )
+    out = BloomFilter(n_bits, k)
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for blob in b["blob"].to_pylist():
+            out.merge(BloomFilter.deserialize(blob, n_bits, k))
+    return out
+
+
+def bloom_guard_filter(ds, bloom_ref, col: str = "url"):
+    """Drop rows whose ``col`` probes positive in the broadcast Bloom
+    (probably-seen keys); vectorized probe per batch. ``bloom_ref`` is
+    a ``ray.put`` of a :class:`BloomFilter`."""
+    import ray
+
+    from ..functions.hashing import hash64_column
+
+    def keep_new(batch: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref)
+        seen = bf.contains_hashes(hash64_column(batch[col]))
+        return batch.filter(pa.array(~seen))
+
+    return ds.map_batches(keep_new, batch_format="pyarrow")
