@@ -449,3 +449,41 @@ def test_bloom_tree_merge_equals_single_build(ray_session):
     single = BloomFilter(1 << 18, 3)
     single.add_hashes(hash64_column(pa_.array(df["url"])))
     assert (distributed.bits == single.bits).all()
+
+
+def test_bigram_pmi_handles_multibyte_and_ties(ray_session):
+    """np.char.partition / searchsorted path with non-ASCII tokens and
+    PMI ties (deterministic bigram-asc tiebreak)."""
+    from zzzarchived_arxiv_fulltext_ray.pipelines.queries_webtext import (
+        _q_bigram_pmi,
+    )
+    import duckdb
+    import os
+    import tempfile
+
+    texts = (
+        ["héllo wörld münchen café"] * 7
+        + ["wörld café münchen héllo"] * 7
+        + ["aa bb", "bb aa"] * 5
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pd.DataFrame(
+            {
+                "doc_id": np.arange(len(texts), dtype=np.int64),
+                "text": texts,
+                "lang": ["xx"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ).to_parquet(os.path.join(d, "documents.parquet"))
+        got = _q_bigram_pmi(d)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        from zzzarchived_arxiv_fulltext_ray.pipelines.queries_webtext import (
+            WEBTEXT_ORACLE_SQL,
+        )
+        want = con.execute(WEBTEXT_ORACLE_SQL["bigram_pmi"]).fetchdf()
+    assert got["bigram"].tolist() == want["bigram"].tolist()
+    np.testing.assert_allclose(got["pmi"], want["pmi"], rtol=1e-12)

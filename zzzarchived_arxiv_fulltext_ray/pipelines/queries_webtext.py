@@ -761,3 +761,144 @@ def _q_bloom_dedup_guard(sf_dir: str):
 
 WEBTEXT_QUERIES["bloom_dedup_guard"] = _q_bloom_dedup_guard
 # bit-mixing, not SQL-expressible: rows-only by declaration
+
+
+# --------------------------------------------------- bigram PMI
+
+def _q_bigram_pmi(sf_dir: str):
+    """Collocation mining: top-20 word bigrams by pointwise mutual
+    information (min count 5). Distributed end-to-end: one
+    (kind, gram) count exchange with per-batch dict partials; the
+    UNIGRAM table (vocab-bounded — the justified broadcast, like the
+    decontamination benchmark side) ships once via ``ray.put``; PMI
+    scoring is a vectorized searchsorted + log over the bigram-count
+    stream; top-20 via the partial-top-k combiner. The driver never
+    holds the bigram table."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def grams_partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        uni: dict = {}
+        bi: dict = {}
+        for t in texts:
+            toks = t.split()
+            for w in toks:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(toks, toks[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        rows_w = list(uni.keys()) + [a + " " + b for a, b in bi]
+        rows_n = list(uni.values()) + list(bi.values())
+        rows_kind = ["u"] * len(uni) + ["b"] * len(bi)
+        return pa.Table.from_pydict(
+            {
+                "gram": pa.array(rows_w, pa.string()),
+                "kind": pa.array(rows_kind, pa.string()),
+                "n": pa.array(rows_n, pa.int64()),
+            }
+        )
+
+    counts = (
+        _docs(sf_dir, ["text"])
+        .map_batches(grams_partial, batch_format="pyarrow")
+        .groupby(["kind", "gram"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    # one count exchange feeds three consumers (totals, unigram
+    # broadcast, bigram scoring): materialize the small aggregated
+    # table once instead of re-running the corpus scan per consumer
+    counts = counts.materialize()
+
+    totals = {
+        r["kind"]: r["sum(n)"]
+        for r in counts.groupby("kind")
+        .aggregate(Sum("n"))
+        .take_all()
+    }
+    n_uni, n_bi = float(totals["u"]), float(totals["b"])
+
+    uni_rows = counts.map_batches(
+        lambda b: b.filter(pc.equal(b["kind"], "u")).select(["gram", "n"]),
+        batch_format="pyarrow",
+    ).take_all()  # vocab-bounded broadcast side
+    vocab = np.array([r["gram"] for r in uni_rows])
+    vcnt = np.array([r["n"] for r in uni_rows], dtype=np.float64)
+    order = np.argsort(vocab)
+    vocab, vcnt = vocab[order], vcnt[order]
+    ref = ray.put((vocab, vcnt))
+
+    def score(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.and_(
+                pc.equal(batch["kind"], "b"),
+                pc.greater_equal(batch["n"], 5),
+            )
+        )
+        if b.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "bigram": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "pmi": pa.array([], pa.float64()),
+                }
+            )
+        voc, cnt = ray.get(ref)
+        grams = b["gram"].to_numpy(zero_copy_only=False)
+        parts = np.char.partition(grams.astype(str), " ")
+        ca = cnt[np.searchsorted(voc, parts[:, 0])]
+        cb = cnt[np.searchsorted(voc, parts[:, 2])]
+        c_ab = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.log((c_ab / n_bi) / ((ca / n_uni) * (cb / n_uni)))
+        # lossless partial top-k: global top-20 rows are in their
+        # batch top-20 (ties broken by bigram asc, like the oracle)
+        idx = np.lexsort((grams, -pmi))[:20]
+        return pa.Table.from_pydict(
+            {
+                "bigram": pa.array(grams[idx], pa.string()),
+                "n": pa.array(c_ab[idx].astype(np.int64), pa.int64()),
+                "pmi": pa.array(pmi[idx], pa.float64()),
+            }
+        )
+
+    parts = counts.map_batches(score, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.sort_values(["pmi", "bigram"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    return out
+
+
+WEBTEXT_QUERIES["bigram_pmi"] = _q_bigram_pmi
+WEBTEXT_ORACLE_SQL["bigram_pmi"] = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+uni AS (
+    SELECT t[i] AS w, count(*) AS c
+    FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+    GROUP BY t[i]
+),
+n_uni AS (SELECT sum(c) AS n FROM uni),
+bi AS (
+    SELECT t[i] AS a, t[i+1] AS b, count(*) AS c
+    FROM toks, UNNEST(range(1, len(t))) AS r(i)
+    WHERE len(t) >= 2
+    GROUP BY t[i], t[i+1]
+),
+n_bi AS (SELECT sum(c) AS n FROM bi)
+SELECT bi.a || ' ' || bi.b AS bigram,
+       CAST(bi.c AS BIGINT) AS n,
+       ln((bi.c / n_bi.n) /
+          ((ua.c / n_uni.n) * (ub.c / n_uni.n))) AS pmi
+FROM bi, n_bi, n_uni
+JOIN uni ua ON ua.w = bi.a
+JOIN uni ub ON ub.w = bi.b
+WHERE bi.c >= 5
+ORDER BY pmi DESC, bigram
+LIMIT 20
+"""
