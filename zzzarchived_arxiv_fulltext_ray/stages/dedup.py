@@ -334,9 +334,14 @@ def build_key_bloom(
 
     partials = (
         ds.select_columns([col])
-        .map_batches(partial, batch_format="pyarrow")
+        # batch_size=None = whole blocks: ONE Bloom partial per block,
+        # not one per default-1024-row batch (a 2**27-bit filter is
+        # 16 MiB per partial — per-block is the documented contract)
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
         .repartition(tree_width)
-        .map_batches(merge_rows, batch_format="pyarrow")
+        .map_batches(
+            merge_rows, batch_format="pyarrow", batch_size=None
+        )
     )
     out = BloomFilter(n_bits, k)
     for b in partials.iter_batches(batch_format="pyarrow"):
