@@ -902,3 +902,129 @@ WHERE bi.c >= 5
 ORDER BY pmi DESC, bigram
 LIMIT 20
 """
+
+
+# ---------------------------------------- composed curation pipeline
+
+def _q_curate_corpus(sf_dir: str):
+    """End-to-end curation showcase — FOUR operators composed into one
+    streaming graph (no intermediate materialization except the two
+    tiny broadcast pre-passes the operators own):
+
+      inject boilerplate (synthesizer pattern)
+      -> cross-doc line dedup  (hot-set broadcast scrub)
+      -> quality gate on the CLEAN text (>= 10 tokens AND >= 1 line
+         survived)
+      -> per-domain cap        (top-5 by clean length, combiner tree)
+
+    Output: kept (domain, doc_id, n_chars_clean). The oracle chains
+    the same CTEs the per-operator oracles already use."""
+    from ..stages.webtext import capped_topk_per_key, line_dedup
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        inject_boilerplate_batch, batch_format="pyarrow"
+    )
+    cleaned = line_dedup(ds, min_count=5)
+
+    def quality_gate(batch: pa.Table) -> pa.Table:
+        # \S+ match count == the oracle's nonempty-token count (a
+        # regex SPLIT would count empty artifacts around whitespace)
+        toks = pc.count_substring_regex(batch["clean"], pattern=r"\S+")
+        kept = batch.filter(
+            pc.and_(
+                pc.greater_equal(toks, 10),
+                pc.greater(batch["n_lines"], batch["n_removed"]),
+            )
+        )
+        ids = kept["doc_id"].to_numpy(zero_copy_only=False)
+        dom = pc.binary_join_element_wise(
+            "site",
+            pc.utf8_lpad(
+                pc.cast(
+                    pa.array((ids % 50).astype(np.int64)), pa.string()
+                ),
+                width=2,
+                padding="0",
+            ),
+            ".example.org",
+            "",
+        )
+        return pa.Table.from_pydict(
+            {
+                "domain": dom,
+                "doc_id": kept["doc_id"],
+                "n_chars": pc.cast(
+                    pc.utf8_length(kept["clean"]), pa.int64()
+                ),
+            }
+        )
+
+    gated = cleaned.map_batches(quality_gate, batch_format="pyarrow")
+    out = capped_topk_per_key(gated, key="domain", k=5, val="n_chars")
+    df = (
+        out.to_pandas()
+        .rename(columns={"n_chars": "n_chars_clean"})
+        .sort_values(["domain", "doc_id"])
+        .reset_index(drop=True)
+    )
+    return df
+
+
+WEBTEXT_QUERIES["curate_corpus"] = _q_curate_corpus
+WEBTEXT_ORACLE_SQL["curate_corpus"] = """
+WITH aug AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'subscribe to newsletter '
+                     || CAST(doc_id % 4 AS VARCHAR) || chr(10)
+                ELSE '' END
+           || text
+           || CASE WHEN doc_id % 3 = 0
+                   THEN chr(10) || 'copyright footer '
+                        || CAST(doc_id % 7 AS VARCHAR)
+                   ELSE '' END
+           || CASE WHEN doc_id % 25 = 0
+                   THEN chr(10) || 'promo '
+                        || CAST(doc_id % 100 AS VARCHAR)
+                   ELSE '' END
+           AS text
+    FROM documents
+),
+ls AS (
+    SELECT doc_id, string_split(text, chr(10)) AS l FROM aug
+),
+lines AS (
+    SELECT doc_id, l[i] AS line, i
+    FROM ls, UNNEST(range(1, len(l) + 1)) AS r(i)
+),
+counts AS (SELECT line, count(*) AS c FROM lines GROUP BY line),
+cleaned AS (
+    SELECT l.doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN c.c >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           coalesce(string_agg(CASE WHEN c.c < 5 THEN l.line END,
+                               chr(10) ORDER BY l.i), '') AS clean
+    FROM lines l JOIN counts c ON l.line = c.line
+    GROUP BY l.doc_id
+),
+gated AS (
+    SELECT 'site' || lpad(CAST(doc_id % 50 AS VARCHAR), 2, '0')
+           || '.example.org' AS domain,
+           doc_id,
+           CAST(length(clean) AS BIGINT) AS n_chars_clean
+    FROM cleaned
+    WHERE len(list_filter(regexp_split_to_array(clean, '\\s+'),
+                          x -> x <> '')) >= 10
+      AND n_lines > n_removed
+)
+SELECT domain, doc_id, n_chars_clean
+FROM (
+    SELECT domain, doc_id, n_chars_clean,
+           row_number() OVER (PARTITION BY domain
+                              ORDER BY n_chars_clean DESC, doc_id) AS rn
+    FROM gated
+)
+WHERE rn <= 5
+ORDER BY domain, doc_id
+"""

@@ -237,8 +237,14 @@ def decontaminate(
     shingled_docs = docs_ds.map_batches(
         lambda b: shingle_hash_batch(b, n=n), batch_format="pyarrow"
     )
+    def distinct_keys(b: pa.Table) -> pa.Table:
+        # bench docs share grams: per-batch distinct shrinks the
+        # filter side before it enters the exchange
+        u = np.unique(b["gram_hash"].to_numpy(zero_copy_only=False))
+        return pa.Table.from_pydict({"gram_hash": pa.array(u, pa.uint64())})
+
     bench_keys = shingled_bench.map_batches(
-        lambda b: b.select(["gram_hash"]), batch_format="pyarrow"
+        distinct_keys, batch_format="pyarrow"
     )
     hits = partitioned_hash_join(
         shingled_docs,
