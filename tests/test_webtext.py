@@ -487,3 +487,175 @@ def test_bigram_pmi_handles_multibyte_and_ties(ray_session):
         want = con.execute(WEBTEXT_ORACLE_SQL["bigram_pmi"]).fetchdf()
     assert got["bigram"].tolist() == want["bigram"].tolist()
     np.testing.assert_allclose(got["pmi"], want["pmi"], rtol=1e-12)
+
+
+# ---------------------------------------------- Gopher quality rules
+
+def test_gopher_verdicts_cover_every_rule():
+    from zzzarchived_arxiv_fulltext_ray.stages.webtext import (
+        gopher_verdict_batch,
+    )
+
+    docs = {
+        # 40+ words, has 'the' and 'a', sane structure -> keep
+        "keep": "the quick brown fox jumps over a lazy dog " * 5,
+        "bad_word_count": "the a short doc",
+        # 40 one-char words: mean word length 1 < 3
+        "bad_mean_word_len": "x " * 40,
+        # words fine but 6 hashes on 40 words -> 60 > 40
+        "high_symbol_ratio": "the a " + "word " * 38 + "### ###",
+        "too_many_bullets": "the a "
+        + "word " * 38
+        + "\n- one\n- two\n- three\n- four",
+        "too_many_ellipsis": "the a " + "word " * 38 + "\nfin...\nfin...",
+        # 40 words, mean length in range, only 10 contain a letter
+        "low_alpha_words": "the a " + "4444 " * 30 + "word " * 8,
+        "few_stopwords": "word " * 40,
+    }
+    batch = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string()),
+        }
+    )
+    out = gopher_verdict_batch(batch)
+    got = dict(zip(docs.keys(), out["verdict"].to_pylist()))
+    for expected, actual in got.items():
+        assert expected == actual, (expected, actual)
+
+
+def test_gopher_stats_counting_tricks_vs_python():
+    """The vectorized counting tricks vs a straight Python recount."""
+    import re
+
+    from zzzarchived_arxiv_fulltext_ray.stages.webtext import (
+        GOPHER_STOPWORDS,
+        gopher_stats_batch,
+    )
+
+    texts = [
+        "  leading space the a\nplain line\n- bullet ...\n* b2 x...",
+        "one...two...\n...\n####",
+        "",
+        "- starts with bullet the a of to",
+        "tab\tsep the\n\n\na",
+    ]
+    batch = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = gopher_stats_batch(batch)
+    for i, t in enumerate(texts):
+        words = re.findall(r"\S+", t, re.ASCII)
+        lines = t.split("\n")
+        assert out["n_words"][i].as_py() == len(words)
+        assert out["n_word_chars"][i].as_py() == sum(len(w) for w in words)
+        assert out["n_alpha_words"][i].as_py() == sum(
+            1 for w in words if re.search(r"[A-Za-z]", w)
+        )
+        assert out["n_symbols"][i].as_py() == t.count("#") + t.count("...")
+        assert out["n_lines"][i].as_py() == len(lines)
+        assert out["n_bullet_lines"][i].as_py() == sum(
+            1 for l in lines if l.startswith(("- ", "* "))
+        )
+        assert out["n_ellipsis_lines"][i].as_py() == sum(
+            1 for l in lines if l.endswith("...")
+        )
+        assert out["n_stop"][i].as_py() == sum(
+            1 for w in GOPHER_STOPWORDS if w in words
+        )
+
+
+# ------------------------------- windowed exact-substring duplication
+
+def test_substring_dedup_matches_brute_force(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.webtext import (
+        substring_dedup,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        " ".join(rng.choice(vocab, size=rng.integers(4, 30)))
+        for _ in range(60)
+    ]
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs[3] += " " + shared
+    docs[11] = shared + " " + docs[11]
+    docs[25] += " " + shared + " tail " + shared  # twice in one doc
+    W = 8
+
+    def windows(t):
+        w = t.split()
+        return {
+            " ".join(w[i : i + W]) for i in range(len(w) - W + 1)
+        }
+
+    wins = [windows(t) for t in docs]
+    from collections import Counter
+
+    cnt = Counter(itertools.chain.from_iterable(wins))
+    expect = {
+        i: sum(1 for x in ws if cnt[x] >= 2)
+        for i, ws in enumerate(wins)
+        if any(cnt[x] >= 2 for x in ws)
+    }
+
+    ds = rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        )
+    ).repartition(5)
+    got = {
+        r["doc_id"]: r["n_shared"]
+        for r in substring_dedup(ds, w=W).take_all()
+    }
+    assert got == expect
+    # the planted windows flagged docs 3, 11, 25 with count 1 each
+    assert got[3] == got[11] == got[25] == 1
+
+
+def test_substring_dedup_no_duplicates_is_empty(ray_session):
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.webtext import (
+        substring_dedup,
+    )
+
+    ds = rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(
+                    [
+                        " ".join(f"a{i}" for i in range(20)),
+                        " ".join(f"b{i}" for i in range(20)),
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    out = substring_dedup(ds, w=8)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_id", "n_shared"}
+
+
+def test_tokenize_flat_drops_empties():
+    from zzzarchived_arxiv_fulltext_ray.stages.webtext import tokenize_flat
+
+    col = pa.chunked_array(
+        [pa.array(["  a b  ", "", "c", "  ", "d  e"], pa.string())]
+    )
+    flat, doc_idx = tokenize_flat(col)
+    assert flat.to_pylist() == ["a", "b", "c", "d", "e"]
+    assert doc_idx.tolist() == [0, 0, 2, 4, 4]

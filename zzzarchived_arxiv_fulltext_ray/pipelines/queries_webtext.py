@@ -1028,3 +1028,164 @@ FROM (
 WHERE rn <= 5
 ORDER BY domain, doc_id
 """
+
+
+# ------------------------------------------- Gopher quality rules
+
+def inject_structure_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic structural augmentation (pure function of doc_id
+    — the pages-synthesizer pattern): docs with doc_id % 7 == 0 gain a
+    3-line bullet list, % 11 a symbol/ellipsis block, so the
+    line-based Gopher rules are non-degenerate on the newline-free
+    synthetic corpus. The oracle CTE reconstructs the same text."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    s_id = pc.cast(batch["doc_id"], pa.string())
+
+    def s(arr: np.ndarray):
+        return pc.cast(pa.array(arr.astype(np.int64)), pa.string())
+
+    bullets = pc.binary_join_element_wise(
+        "\n- list item ",
+        s(ids % 5),
+        "\n- another item\n- third item",
+        "",
+    )
+    symbols = pc.binary_join_element_wise(
+        "\n### noise ### ",
+        s(ids % 9),
+        " ...\nmore text follows...",
+        "",
+    )
+    empty = pa.scalar("", pa.string())
+    text = pc.binary_join_element_wise(
+        batch["text"],
+        pc.if_else(pa.array(ids % 7 == 0), bullets, empty),
+        pc.if_else(pa.array(ids % 11 == 0), symbols, empty),
+        "",
+    )
+    return pa.Table.from_pydict({"doc_id": batch["doc_id"], "text": text})
+
+
+def _q_gopher_filter(sf_dir: str):
+    """Gopher-style quality rules (Rae et al. 2021): per-doc integer
+    structure counts + first-matching-rule verdict. One vectorized
+    Arrow RE2 pass; the oracle recomputes every count with
+    INDEPENDENT spellings (regexp_extract_all + list lambdas vs the
+    engine's non-overlapping-match counting tricks)."""
+    from ..stages.webtext import gopher_filter
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        inject_structure_batch, batch_format="pyarrow"
+    )
+    out = gopher_filter(ds, keep_only=False)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+_STRUCT_AUG_CTE = """
+WITH aug AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 7 = 0
+                   THEN chr(10) || '- list item ' || CAST(doc_id % 5 AS VARCHAR)
+                        || chr(10) || '- another item'
+                        || chr(10) || '- third item'
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN chr(10) || '### noise ### ' || CAST(doc_id % 9 AS VARCHAR)
+                        || ' ...' || chr(10) || 'more text follows...'
+                   ELSE '' END
+           AS text
+    FROM documents
+)
+"""
+
+WEBTEXT_QUERIES["gopher_filter"] = _q_gopher_filter
+WEBTEXT_ORACLE_SQL["gopher_filter"] = (
+    _STRUCT_AUG_CTE
+    + """
+, m AS (
+    SELECT doc_id,
+           regexp_extract_all(text, '\\S+') AS words,
+           string_split(text, chr(10)) AS lines,
+           text
+    FROM aug
+), c AS (
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(coalesce(list_aggregate(
+               list_transform(words, w -> length(w)), 'sum'), 0)
+               AS BIGINT) AS n_word_chars,
+           CAST(len(list_filter(words,
+               w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+               AS n_alpha_words,
+           CAST(length(text) - length(replace(text, '#', ''))
+               + (length(text) - length(replace(text, '...', ''))) // 3
+               AS BIGINT) AS n_symbols,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(lines,
+               l -> starts_with(l, '- ') OR starts_with(l, '* ')))
+               AS BIGINT) AS n_bullet_lines,
+           CAST(len(list_filter(lines, l -> ends_with(l, '...')))
+               AS BIGINT) AS n_ellipsis_lines,
+           CAST((CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(words, 'a') THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(words, 'in') THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(words, 'is') THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(words, 'it') THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_stop
+    FROM m
+)
+SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_symbols, n_lines,
+       n_bullet_lines, n_ellipsis_lines, n_stop,
+       CASE
+         WHEN n_words < 30 OR n_words > 100000 THEN 'bad_word_count'
+         WHEN 3*n_words > n_word_chars OR n_word_chars > 10*n_words
+              THEN 'bad_mean_word_len'
+         WHEN 10*n_symbols > n_words THEN 'high_symbol_ratio'
+         WHEN 2*n_bullet_lines > n_lines THEN 'too_many_bullets'
+         WHEN 10*n_ellipsis_lines > 3*n_lines THEN 'too_many_ellipsis'
+         WHEN 5*n_alpha_words < 4*n_words THEN 'low_alpha_words'
+         WHEN n_stop < 2 THEN 'few_stopwords'
+         ELSE 'keep'
+       END AS verdict
+FROM c
+ORDER BY doc_id
+"""
+)
+
+
+# ------------------------------- windowed exact-substring duplication
+
+def _q_substring_dedup(sf_dir: str):
+    """Exact-substring duplicate flags (Lee et al. 2022 shape): docs
+    sharing any 8-token window with another doc, plus the count of
+    their distinct shared windows. Rolling-poly window hashes in the
+    engine; the oracle groups by md5 of the space-joined window —
+    equal groupings up to the engine-wide 2^-64 hash contract."""
+    from ..stages.webtext import substring_dedup
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = substring_dedup(ds, w=8, min_docs=2)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+WEBTEXT_QUERIES["substring_dedup"] = _q_substring_dedup
+WEBTEXT_ORACLE_SQL["substring_dedup"] = """
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS words
+    FROM documents
+), wins AS (
+    SELECT DISTINCT doc_id,
+           md5(array_to_string(words[i:i+7], ' ')) AS h
+    FROM toks, UNNEST(generate_series(1, len(words) - 7)) AS t(i)
+), hot AS (
+    SELECT h FROM wins GROUP BY h HAVING count(*) >= 2
+)
+SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM wins w JOIN hot USING (h)
+GROUP BY w.doc_id
+ORDER BY w.doc_id
+"""

@@ -610,3 +610,287 @@ def quantile_filter(ds, key: str, val: str, q_num: int, q_den: int):
         return batch.filter(pc.fill_null(mask, False))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# --------------------------------------------- Gopher-style quality rules
+
+# Distinct-presence stopword probe set (Rae et al. 2021 use 8 English
+# function words; this set is tuned to the synthetic corpus's function
+# words so the rule is non-degenerate at test scale — swap for the
+# Gopher set on real English text).
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+# Rule thresholds, first match wins; ALL integer cross-multiplied so a
+# SQL oracle reproduces verdicts exactly (the corpus_filter contract).
+GOPHER_RULES_DOC = """
+  bad_word_count:    n_words < 30 or n_words > 100_000
+  bad_mean_word_len: 3*n_words > n_word_chars or n_word_chars > 10*n_words
+  high_symbol_ratio: 10*n_symbols > n_words        (# and ... vs words)
+  too_many_bullets:  2*n_bullet_lines > n_lines    (> 50% bullet lines)
+  too_many_ellipsis: 10*n_ellipsis_lines > 3*n_lines
+  low_alpha_words:   5*n_alpha_words < 4*n_words   (< 80% words w/ letter)
+  few_stopwords:     n_stop < 2 distinct probe stopwords present
+"""
+
+
+def _i64(arr) -> "pa.Array":
+    return pc.cast(arr, pa.int64())
+
+
+def gopher_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document integer counts for the Gopher repetition-free
+    quality rules — fully vectorized Arrow RE2, zero Python per row.
+
+    Counting tricks (all non-overlapping-match counts):
+      * words           = matches of ``\\S+``
+      * word chars      = codepoints - single-``\\s`` matches
+      * words w/ letter = matches of ``\\S*[A-Za-z]\\S*`` (greedy
+        maximal munch consumes whole whitespace-bounded tokens, so
+        each match IS one token containing a letter)
+      * bullet lines    = ``\\n- `` / ``\\n* `` occurrences + a
+        string-start check (every non-first line is preceded by \\n)
+      * ellipsis lines  = ``...\\n`` occurrences + a string-end check
+      * stopword k      = presence (not count) of ``(^|\\s)w(\\s|$)``
+    The DuckDB oracle deliberately uses DIFFERENT spellings
+    (regexp_extract_all + list lambdas) so the two engines
+    independently validate the semantics rather than the arithmetic.
+    """
+    t = batch[text_col]
+    n_words = _i64(pc.count_substring_regex(t, r"\S+"))
+    n_word_chars = pc.subtract(
+        _i64(pc.utf8_length(t)), _i64(pc.count_substring_regex(t, r"\s"))
+    )
+    n_alpha_words = _i64(pc.count_substring_regex(t, r"\S*[A-Za-z]\S*"))
+    n_symbols = pc.add(
+        _i64(pc.count_substring(t, "#")), _i64(pc.count_substring(t, "..."))
+    )
+    n_lines = pc.add(_i64(pc.count_substring(t, "\n")), 1)
+    n_bullet = pc.add(
+        pc.add(
+            _i64(pc.count_substring(t, "\n- ")),
+            _i64(pc.count_substring(t, "\n* ")),
+        ),
+        pc.add(
+            _i64(pc.starts_with(t, "- ")), _i64(pc.starts_with(t, "* "))
+        ),
+    )
+    n_ellipsis = pc.add(
+        _i64(pc.count_substring(t, "...\n")), _i64(pc.ends_with(t, "..."))
+    )
+    n_stop = None
+    for w in GOPHER_STOPWORDS:
+        present = _i64(
+            pc.greater(
+                pc.count_substring_regex(t, rf"(?:^|\s){w}(?:\s|$)"), 0
+            )
+        )
+        n_stop = present if n_stop is None else pc.add(n_stop, present)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": n_words,
+            "n_word_chars": n_word_chars,
+            "n_alpha_words": n_alpha_words,
+            "n_symbols": n_symbols,
+            "n_lines": n_lines,
+            "n_bullet_lines": n_bullet,
+            "n_ellipsis_lines": n_ellipsis,
+            "n_stop": n_stop,
+        }
+    )
+
+
+def gopher_verdict_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher stats + first-matching-rule verdict (vectorized
+    ``np.select`` over the integer count arrays)."""
+    out = gopher_stats_batch(batch, text_col)
+    g = {k: out[k].to_numpy(zero_copy_only=False) for k in out.column_names}
+    conds = [
+        (g["n_words"] < 30) | (g["n_words"] > 100_000),
+        (3 * g["n_words"] > g["n_word_chars"])
+        | (g["n_word_chars"] > 10 * g["n_words"]),
+        10 * g["n_symbols"] > g["n_words"],
+        2 * g["n_bullet_lines"] > g["n_lines"],
+        10 * g["n_ellipsis_lines"] > 3 * g["n_lines"],
+        5 * g["n_alpha_words"] < 4 * g["n_words"],
+        g["n_stop"] < 2,
+    ]
+    names = [
+        "bad_word_count",
+        "bad_mean_word_len",
+        "high_symbol_ratio",
+        "too_many_bullets",
+        "too_many_ellipsis",
+        "low_alpha_words",
+        "few_stopwords",
+    ]
+    verdict = np.select(conds, names, default="keep")
+    return out.append_column("verdict", pa.array(verdict, pa.string()))
+
+
+def gopher_filter(docs_ds, keep_only: bool = False, text_col: str = "text"):
+    """Gopher-style document quality gate (Rae et al. 2021 §A1.1
+    shape): one vectorized stats+verdict pass; survivors optional."""
+    ds = docs_ds.map_batches(
+        lambda b: gopher_verdict_batch(b, text_col), batch_format="pyarrow"
+    )
+    if not keep_only:
+        return ds
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["verdict"], "keep"))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ------------------------------- windowed exact-substring duplication
+
+_WINDOW_POLY = np.uint64(1099511628211)  # FNV-64 prime, odd => bijective step
+
+
+def tokenize_flat(col) -> "tuple[pa.Array, np.ndarray]":
+    """Arrow string column -> (flat non-empty tokens, doc index per
+    token). One vectorized regex split; empties from leading/trailing
+    whitespace are mask-filtered with offset arithmetic, no Python per
+    row."""
+    lst = pc.split_pattern_regex(col, pattern=r"\s+")
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    flat = lst.flatten()
+    offsets = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+    if len(flat):
+        nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False
+        )
+        if not nonempty.all():
+            flat = flat.filter(pa.array(nonempty))
+            doc_idx = doc_idx[nonempty]
+    return flat, doc_idx
+
+
+def _window_doc_pairs(
+    batch: pa.Table, w: int, text_col: str
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Distinct (window-hash, local doc index) pairs for every
+    ``w``-token sliding window (stride 1) fully inside one document.
+
+    The window key is a degree-``w`` polynomial rolling hash over the
+    per-token 64-bit hashes (wraparound uint64) — equality of keys
+    coincides with equality of the space-joined window string up to
+    2^-64 collisions, the engine-wide hash-matching contract, so the
+    md5-of-joined-string SQL oracle groups identically. Everything is
+    numpy over the flat token array: no per-window Python."""
+    flat, doc_idx = tokenize_flat(batch[text_col])
+    n = len(flat)
+    if n < w:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    th = hash64_column(flat)
+    m = n - w + 1
+    hwin = np.zeros(m, np.uint64)
+    for j in range(w):
+        hwin = hwin * _WINDOW_POLY + th[j : j + m]
+    valid = doc_idx[:m] == doc_idx[w - 1 :]
+    d, h = doc_idx[:m][valid], hwin[valid]
+    if len(d) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    order = np.lexsort((h, d))
+    d, h = d[order], h[order]
+    keep = np.ones(len(d), bool)
+    keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+    return h[keep], d[keep]
+
+
+def window_count_partial(
+    batch: pa.Table, w: int = 8, text_col: str = "text"
+) -> pa.Table:
+    """documents batch -> (win_hash, cnt) distinct-document partial
+    counts. Windows are deduped per document BEFORE counting, so the
+    downstream sum is an exact distinct-doc count (documents never
+    span blocks). Only 16-byte pairs leave the batch."""
+    h, _ = _window_doc_pairs(batch, w, text_col)
+    uniq, counts = np.unique(h, return_counts=True)
+    return pa.Table.from_pydict(
+        {
+            "win_hash": pa.array(uniq.view(np.int64), pa.int64()),
+            "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def hot_window_hashes(
+    docs_ds, w: int = 8, min_docs: int = 2, text_col: str = "text"
+) -> np.ndarray:
+    """Sorted int64 array of window hashes shared by >= ``min_docs``
+    distinct documents. Exchange shape identical to
+    ``hot_line_hashes``: per-batch partials -> 8-byte-key groupby sum
+    -> filtered tail to the driver (bounded by the duplicated-window
+    count, not corpus size)."""
+    from ray.data.aggregate import Sum
+
+    counts = (
+        docs_ds.map_batches(
+            lambda b: window_count_partial(b, w, text_col),
+            batch_format="pyarrow",
+        )
+        .groupby("win_hash")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    hot = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["cnt"], min_docs)).select(
+            ["win_hash"]
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    return np.sort(np.array([r["win_hash"] for r in hot], dtype=np.int64))
+
+
+def flag_shared_windows_batch(
+    batch: pa.Table, hot_sorted: np.ndarray, w: int, text_col: str = "text"
+) -> pa.Table:
+    """(doc_id, n_shared) for documents with >= 1 window in the hot
+    set — vectorized searchsorted probe + bincount, rows without any
+    shared window are dropped (the duplicate-flag contract)."""
+    h, d = _window_doc_pairs(batch, w, text_col)
+    n = batch.num_rows
+    hs = h.view(np.int64)
+    if len(hot_sorted) and len(hs):
+        pos = np.searchsorted(hot_sorted, hs)
+        pos = np.minimum(pos, len(hot_sorted) - 1)
+        is_hot = hot_sorted[pos] == hs
+    else:
+        is_hot = np.zeros(len(hs), bool)
+    n_shared = np.bincount(d[is_hot], minlength=n).astype(np.int64)
+    flagged = n_shared > 0
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch["doc_id"].filter(pa.array(flagged))
+            if n
+            else pa.array([], pa.int64()),
+            "n_shared": pa.array(n_shared[flagged], pa.int64()),
+        }
+    )
+
+
+def substring_dedup(
+    docs_ds, w: int = 8, min_docs: int = 2, text_col: str = "text"
+):
+    """Windowed exact-substring duplicate detection (the
+    suffix-array-free spelling of Lee et al. 2022's "Deduplicating
+    Training Data Makes Language Models Better"): flag every document
+    sharing at least one ``w``-token window with >= ``min_docs-1``
+    other documents, with the count of its distinct shared windows.
+
+    Two streaming passes (the ``line_dedup`` exchange): (1) per-batch
+    distinct (window-hash, doc) partials -> hash groupby -> hot set
+    broadcast via ``ray.put``; (2) vectorized probe + per-doc count.
+    The corpus text never shuffles; driver state is the hot-window
+    tail only."""
+    import ray
+
+    hot_ref = ray.put(hot_window_hashes(docs_ds, w, min_docs, text_col))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        return flag_shared_windows_batch(batch, ray.get(hot_ref), w, text_col)
+
+    return docs_ds.map_batches(flag, batch_format="pyarrow")
