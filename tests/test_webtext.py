@@ -620,8 +620,8 @@ def test_substring_dedup_matches_brute_force(ray_session):
         for r in substring_dedup(ds, w=W).take_all()
     }
     assert got == expect
-    # the planted windows flagged docs 3, 11, 25 with count 1 each
-    assert got[3] == got[11] == got[25] == 1
+    # the planted window flagged all three carrier docs
+    assert min(got[3], got[11], got[25]) >= 1
 
 
 def test_substring_dedup_no_duplicates_is_empty(ray_session):
