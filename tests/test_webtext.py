@@ -659,3 +659,65 @@ def test_tokenize_flat_drops_empties():
     flat, doc_idx = tokenize_flat(col)
     assert flat.to_pylist() == ["a", "b", "c", "d", "e"]
     assert doc_idx.tolist() == [0, 0, 2, 4, 4]
+
+
+# ------------------------------ bigram LM quality scoring (CCNet shape)
+
+def test_bigram_lm_matches_brute_force(ray_session):
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.webtext import (
+        bigram_lm_score,
+    )
+
+    rng = np.random.default_rng(3)
+    vocab = [f"t{i}" for i in range(12)]
+    docs = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 15)))
+        for _ in range(40)
+    ]
+    docs[5] = "solo"  # single token: excluded from output
+    TOP_V = 8  # smaller than true vocab -> UNK path exercised
+
+    # ---- brute-force model with identical conventions
+    toks = [d.split() for d in docs]
+    cnt = Counter(w for t in toks for w in t)
+    keep = set(
+        w for w, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_V]
+    )
+    mapped = [[w if w in keep else "<unk>" for w in t] for t in toks]
+    bi = Counter((a, b) for t in mapped for a, b in zip(t, t[1:]))
+    ptot = Counter()
+    for (a, _), c in bi.items():
+        ptot[a] += c
+    V = len(keep) + 1
+    expect = {}
+    for i, t in enumerate(mapped):
+        if len(t) < 2:
+            continue
+        bits = sum(
+            -math.log2((bi[(a, b)] + 1) / (ptot[a] + V))
+            for a, b in zip(t, t[1:])
+        )
+        expect[i] = (len(t) - 1, bits / (len(t) - 1))
+
+    ds = rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        )
+    ).repartition(4)
+    got = {
+        r["doc_id"]: (r["n_scored"], r["bpt"])
+        for r in bigram_lm_score(ds, top_v=TOP_V).take_all()
+    }
+    assert set(got) == set(expect)
+    assert 5 not in got
+    for i in expect:
+        assert got[i][0] == expect[i][0]
+        assert abs(got[i][1] - expect[i][1]) < 1e-9, i

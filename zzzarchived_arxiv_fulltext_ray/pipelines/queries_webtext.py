@@ -1189,3 +1189,60 @@ FROM wins w JOIN hot USING (h)
 GROUP BY w.doc_id
 ORDER BY w.doc_id
 """
+
+
+# ------------------------------ bigram LM quality scoring (CCNet shape)
+
+def _q_lm_perplexity(sf_dir: str):
+    """CCNet-style LM quality scores: add-one-smoothed bigram model
+    trained on the corpus (top-24 vocab + UNK), per-doc bits-per-token
+    under it. The oracle retrains the identical model in SQL (window
+    row_number vocab, UNK mapping, bigram/prev-total CTEs) — the whole
+    estimator cross-validated end-to-end, not just the plumbing."""
+    from ..stages.webtext import bigram_lm_score
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = bigram_lm_score(ds, top_v=24)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+WEBTEXT_QUERIES["lm_perplexity"] = _q_lm_perplexity
+WEBTEXT_ORACLE_SQL["lm_perplexity"] = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+), exploded AS (
+    SELECT doc_id, i, t[i] AS w
+    FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+), uni AS (
+    SELECT w, count(*) AS c FROM exploded GROUP BY w
+), vocab AS (
+    SELECT w FROM uni
+    QUALIFY row_number() OVER (ORDER BY c DESC, w) <= 24
+), vsz AS (
+    SELECT count(*) + 1 AS v FROM vocab
+), mapped AS (
+    SELECT e.doc_id, e.i,
+           CASE WHEN v.w IS NULL THEN chr(1) ELSE e.w END AS w
+    FROM exploded e LEFT JOIN vocab v ON e.w = v.w
+), pairs AS (
+    SELECT a.doc_id, a.w AS pw, b.w AS nw
+    FROM mapped a JOIN mapped b
+      ON a.doc_id = b.doc_id AND b.i = a.i + 1
+), bi AS (
+    SELECT pw, nw, count(*) AS c FROM pairs GROUP BY pw, nw
+), ptot AS (
+    SELECT pw, sum(c) AS c FROM bi GROUP BY pw
+)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_scored,
+       sum(-log2((bi.c + 1) / (ptot.c + vsz.v))) / count(*) AS bpt
+FROM pairs p
+JOIN bi ON bi.pw = p.pw AND bi.nw = p.nw
+JOIN ptot ON ptot.pw = p.pw
+CROSS JOIN vsz
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+"""

@@ -894,3 +894,159 @@ def substring_dedup(
         return flag_shared_windows_batch(batch, ray.get(hot_ref), w, text_col)
 
     return docs_ds.map_batches(flag, batch_format="pyarrow")
+
+
+# ------------------------------ bigram LM quality scoring (CCNet shape)
+
+def corpus_vocab(docs_ds, top_v: int, text_col: str = "text"):
+    """Deterministic top-``top_v`` vocabulary by corpus frequency
+    (ties broken by word ascending — the SQL ``ORDER BY c DESC, w``
+    convention). One (word, cnt) partial-count exchange; only the
+    vocab-bounded tail reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _ = tokenize_flat(batch[text_col])
+        words, counts = np.unique(
+            flat.to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.Table.from_pydict(
+            {
+                "w": pa.array(words, pa.string()),
+                "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    words = np.array([r["w"] for r in rows])
+    counts = np.array([r["cnt"] for r in rows], dtype=np.int64)
+    order = np.lexsort((words, -counts))[:top_v]
+    return np.sort(words[order])  # sorted for searchsorted-free index_in
+
+
+def _mapped_token_ids(
+    batch: pa.Table, vocab_arr: pa.Array, text_col: str
+) -> "tuple[np.ndarray, np.ndarray]":
+    """(token ids with OOV -> unk id = len(vocab), doc index per
+    token) — one vectorized ``index_in`` probe."""
+    flat, doc_idx = tokenize_flat(batch[text_col])
+    ids = pc.index_in(flat, value_set=vocab_arr)
+    unk = len(vocab_arr)
+    ids = pc.fill_null(ids, unk).to_numpy(zero_copy_only=False).astype(np.int64)
+    return ids, doc_idx
+
+
+def train_bigram_counts(docs_ds, vocab: np.ndarray, text_col: str = "text"):
+    """Corpus bigram counts over UNK-mapped tokens.
+
+    Per-batch partials are (int64 key = prev*(V+1)+w, cnt) from a
+    vectorized np.unique — strings never enter the exchange. Returns
+    (sorted keys, counts, prev_totals[V+1]) for broadcast. The table
+    is bounded by the corpus's distinct mapped bigrams (<= (V+1)^2);
+    for vocabularies too large to pin per node, score with a
+    partitioned join on the key instead of this broadcast."""
+    from ray.data.aggregate import Sum
+
+    import ray
+
+    vocab_arr = pa.array(vocab, pa.string())
+    vref = ray.put(vocab_arr)
+    base = np.int64(len(vocab) + 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, doc_idx = _mapped_token_ids(batch, ray.get(vref), text_col)
+        if len(ids) < 2:
+            return pa.Table.from_pydict(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        same = doc_idx[:-1] == doc_idx[1:]
+        keys = ids[:-1][same] * base + ids[1:][same]
+        uniq, counts = np.unique(keys, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "key": pa.array(uniq, pa.int64()),
+                "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    keys = np.array([r["key"] for r in rows], dtype=np.int64)
+    counts = np.array([r["cnt"] for r in rows], dtype=np.int64)
+    order = np.argsort(keys)
+    keys, counts = keys[order], counts[order]
+    prev_tot = np.zeros(int(base), dtype=np.int64)
+    np.add.at(prev_tot, keys // base, counts)
+    return keys, counts, prev_tot
+
+
+def bigram_lm_score(docs_ds, top_v: int = 4096, text_col: str = "text"):
+    """CCNet-style language-model quality scoring: train an add-one
+    smoothed bigram LM on the corpus (two bounded count exchanges),
+    then score every document's bits-per-token under it in one
+    vectorized pass (ids -> int64 bigram keys -> searchsorted lookup
+    -> bincount segment sums). Low-perplexity docs ~ fluent text.
+
+    Output per doc with >= 2 tokens: (doc_id, n_scored, bpt) where
+    bpt = -(1/n) sum log2 (c(prev,w)+1)/(tot(prev)+V+1), V+1 counting
+    the UNK symbol. Corpus text never shuffles; the model ships once
+    via ``ray.put``."""
+    import ray
+
+    vocab = corpus_vocab(docs_ds, top_v, text_col)
+    keys, counts, prev_tot = train_bigram_counts(docs_ds, vocab, text_col)
+    n_symbols = np.float64(len(vocab) + 1)
+    model_ref = ray.put(
+        (pa.array(vocab, pa.string()), keys, counts, prev_tot)
+    )
+    base = np.int64(len(vocab) + 1)
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab_arr, keys, counts, prev_tot = ray.get(model_ref)
+        ids, doc_idx = _mapped_token_ids(batch, vocab_arr, text_col)
+        n = batch.num_rows
+        empty = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([], batch["doc_id"].type),
+                "n_scored": pa.array([], pa.int64()),
+                "bpt": pa.array([], pa.float64()),
+            }
+        )
+        if len(ids) < 2:
+            return empty
+        same = doc_idx[:-1] == doc_idx[1:]
+        if not same.any():
+            return empty
+        prev, nxt = ids[:-1][same], ids[1:][same]
+        pair_doc = doc_idx[:-1][same]
+        k = prev * base + nxt
+        pos = np.searchsorted(keys, k)
+        pos = np.minimum(pos, max(len(keys) - 1, 0))
+        c = np.where(
+            (len(keys) > 0) & (keys[pos] == k), counts[pos], 0
+        ).astype(np.float64)
+        bits = -np.log2((c + 1.0) / (prev_tot[prev] + n_symbols))
+        tot_bits = np.bincount(pair_doc, weights=bits, minlength=n)
+        n_scored = np.bincount(pair_doc, minlength=n).astype(np.int64)
+        has = n_scored > 0
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].filter(pa.array(has)),
+                "n_scored": pa.array(n_scored[has], pa.int64()),
+                "bpt": pa.array(tot_bits[has] / n_scored[has], pa.float64()),
+            }
+        )
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")
