@@ -721,3 +721,40 @@ def test_bigram_lm_matches_brute_force(ray_session):
     for i in expect:
         assert got[i][0] == expect[i][0]
         assert abs(got[i][1] - expect[i][1]) < 1e-9, i
+
+
+def test_intra_doc_dup_vs_python():
+    from zzzarchived_arxiv_fulltext_ray.stages.webtext import (
+        intra_doc_dup_batch,
+    )
+
+    texts = [
+        "a\nb\na\na",            # 4 lines, 2 dup -> 50% dup_lines
+        "x" * 50 + "\n" + "x" * 50 + "\nu1\nu2\nu3\nu4\nu5\nu6",
+        "only one line",
+        "",                      # one empty line, no dups
+        "s\ns",                  # all-dup tiny doc
+    ]
+    batch = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = intra_doc_dup_batch(batch)
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        dl = len(lines) - len(set(lines))
+        ct = sum(len(l) for l in lines)
+        cd = ct - sum(len(l) for l in set(lines))
+        assert out["n_lines"][i].as_py() == len(lines)
+        assert out["n_dup_lines"][i].as_py() == dl
+        assert out["chars_total"][i].as_py() == ct
+        assert out["chars_dup"][i].as_py() == cd
+    assert out["verdict"].to_pylist() == [
+        "dup_lines",
+        "dup_chars",
+        "keep",
+        "keep",
+        "dup_lines",
+    ]

@@ -1246,3 +1246,112 @@ CROSS JOIN vsz
 GROUP BY p.doc_id
 ORDER BY p.doc_id
 """
+
+
+# ---------------------------- intra-document duplicate-line fractions
+
+def inject_dup_lines_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic within-doc line duplication (pure function of
+    doc_id): % 3 docs gain a short line twice, % 4 docs a long filler
+    line twice — so both the line-fraction and char-fraction rules
+    fire on the newline-free synthetic corpus."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+
+    def s(arr: np.ndarray):
+        return pc.cast(pa.array(arr.astype(np.int64)), pa.string())
+
+    short = pc.binary_join_element_wise(
+        "\ndup line ", s(ids % 4), "\ndup line ", s(ids % 4), ""
+    )
+    # one duplicated LONG line pair + five unique short lines: the
+    # dup-line fraction stays under 30% while the dup-char fraction
+    # crosses 20% -> exercises the second rule
+    big = "boiler" * 33
+    long = pc.binary_join_element_wise(
+        f"\n{big}\n{big}\nuq one ",
+        s(ids % 7),
+        "\nuq two ",
+        s(ids % 7),
+        "\nuq three\nuq four\nuq five",
+        "",
+    )
+    empty = pa.scalar("", pa.string())
+    text = pc.binary_join_element_wise(
+        batch["text"],
+        pc.if_else(pa.array(ids % 3 == 0), short, empty),
+        pc.if_else(pa.array(ids % 4 == 0), long, empty),
+        "",
+    )
+    return pa.Table.from_pydict({"doc_id": batch["doc_id"], "text": text})
+
+
+def _q_doc_dup_lines(sf_dir: str):
+    """Within-document duplicate-line/char fractions (the remaining
+    Gopher repetition signals next to doc_repetition's n-gram rule):
+    dup = total - distinct, verdict at the Gopher 30%/20% bars."""
+    from ..stages.webtext import intra_doc_dup_batch
+
+    ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(inject_dup_lines_batch, batch_format="pyarrow")
+        .map_batches(intra_doc_dup_batch, batch_format="pyarrow")
+    )
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+_DUP_AUG_CTE = """
+WITH aug AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0
+                   THEN chr(10) || 'dup line ' || CAST(doc_id % 4 AS VARCHAR)
+                     || chr(10) || 'dup line ' || CAST(doc_id % 4 AS VARCHAR)
+                   ELSE '' END
+           || CASE WHEN doc_id % 4 = 0
+                   THEN chr(10) || repeat('boiler', 33)
+                     || chr(10) || repeat('boiler', 33)
+                     || chr(10) || 'uq one ' || CAST(doc_id % 7 AS VARCHAR)
+                     || chr(10) || 'uq two ' || CAST(doc_id % 7 AS VARCHAR)
+                     || chr(10) || 'uq three'
+                     || chr(10) || 'uq four'
+                     || chr(10) || 'uq five'
+                   ELSE '' END
+           AS text
+    FROM documents
+)
+"""
+
+WEBTEXT_QUERIES["doc_dup_lines"] = _q_doc_dup_lines
+WEBTEXT_ORACLE_SQL["doc_dup_lines"] = (
+    _DUP_AUG_CTE
+    + """
+, m AS (
+    SELECT doc_id,
+           string_split(text, chr(10)) AS lines
+    FROM aug
+), c AS (
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(lines) - len(list_distinct(lines)) AS BIGINT)
+               AS n_dup_lines,
+           CAST(coalesce(list_aggregate(
+               list_transform(lines, l -> length(l)), 'sum'), 0)
+               AS BIGINT) AS chars_total,
+           CAST(coalesce(list_aggregate(
+                   list_transform(lines, l -> length(l)), 'sum'), 0)
+              - coalesce(list_aggregate(
+                   list_transform(list_distinct(lines), l -> length(l)),
+                   'sum'), 0)
+               AS BIGINT) AS chars_dup
+    FROM m
+)
+SELECT doc_id, n_lines, n_dup_lines, chars_total, chars_dup,
+       CASE
+         WHEN 10 * n_dup_lines > 3 * n_lines THEN 'dup_lines'
+         WHEN 10 * chars_dup > 2 * chars_total THEN 'dup_chars'
+         ELSE 'keep'
+       END AS verdict
+FROM c
+ORDER BY doc_id
+"""
+)

@@ -1050,3 +1050,59 @@ def bigram_lm_score(docs_ds, top_v: int = 4096, text_col: str = "text"):
         )
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------- intra-document duplicate-line fractions
+
+def intra_doc_dup_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher repetition signals computed WITHIN each document:
+    duplicate-line counts and the characters they occupy
+    (``dup = total - distinct``, each distinct line counted once).
+
+    Vectorized: one split, 64-bit line hashes, within-doc
+    first-occurrence detection by lexsort over (doc, hash), numpy
+    segment sums. A document's lines never leave its row — streams at
+    any corpus size with zero exchange."""
+    n = batch.num_rows
+    flat, offsets = split_lines(batch[text_col])
+    counts = np.diff(offsets)
+    doc_idx = np.repeat(np.arange(n), counts)
+    lens = (
+        pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat)
+        else np.empty(0, np.int64)
+    )
+    hashes = (
+        hash64_column(flat) if len(flat) else np.empty(0, np.uint64)
+    )
+    order = np.lexsort((hashes, doc_idx))
+    d_s, h_s, l_s = doc_idx[order], hashes[order], lens[order]
+    first = np.ones(len(d_s), bool)
+    first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+    n_lines = counts.astype(np.int64)
+    n_distinct = np.bincount(d_s[first], minlength=n).astype(np.int64)
+    chars_total = np.bincount(doc_idx, weights=lens, minlength=n).astype(
+        np.int64
+    )
+    chars_distinct = np.bincount(
+        d_s[first], weights=l_s[first], minlength=n
+    ).astype(np.int64)
+    n_dup = n_lines - n_distinct
+    chars_dup = chars_total - chars_distinct
+    # Gopher bars, integer cross-multiplied: dup-line fraction > 30%,
+    # dup-char fraction > 20%; first match wins.
+    verdict = np.select(
+        [10 * n_dup > 3 * n_lines, 10 * chars_dup > 2 * chars_total],
+        ["dup_lines", "dup_chars"],
+        default="keep",
+    )
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch["doc_id"],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_dup_lines": pa.array(n_dup, pa.int64()),
+            "chars_total": pa.array(chars_total, pa.int64()),
+            "chars_dup": pa.array(chars_dup, pa.int64()),
+            "verdict": pa.array(verdict, pa.string()),
+        }
+    )
