@@ -559,3 +559,60 @@ def test_kmeans_empty_cluster_keeps_centroid(ray_session):
     final, cents, _ = kmeans(rd.from_pandas(df), k=3, iters=3)
     assert cents.shape == (3, 2)
     assert np.isfinite(cents).all()
+
+
+def test_signatures_flat_matches_per_doc():
+    from zzzarchived_arxiv_fulltext_ray.functions import shingles as sk
+
+    rng = np.random.default_rng(0)
+    sets = [
+        rng.integers(0, 2**63, size=n, dtype=np.uint64)
+        for n in [5, 0, 40, 1, 17, 0]
+    ]
+    flat = np.concatenate(sets)
+    offs = np.cumsum([0] + [len(s) for s in sets]).astype(np.int64)
+    mh = sk.MinHasher(128)
+    batched = mh.signatures_flat(flat, offs)
+    for i, s in enumerate(sets):
+        assert (batched[:, i] == mh.signature(s)).all(), i
+
+
+def test_band_key_matrix_groups_iff_band_rows_equal():
+    from zzzarchived_arxiv_fulltext_ray.functions import shingles as sk
+
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 2**63, 30, dtype=np.uint64)
+    mh = sk.MinHasher(128)
+    sa = mh.signature(a)
+    sb = sa.copy()
+    sb[5] ^= np.uint64(1)  # perturb one row -> exactly one band differs
+    sig = np.stack([sa, sa, sb], axis=1)
+    km = sk.band_key_matrix(sig, 64, 2)
+    assert (km[:, 0] == km[:, 1]).all()
+    diff = km[:, 0] != km[:, 2]
+    assert diff.sum() == 1 and diff[5 // 2]
+
+
+def test_minhash_band_batch_vectorized_stage():
+    import pyarrow as pa
+
+    from zzzarchived_arxiv_fulltext_ray.stages import neardup as nd
+
+    docs = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["a b c d e f", "a b c d e f", "x y z w v u"], pa.string()
+            ),
+        }
+    )
+    shingled = nd.shingle_batch(docs)
+    out = nd.minhash_band_batch(shingled, 128, 64, 2)
+    assert out.num_rows == 3 * 64
+    k = out.to_pandas().pivot_table(
+        index="doc_id", values="bucket_key", aggfunc=list
+    )
+    # identical docs share every band key; disjoint docs share none
+    k1, k2, k3 = (set(k.loc[i, "bucket_key"]) for i in (1, 2, 3))
+    assert k1 == k2
+    assert not (k1 & k3)

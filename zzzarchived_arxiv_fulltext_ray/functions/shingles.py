@@ -75,6 +75,37 @@ class MinHasher:
     def signatures(self, hash_sets) -> "np.ndarray":
         return np.stack([self.signature(h) for h in hash_sets])
 
+    def signatures_flat(
+        self, flat: "np.ndarray", offsets: "np.ndarray"
+    ) -> "np.ndarray":
+        """Signatures for a whole batch at once: ``flat`` is the
+        concatenation of every document's shingle hashes, ``offsets``
+        the int64 segment boundaries (len = n_docs + 1). One
+        (num_perm, total_shingles) mix + per-segment
+        ``minimum.reduceat`` — identical values to calling
+        :meth:`signature` per document (pinned in tests), without the
+        per-document numpy dispatch overhead. Empty segments get the
+        all-MAX signature, like :meth:`signature` on empty input."""
+        n_docs = len(offsets) - 1
+        maxv = np.iinfo(np.uint64).max
+        if flat.size == 0:
+            return np.full((self.num_perm, n_docs), maxv, np.uint64)
+        mixed = _splitmix64(flat[None, :] ^ self.seeds[:, None])
+        starts = offsets[:-1].astype(np.int64)
+        # segments starting at/after the end are empty and must be
+        # EXCLUDED (clipping their start would shorten the previous
+        # segment's reduceat range); offsets are monotone so they can
+        # only trail
+        in_range = starts < flat.size
+        sig = np.full((self.num_perm, n_docs), maxv, np.uint64)
+        sig[:, in_range] = np.minimum.reduceat(
+            mixed, starts[in_range], axis=1
+        )
+        empty = offsets[1:] == offsets[:-1]
+        if empty.any():  # reduceat yields arr[start] for empty segments
+            sig[:, empty] = maxv
+        return sig
+
 
 def band_keys(sig: np.ndarray, bands: int, rows: int) -> List[int]:
     """LSH band bucket keys: stable hash of each band's row slice,
@@ -88,6 +119,31 @@ def band_keys(sig: np.ndarray, bands: int, rows: int) -> List[int]:
         ).digest()
         keys.append(int.from_bytes(digest, "big"))
     return keys
+
+
+def band_key_matrix(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """LSH band bucket keys for a WHOLE batch, vectorized.
+
+    ``sig`` is (num_perm, n_docs); returns (bands, n_docs) uint64.
+    Each key is a splitmix64 fold of the band's ``rows`` signature
+    values seeded by the band index — two keys are equal iff the band
+    row-slices are equal (up to 2^-64 fold collisions, which only ADD
+    candidates that the exact-Jaccard verify then rejects). This
+    replaces the per-document blake2b loop in ``band_keys``: any
+    injective-enough map of (band, row slice) produces the same
+    verified near-dup output, and this one is pure wrapping-uint64
+    numpy. ``band_keys`` remains for single-document use."""
+    assert bands * rows <= sig.shape[0]
+    n_docs = sig.shape[1]
+    rs = sig[: bands * rows].reshape(bands, rows, n_docs)
+    salts = _splitmix64(
+        (np.arange(bands, dtype=np.uint64) + np.uint64(1))
+        * np.uint64(0x9E3779B97F4A7C15)
+    )
+    acc = np.broadcast_to(salts[:, None], (bands, n_docs)).copy()
+    for r in range(rows):
+        acc = _splitmix64(acc ^ rs[:, r, :])
+    return acc
 
 
 def simhash64(hashes: np.ndarray) -> int:
