@@ -7,6 +7,7 @@ Joined into the driver surface by ``pipelines.queries``.
 from typing import Callable, Dict
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.textstats import _LANG_MARKERS, STOPWORDS
 
@@ -1653,4 +1654,132 @@ SELECT url,
        END AS error
 FROM pages WHERE kind IN (4, 5, 6)
 ORDER BY url
+"""
+
+
+# ---------------------------------------- TPC-H-shaped join coverage
+
+def _q_order_priority_semi(sf_dir: str):
+    """Q4-shaped EXISTS semi-join: orders with at least one returned
+    lineitem, counted per priority. The filter side is projected to
+    keys inside ``partitioned_hash_join(how='semi')`` so the shuffle
+    never moves lineitem payload."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from ..stages.relational import partitioned_hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+
+    def returned_keys(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        return pa.Table.from_pydict(
+            {"o_orderkey": b["l_orderkey"]}
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag"],
+    ).map_batches(returned_keys, batch_format="pyarrow")
+    semi = partitioned_hash_join(orders, li, key="o_orderkey", how="semi")
+    out = (
+        semi.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def _q_brand_supplier_count(sf_dir: str):
+    """Q16-shaped distinct-count with an exclusion list: suppliers per
+    brand over larger parts, minus negative-balance suppliers.
+    Pipeline: bucketed hash join (lineitem x part) -> broadcast
+    anti-join (the tiny exclusion side ships once) -> per-batch local
+    (brand, supp) dedupe combiner -> pair groupby -> brand count."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from ..stages.relational import (
+        broadcast_anti_join,
+        partitioned_hash_join,
+    )
+
+    def rename_li(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"p_partkey": batch["l_partkey"], "l_suppkey": batch["l_suppkey"]}
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).map_batches(rename_li, batch_format="pyarrow")
+
+    def big_parts(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["p_size"], 25)).select(
+            ["p_partkey", "p_brand"]
+        )
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"],
+    ).map_batches(big_parts, batch_format="pyarrow")
+
+    bad = [
+        r["s_suppkey"]
+        for r in ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet",
+            columns=["s_suppkey", "s_acctbal"],
+        )
+        .map_batches(
+            lambda b: b.filter(pc.less(b["s_acctbal"], 0)).select(
+                ["s_suppkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    ]
+
+    joined = partitioned_hash_join(li, part, key="p_partkey", how="inner")
+    kept = broadcast_anti_join(joined, "l_suppkey", bad)
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return batch.select(["p_brand", "l_suppkey"]).group_by(
+            ["p_brand", "l_suppkey"]
+        ).aggregate([])
+
+    pairs = kept.map_batches(local_distinct, batch_format="pyarrow")
+    distinct_pairs = pairs.groupby(["p_brand", "l_suppkey"]).aggregate(
+        Count(alias_name="_n")
+    )
+    out = (
+        distinct_pairs.groupby("p_brand")
+        .aggregate(Count(alias_name="n_suppliers"))
+        .to_pandas()[["p_brand", "n_suppliers"]]
+    )
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+TRAINING_QUERIES["order_priority_semi"] = _q_order_priority_semi
+TRAINING_ORACLE_SQL["order_priority_semi"] = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+TRAINING_QUERIES["brand_supplier_count"] = _q_brand_supplier_count
+TRAINING_ORACLE_SQL["brand_supplier_count"] = """
+SELECT p_brand,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size >= 25
+  AND l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand
+ORDER BY p_brand
 """
