@@ -758,3 +758,30 @@ def test_intra_doc_dup_vs_python():
         "keep",
         "dup_lines",
     ]
+
+
+def test_ccnet_bucket_rank_convention_matches_duckdb(ray_session):
+    """Exact-tertile thresholds at rounding-hostile corpus sizes must
+    match DuckDB's quantile_disc (rank = ceil(q*n), 1-based)."""
+    import duckdb
+
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.pipelines.queries_webtext import (
+        _q_ccnet_buckets,
+    )
+
+    # exercise the threshold arithmetic directly (cheaper than the
+    # full query): reproduce the engine's searchsorted ranks
+    for n in [1, 2, 3, 4, 5, 6, 7, 9, 10, 100, 101]:
+        vals = np.arange(n, dtype=np.int64) * 7 + 3
+        con = duckdb.connect()
+        t1d, t2d = con.execute(
+            "SELECT quantile_disc(v, 1.0/3), quantile_disc(v, 2.0/3) "
+            "FROM (SELECT unnest(?) AS v)",
+            [vals.tolist()],
+        ).fetchone()
+        cum = np.arange(1, n + 1)
+        t1 = vals[np.searchsorted(cum, (n + 2) // 3)]
+        t2 = vals[np.searchsorted(cum, (2 * n + 2) // 3)]
+        assert (t1, t2) == (t1d, t2d), n

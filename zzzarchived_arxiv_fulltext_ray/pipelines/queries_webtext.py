@@ -1207,7 +1207,10 @@ def _q_lm_perplexity(sf_dir: str):
 
 
 WEBTEXT_QUERIES["lm_perplexity"] = _q_lm_perplexity
-WEBTEXT_ORACLE_SQL["lm_perplexity"] = """
+
+# the model-training CTE chain, shared by lm_perplexity and the
+# ccnet_buckets composition oracle
+_LM_SCORED_CTE = """
 WITH toks AS (
     SELECT doc_id,
            list_filter(regexp_split_to_array(text, '\\s+'),
@@ -1235,17 +1238,117 @@ WITH toks AS (
     SELECT pw, nw, count(*) AS c FROM pairs GROUP BY pw, nw
 ), ptot AS (
     SELECT pw, sum(c) AS c FROM bi GROUP BY pw
+), scored AS (
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           sum(-log2((bi.c + 1) / (ptot.c + vsz.v))) / count(*) AS bpt
+    FROM pairs p
+    JOIN bi ON bi.pw = p.pw AND bi.nw = p.nw
+    JOIN ptot ON ptot.pw = p.pw
+    CROSS JOIN vsz
+    GROUP BY p.doc_id
 )
-SELECT p.doc_id,
-       CAST(count(*) AS BIGINT) AS n_scored,
-       sum(-log2((bi.c + 1) / (ptot.c + vsz.v))) / count(*) AS bpt
-FROM pairs p
-JOIN bi ON bi.pw = p.pw AND bi.nw = p.nw
-JOIN ptot ON ptot.pw = p.pw
-CROSS JOIN vsz
-GROUP BY p.doc_id
-ORDER BY p.doc_id
 """
+
+WEBTEXT_ORACLE_SQL["lm_perplexity"] = (
+    _LM_SCORED_CTE + "SELECT doc_id, n_scored, bpt FROM scored ORDER BY doc_id"
+)
+
+
+def _q_ccnet_buckets(sf_dir: str):
+    """The full CCNet selection step: LM-score every document, then
+    bucket the corpus into head/middle/tail by EXACT global perplexity
+    tertiles. Scores are fixed-pointed to integer milli-bits (explicit
+    half-away-from-zero, the repo-wide convention) so the tertile
+    exchange is a bounded (value, count) histogram — O(distinct
+    fixed-point scores) driver state, never the corpus — with the
+    DuckDB ``quantile_disc`` rank convention ceil(q*n) computed in
+    integer arithmetic. The scored table is materialized once between
+    the two consumers (histogram + bucket probe); at cluster scale
+    that intermediate is a 3-fixed-width-column parquet checkpoint
+    instead."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.webtext import bigram_lm_score
+
+    scored = bigram_lm_score(_docs(sf_dir, ["doc_id", "text"]), top_v=24)
+
+    def to_milli(batch: pa.Table) -> pa.Table:
+        bpt = batch["bpt"].to_numpy(zero_copy_only=False)
+        milli = np.floor(bpt * 1000.0 + 0.5).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "n_scored": batch["n_scored"],
+                "milli_bpt": pa.array(milli, pa.int64()),
+            }
+        )
+
+    sm = scored.map_batches(to_milli, batch_format="pyarrow").materialize()
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        vals, counts = np.unique(
+            batch["milli_bpt"].to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.Table.from_pydict(
+            {
+                "v": pa.array(vals, pa.int64()),
+                "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        sm.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    vals = np.array([r["v"] for r in hist], dtype=np.int64)
+    counts = np.array([r["cnt"] for r in hist], dtype=np.int64)
+    order = np.argsort(vals)
+    vals, counts = vals[order], counts[order]
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    # quantile_disc convention: value at 1-based rank ceil(q*n),
+    # integer arithmetic (float q*n rounds the wrong way on exact
+    # multiples)
+    t1 = int(vals[np.searchsorted(cum, (n + 2) // 3)])
+    t2 = int(vals[np.searchsorted(cum, (2 * n + 2) // 3)])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        m = batch["milli_bpt"].to_numpy(zero_copy_only=False)
+        b = np.select(
+            [m <= t1, m <= t2], ["head", "middle"], default="tail"
+        )
+        return batch.append_column("bucket", pa.array(b, pa.string()))
+
+    out = sm.map_batches(bucket, batch_format="pyarrow")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+WEBTEXT_QUERIES["ccnet_buckets"] = _q_ccnet_buckets
+WEBTEXT_ORACLE_SQL["ccnet_buckets"] = (
+    _LM_SCORED_CTE
+    + """
+, sm AS (
+    SELECT doc_id, n_scored,
+           CAST(floor(bpt * 1000 + 0.5) AS BIGINT) AS milli_bpt
+    FROM scored
+), th AS (
+    SELECT quantile_disc(milli_bpt, 1.0/3) AS t1,
+           quantile_disc(milli_bpt, 2.0/3) AS t2
+    FROM sm
+)
+SELECT doc_id, n_scored, milli_bpt,
+       CASE WHEN milli_bpt <= th.t1 THEN 'head'
+            WHEN milli_bpt <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sm CROSS JOIN th
+ORDER BY doc_id
+"""
+)
 
 
 # ---------------------------- intra-document duplicate-line fractions
