@@ -92,3 +92,86 @@ def test_sniff_total(payload):
     if kind in ("html", "text"):
         # decode never raises on the sniffed charset
         sniff.decode_payload(payload, charset)
+
+
+# ------------------------- gopher counting tricks vs straight Python
+
+_gopher_text = st.text(
+    alphabet=st.one_of(
+        st.sampled_from("ab #.\n\t-* x1"),  # bias toward rule triggers
+        st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    ),
+    max_size=200,
+)
+
+
+@given(st.lists(_gopher_text, min_size=1, max_size=8))
+@_settings
+def test_gopher_stats_property(texts):
+    """The vectorized non-overlapping-match counting tricks equal a
+    straight Python recount on arbitrary text (ASCII whitespace
+    class, matching RE2 semantics on both engines)."""
+    import re
+
+    import pyarrow as pa
+
+    from zzzarchived_arxiv_fulltext_ray.stages.webtext import (
+        GOPHER_STOPWORDS,
+        gopher_stats_batch,
+    )
+
+    batch = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = gopher_stats_batch(batch)
+    for i, t in enumerate(texts):
+        # RE2's \s is [\t\n\f\r ] — NO \x0b — unlike Python's
+        # re.ASCII; both the engine (Arrow) and the oracle (DuckDB)
+        # are RE2, so the model must use the RE2 class
+        words = re.findall(r"[^ \t\n\f\r]+", t)
+        lines = t.split("\n")
+        assert out["n_words"][i].as_py() == len(words)
+        assert out["n_word_chars"][i].as_py() == sum(len(w) for w in words)
+        assert out["n_alpha_words"][i].as_py() == sum(
+            1 for w in words if re.search(r"[A-Za-z]", w, re.ASCII)
+        )
+        assert out["n_symbols"][i].as_py() == t.count("#") + t.count("...")
+        assert out["n_lines"][i].as_py() == len(lines)
+        assert out["n_bullet_lines"][i].as_py() == sum(
+            1 for l in lines if l.startswith(("- ", "* "))
+        )
+        assert out["n_ellipsis_lines"][i].as_py() == sum(
+            1 for l in lines if l.endswith("...")
+        )
+        assert out["n_stop"][i].as_py() == sum(
+            1 for w in GOPHER_STOPWORDS if w in words
+        )
+
+
+@given(st.lists(_gopher_text, min_size=1, max_size=6))
+@_settings
+def test_intra_doc_dup_property(texts):
+    import pyarrow as pa
+
+    from zzzarchived_arxiv_fulltext_ray.stages.webtext import (
+        intra_doc_dup_batch,
+    )
+
+    batch = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = intra_doc_dup_batch(batch)
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        assert out["n_lines"][i].as_py() == len(lines)
+        assert out["n_dup_lines"][i].as_py() == len(lines) - len(set(lines))
+        assert out["chars_total"][i].as_py() == sum(len(l) for l in lines)
+        assert out["chars_dup"][i].as_py() == sum(
+            len(l) for l in lines
+        ) - sum(len(l) for l in set(lines))
