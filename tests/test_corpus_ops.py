@@ -1,0 +1,261 @@
+"""Link extraction, token-budget mixing, DSIR scoring (stages/links.py,
+stages/mixing.py) — each pinned against an in-test brute force."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from zzzarchived_arxiv_fulltext_ray.stages.links import (
+    domain_outdegree,
+    extract_links_batch,
+    hrefs_of_markup,
+    page_domain,
+    top_link_targets,
+)
+from zzzarchived_arxiv_fulltext_ray.stages.mixing import (
+    doc_hash_keys,
+    dsir_score,
+    token_budget_select,
+    token_buckets,
+)
+
+# ------------------------------------------------------------- links
+
+
+def test_hrefs_all_quote_styles():
+    markup = (
+        '<a href="/double">d</a> <a href=\'/single\'>s</a> '
+        "<a href=/bare>b</a> <a HREF = \"/spaced\">x</a> no href here"
+    )
+    assert hrefs_of_markup(markup) == [
+        "/double", "/single", "/bare", "/spaced"
+    ]
+
+
+def test_page_domain():
+    assert page_domain("https://site07.example.org/articles/1") == (
+        "site07.example.org"
+    )
+    assert page_domain("not a url") == ""
+
+
+def test_extract_links_skips_non_html_payloads():
+    html = b'<html><body><a href="/x">x</a></body></html>'
+    utf16 = '<html><body><a href="/u16">u</a></body></html>'.encode("utf-16")
+    batch = pa.table(
+        {
+            "url": pa.array(
+                ["https://a.org/1", "https://a.org/2", "https://a.org/3",
+                 "https://a.org/4", "https://b.org/5"],
+            ),
+            "html": pa.array(
+                [html, b"%PDF-1.4 junk", b"", b"\x00\xff\xfe junk", utf16],
+                pa.large_binary(),
+            ),
+        }
+    )
+    out = extract_links_batch(batch)
+    assert out["src_domain"].to_pylist() == ["a.org", "b.org"]
+    assert out["target"].to_pylist() == ["/x", "/u16"]
+
+
+def test_top_link_targets_and_outdegree(ray_session):
+    import ray.data as rd
+
+    def page(url, targets):
+        body = "".join(f'<a href="{t}">t</a>' for t in targets)
+        return url, f"<html><body>{body}</body></html>".encode()
+
+    rows = [
+        page("https://a.org/1", ["/x", "/y", "/x"]),
+        page("https://a.org/2", ["/x"]),
+        page("https://b.org/1", ["/y"]),
+        ("https://c.org/1", b"%PDF- no links"),
+    ]
+    pages = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows]),
+            "html": pa.array([r[1] for r in rows], pa.large_binary()),
+        }
+    )
+    ds = rd.from_arrow(pages)
+    top = top_link_targets(ds, k=10)
+    assert list(zip(top["target"], top["n"])) == [("/x", 3), ("/y", 2)]
+    deg = domain_outdegree(ds)
+    assert list(zip(deg["src_domain"], deg["n_links"])) == [
+        ("a.org", 4), ("b.org", 1)
+    ]
+
+
+# ---------------------------------------------------- token budgets
+
+
+def _mix_brute(rows, num, den):
+    """rows: (doc_id, lang, text). Maximal hash-ordered prefix per
+    lang with cum tokens <= floor(total * num / den)."""
+    bylang = {}
+    for d, l, t in rows:
+        bylang.setdefault(l, []).append((d, len(t.split())))
+    sel = []
+    for lang, items in bylang.items():
+        total = sum(n for _, n in items)
+        bud = total * num // den
+        order = sorted(
+            items,
+            key=lambda it: (
+                hashlib.md5(str(it[0]).encode()).hexdigest()[:8],
+                it[0],
+            ),
+        )
+        cum = 0
+        for d, n in order:
+            if cum + n > bud:
+                break
+            cum += n
+            sel.append((d, lang, n))
+    return sorted(sel)
+
+
+def _mix_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "lang": pa.array([r[1] for r in rows]),
+                "text": pa.array([r[2] for r in rows]),
+            }
+        )
+    )
+
+
+def _got_tuples(df):
+    return sorted(
+        zip(df["doc_id"].astype(int), df["lang"], df["n_tokens"].astype(int))
+    )
+
+
+def test_token_budget_matches_brute_force(ray_session):
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), ["en", "de", "fr"][i % 3],
+         " ".join(["w%d" % rng.integers(50)] * int(rng.integers(0, 30))))
+        for i in range(120)
+    ]
+    got = token_budget_select(_mix_ds(rows), 1, 2)
+    assert _got_tuples(got) == _mix_brute(rows, 1, 2)
+
+
+def test_token_budget_small_bucket_count_same_answer(ray_session):
+    """n_buckets only changes the physical plan (more boundary work),
+    never the selection."""
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(i), "en", " ".join(["t"] * int(rng.integers(1, 20))))
+        for i in range(60)
+    ]
+    a = token_budget_select(_mix_ds(rows), 1, 3, n_buckets=4)
+    b = token_budget_select(_mix_ds(rows), 1, 3, n_buckets=256)
+    assert _got_tuples(a) == _got_tuples(b) == _mix_brute(rows, 1, 3)
+
+
+def test_token_budget_full_budget_selects_all(ray_session):
+    rows = [(i, "en", "a b c") for i in range(10)]
+    got = token_budget_select(_mix_ds(rows), 1, 1)
+    assert len(got) == 10
+
+
+def test_token_budget_zero_token_docs_ride_free(ray_session):
+    # zero-token docs never consume budget; they are selected whenever
+    # they land in the kept prefix
+    rows = [(i, "en", "" if i % 2 else "x y z w") for i in range(40)]
+    got = token_budget_select(_mix_ds(rows), 1, 2)
+    assert _got_tuples(got) == _mix_brute(rows, 1, 2)
+
+
+def test_doc_hash_keys_match_sql_ordering():
+    ids = [0, 1, 2, 1000, 123456]
+    keys = doc_hash_keys(np.array(ids))
+    hexes = [hashlib.md5(str(i).encode()).hexdigest()[:8] for i in ids]
+    # numeric order of the uint32 keys == lexicographic order of the
+    # fixed-width hex strings (the SQL ORDER BY spelling)
+    assert list(np.argsort(keys)) == sorted(
+        range(len(ids)), key=lambda j: hexes[j]
+    )
+
+
+# -------------------------------------------------------------- DSIR
+
+
+def _dsir_brute(rows, mod=101, B=256):
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:2], 16)
+
+    c_all = np.zeros(B)
+    c_tgt = np.zeros(B)
+    for d, t in rows:
+        for w in t.split():
+            b = bucket(w)
+            c_all[b] += 1
+            if d % mod == 0:
+                c_tgt[b] += 1
+    lr = np.log2((c_tgt + 1) / (c_tgt.sum() + B)) - np.log2(
+        (c_all + 1) / (c_all.sum() + B)
+    )
+    out = {}
+    for d, t in rows:
+        ws = t.split()
+        if ws:
+            out[d] = (len(ws), sum(lr[bucket(w)] for w in ws) / len(ws))
+    return out
+
+
+def _dsir_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+            }
+        )
+    )
+
+
+def test_dsir_matches_brute_force(ray_session):
+    rng = np.random.default_rng(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    rows = [
+        (int(i),
+         " ".join(vocab[rng.integers(len(vocab))] for _ in range(
+             int(rng.integers(1, 15)))))
+        for i in range(50)
+    ]
+    rows.append((50, ""))  # zero-token doc: dropped from the output
+    got = dsir_score(_dsir_ds(rows), target_mod=7)
+    want = _dsir_brute(rows, mod=7)
+    assert sorted(got["doc_id"]) == sorted(want)
+    for _, r in got.iterrows():
+        n, s = want[int(r["doc_id"])]
+        assert int(r["n_tokens"]) == n
+        assert abs(float(r["score"]) - s) < 1e-9
+
+
+def test_dsir_empty_target_slice_still_scores(ray_session):
+    # no doc_id % mod == 0 member -> target counts all zero; smoothing
+    # alone defines p_target and every score is finite
+    rows = [(i, "u v w") for i in range(1, 5)]
+    got = dsir_score(_dsir_ds(rows), target_mod=101)
+    assert len(got) == 4
+    assert np.isfinite(got["score"]).all()
+
+
+def test_token_buckets_memo_consistency():
+    a = token_buckets(["x", "y", "x"])
+    b = token_buckets(["x", "y", "x"])
+    assert list(a) == list(b)
+    assert a[0] == a[2] == int(hashlib.md5(b"x").hexdigest()[:2], 16)

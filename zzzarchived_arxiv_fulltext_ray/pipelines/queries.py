@@ -298,6 +298,7 @@ def _q_segment_revenue(sf_dir: str):
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+from .queries_corpus import CORPUS_ORACLE_SQL, CORPUS_QUERIES
 from .queries_training import TRAINING_ORACLE_SQL, TRAINING_QUERIES
 from .queries_webtext import WEBTEXT_ORACLE_SQL, WEBTEXT_QUERIES
 
@@ -313,6 +314,7 @@ QUERIES: Dict[str, Callable] = {
     "segment_revenue": _q_segment_revenue,
     **TRAINING_QUERIES,
     **WEBTEXT_QUERIES,
+    **CORPUS_QUERIES,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -387,3 +389,4 @@ ORACLE_SQL: Dict[str, str] = {
 
 ORACLE_SQL.update(TRAINING_ORACLE_SQL)
 ORACLE_SQL.update(WEBTEXT_ORACLE_SQL)
+ORACLE_SQL.update(CORPUS_ORACLE_SQL)
