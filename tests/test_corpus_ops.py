@@ -259,3 +259,80 @@ def test_token_buckets_memo_consistency():
     b = token_buckets(["x", "y", "x"])
     assert list(a) == list(b)
     assert a[0] == a[2] == int(hashlib.md5(b"x").hexdigest()[:2], 16)
+
+
+# ---------------------------------------------- window cumsum / shards
+
+from zzzarchived_arxiv_fulltext_ray.stages.window import (  # noqa: E402
+    grouped_ordered_cumsum,
+    shard_assign,
+)
+
+
+def _cum_brute(rows):
+    """rows: (id, group, val) -> {id: cum} per the SQL window."""
+    bygroup = {}
+    for i, g, v in rows:
+        bygroup.setdefault(g, []).append((i, v))
+    out = {}
+    for g, items in bygroup.items():
+        items.sort(
+            key=lambda it: (
+                hashlib.md5(str(it[0]).encode()).hexdigest()[:8], it[0]
+            )
+        )
+        cum = 0
+        for i, v in items:
+            cum += v
+            out[i] = cum
+    return out
+
+
+def test_grouped_ordered_cumsum_matches_window(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (int(i), ["a", "b"][i % 2], int(rng.integers(0, 9)))
+        for i in range(200)
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "g": pa.array([r[1] for r in rows]),
+                "v": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+    )
+    for nb in (4, 64):  # small bucket count forces multi-bucket bases
+        out = grouped_ordered_cumsum(
+            ds, "g", "doc_id", "v", n_buckets=nb
+        ).to_pandas()
+        want = _cum_brute(rows)
+        got = dict(zip(out["id"].astype(int), out["cum"].astype(int)))
+        assert got == want
+
+
+def test_shard_assign_first_token_rule(ray_session):
+    import ray.data as rd
+
+    # one lang; craft token counts so a doc straddles the 10-token cut
+    rows = [(i, "en", " ".join(["w"] * 4)) for i in range(8)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "lang": pa.array([r[1] for r in rows]),
+                "text": pa.array([r[2] for r in rows]),
+            }
+        )
+    )
+    out = shard_assign(ds, shard_tokens=10)
+    cum = _cum_brute([(i, "en", 4) for i in range(8)])
+    for _, r in out.iterrows():
+        want_shard = (cum[int(r["doc_id"])] - 4) // 10
+        assert int(r["shard_id"]) == want_shard
+    # shards are contiguous 0..max with every shard non-empty
+    shards = sorted(out["shard_id"].unique())
+    assert shards == list(range(shards[-1] + 1))

@@ -141,6 +141,41 @@ ORDER BY o.doc_id
 """
 
 
+# ------------------------------------- window cumsum / shard layout
+
+def _q_shard_assign(sf_dir: str):
+    """Fixed-token-budget output sharding: documents laid out in
+    deterministic hash order per language and cut every 1000 tokens —
+    the distributed window-cumsum primitive (``stages.window``), no
+    global sort."""
+    from ..stages.window import shard_assign
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "text"])
+    return shard_assign(docs, shard_tokens=1000)
+
+
+CORPUS_QUERIES["shard_assign"] = _q_shard_assign
+CORPUS_ORACLE_SQL["shard_assign"] = """
+WITH toks AS (
+    SELECT doc_id, lang,
+           len(list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '')) AS n_tokens
+    FROM documents
+), ordered AS (
+    SELECT doc_id, lang, n_tokens,
+           sum(n_tokens) OVER (
+               PARTITION BY lang
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+           ) AS cum
+    FROM toks
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((cum - n_tokens) // 1000 AS BIGINT) AS shard_id
+FROM ordered
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------- DSIR importance scores
 
 def _q_dsir_select(sf_dir: str):

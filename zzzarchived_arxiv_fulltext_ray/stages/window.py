@@ -1,0 +1,169 @@
+"""Distributed exact grouped ordered running totals (window cumsum).
+
+Ray Data has no window functions; this stage computes the SQL
+``sum(val) OVER (PARTITION BY group ORDER BY hash(id), id)`` exactly,
+with no global sort:
+
+1. annotate each row with its deterministic order key (md5 prefix of
+   the id — the SQL-reconstructable ``stages.mixing`` convention) and
+   a contiguous range bucket of that key (bucket order refines hash
+   order);
+2. one fixed-size exchange: the (group, bucket) value histogram;
+   the driver prefix-sums it into per-(group, bucket) base offsets —
+   O(groups x n_buckets) state, never rows;
+3. per-(group, bucket) tasks sort their own slice (~1/n_buckets of a
+   group) and emit base + local cumsum.
+
+At 10^12 rows, pick ``n_buckets`` so a single (group, bucket) slice
+fits a task (n_buckets ~ group_size / 10^6); the exchange stays tiny
+because the histogram is pre-combined per batch.
+
+:func:`shard_assign` applies it to the canonical use: carving a
+corpus into fixed-token-budget shards per group, the deterministic
+"which output shard does this document belong to" mapping a resumable
+100 TB write needs.
+"""
+
+from typing import Dict
+
+import numpy as np
+import pyarrow as pa
+
+from .mixing import doc_hash_keys
+
+_SEP = "\x1f"  # composite (group, bucket) key separator
+
+
+def grouped_ordered_cumsum(
+    ds,
+    group_col: str,
+    id_col: str,
+    val_col: str,
+    n_buckets: int = 256,
+):
+    """Dataset[(group, id, val, ...)] -> Dataset[(id, group, val, cum)]
+    where ``cum`` is the inclusive running total of ``val`` within
+    ``group`` in ``(md5(id) prefix, id)`` order."""
+    from ray.data.aggregate import Sum
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        h = doc_hash_keys(batch[id_col].to_numpy(zero_copy_only=False))
+        bucket = ((h * np.uint64(n_buckets)) >> np.uint64(32)).astype(
+            np.int64
+        )
+        gk = pa.compute.binary_join_element_wise(
+            pa.compute.cast(batch[group_col], pa.string()),
+            pa.compute.cast(pa.array(bucket), pa.string()),
+            _SEP,
+        )
+        return pa.Table.from_pydict(
+            {
+                "id": batch[id_col].combine_chunks(),
+                "group": batch[group_col].combine_chunks(),
+                "val": batch[val_col].combine_chunks(),
+                "h": pa.array(h, pa.uint64()),
+                "gk": gk,
+            }
+        )
+
+    annotated = ds.map_batches(annotate, batch_format="pyarrow")
+
+    # fixed-size exchange: (group, bucket) -> sum(val), pre-combined
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["gk", "val"])
+            .group_by(["gk"])
+            .aggregate([("val", "sum")])
+            .rename_columns(["gk", "val"])
+        )
+
+    hist = (
+        annotated.map_batches(partial, batch_format="pyarrow")
+        .groupby("gk")
+        .aggregate(Sum("val", alias_name="val"))
+        .to_pandas()
+    )
+
+    # driver: exclusive prefix within each group, buckets ascending
+    base: Dict[str, int] = {}
+    rows = []
+    for gk, v in zip(hist["gk"], hist["val"]):
+        group, bucket = gk.rsplit(_SEP, 1)
+        rows.append((group, int(bucket), gk, int(v)))
+    rows.sort()
+    run_group, run = None, 0
+    for group, _bucket, gk, v in rows:
+        if group != run_group:
+            run_group, run = group, 0
+        base[gk] = run
+        run += v
+
+    def cum_of_group(g: pa.Table) -> pa.Table:
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        hs = g["h"].to_numpy(zero_copy_only=False)
+        vals = g["val"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, hs))  # primary h, tie-break id
+        start = base.get(g["gk"][0].as_py(), 0)
+        cum = start + np.cumsum(vals[order])
+        return pa.Table.from_pydict(
+            {
+                "id": pa.array(ids[order]),
+                "group": pa.array(
+                    np.asarray(g["group"].to_pylist(), dtype=object)[order]
+                ),
+                "val": pa.array(vals[order], pa.int64()),
+                "cum": pa.array(cum, pa.int64()),
+            }
+        )
+
+    return annotated.groupby("gk").map_groups(
+        cum_of_group, batch_format="pyarrow"
+    )
+
+
+def shard_assign(
+    docs_ds,
+    shard_tokens: int,
+    group_col: str = "lang",
+    n_buckets: int = 256,
+):
+    """Deterministic fixed-token-budget shard ids per group: documents
+    are laid out in hash order and cut every ``shard_tokens`` tokens;
+    a document belongs to the shard its FIRST token lands in
+    (``(cum - n_tokens) // shard_tokens``, the exclusive prefix).
+
+    Returns a pandas frame (doc_id, lang, n_tokens, shard_id) sorted
+    by doc_id.
+    """
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        n = pa.array(
+            [len(t.split()) for t in batch["text"].to_pylist()], pa.int64()
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].combine_chunks(),
+                group_col: batch[group_col].combine_chunks(),
+                "n_tokens": n,
+            }
+        )
+
+    tok = docs_ds.map_batches(tokens, batch_format="pyarrow")
+    cum = grouped_ordered_cumsum(
+        tok, group_col, "doc_id", "n_tokens", n_buckets=n_buckets
+    )
+
+    def to_shard(batch: pa.Table) -> pa.Table:
+        c = batch["cum"].to_numpy(zero_copy_only=False)
+        v = batch["val"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["id"].combine_chunks(),
+                group_col: batch["group"].combine_chunks(),
+                "n_tokens": pa.array(v, pa.int64()),
+                "shard_id": pa.array((c - v) // shard_tokens, pa.int64()),
+            }
+        )
+
+    out = cum.map_batches(to_shard, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
