@@ -336,3 +336,86 @@ def test_shard_assign_first_token_rule(ray_session):
     # shards are contiguous 0..max with every shard non-empty
     shards = sorted(out["shard_id"].unique())
     assert shards == list(range(shards[-1] + 1))
+
+
+# ------------------------------------------------ URL canonicalization
+
+from zzzarchived_arxiv_fulltext_ray.functions.urlnorm import (  # noqa: E402
+    canonicalize_url,
+)
+
+
+@pytest.mark.parametrize(
+    "raw,want",
+    [
+        ("https://EXAMPLE.org:443/a", "https://example.org/a"),
+        ("http://example.org:80/a", "http://example.org/a"),
+        ("http://example.org:8080/a", "http://example.org:8080/a"),
+        ("https://example.org./a", "https://example.org/a"),
+        ("https://example.org/a/../b", "https://example.org/b"),
+        ("https://example.org/a/./b", "https://example.org/a/b"),
+        ("https://example.org/../a", "https://example.org/a"),
+        ("https://example.org/a/..", "https://example.org/"),
+        ("https://example.org/a#frag", "https://example.org/a"),
+        ("https://example.org", "https://example.org/"),
+        (
+            "https://example.org/p?utm_source=x&q=1&utm_medium=y",
+            "https://example.org/p?q=1",
+        ),
+        ("https://example.org/p?utm_source=x", "https://example.org/p"),
+        (
+            "https://example.org/p?b=2&a=1",
+            "https://example.org/p?b=2&a=1",  # order preserved
+        ),
+        ("ftp://example.org/a", "ftp://example.org/a"),  # untouched
+        ("not a url", "not a url"),
+        ("HTTPS://EXAMPLE.ORG/A?fbclid=zz", "https://example.org/A"),
+    ],
+)
+def test_canonicalize_url(raw, want):
+    assert canonicalize_url(raw) == want
+
+
+def test_canonicalize_idempotent():
+    urls = [
+        "https://EXAMPLE.org:443/a/../b?utm_source=x&q=1#f",
+        "http://a.b.c:80/./x/y/..",
+    ]
+    for u in urls:
+        once = canonicalize_url(u)
+        assert canonicalize_url(once) == once
+
+
+# --------------------------------- priority sampling / float top-k
+
+
+def test_topk_partial_preserves_float_dtype():
+    from zzzarchived_arxiv_fulltext_ray.stages.webtext import (
+        topk_per_key_partial,
+    )
+
+    batch = pa.table(
+        {
+            "k": pa.array(["a", "a", "a"]),
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "p": pa.array([0.5, 2.5, 1.5], pa.float64()),
+        }
+    )
+    out = topk_per_key_partial(batch, "k", 2, val="p")
+    assert out["p"].type == pa.float64()
+    assert out["doc_id"].to_pylist() == [2, 3]  # p desc
+
+
+def test_weighted_sample_priority_is_pure_ieee():
+    # the priority expression must be exactly two IEEE double ops so
+    # numpy and DuckDB agree bit-for-bit: exact multiply (< 2^52),
+    # one correctly-rounded divide
+    w = np.array([12345], dtype=np.int64)
+    h4 = np.array([0xBEEF], dtype=np.int64)
+    got = (w.astype(np.float64) * 4294967296.0 / (h4 + 1))[0]
+    import duckdb
+
+    want = duckdb.sql(
+        "SELECT CAST(12345 AS DOUBLE) * 4294967296 / (48880)"
+    ).fetchone()[0]
+    assert got == want  # bit-equal, no tolerance

@@ -104,6 +104,58 @@ ORDER BY 1
 """
 
 
+# ------------------------------------------------ URL canonicalization
+
+def _q_url_canonicalize(sf_dir: str):
+    """URL canonicalization over deterministically denormalized crawl
+    URLs (pure function of doc_id, the inject-PII pattern): cased
+    host + explicit :443 (%4), ../ path noise (%7), tracking params
+    (%3), fragments (%5). The kernel must collapse every variant back
+    to the synthesizer's canonical URL (+ surviving real params); the
+    oracle reconstructs that expected form without parsing."""
+    import pyarrow as pa
+
+    from ..functions.urlnorm import canonicalize_url
+
+    def mangle_and_canon(batch: pa.Table) -> pa.Table:
+        out = []
+        for doc_id in batch["doc_id"].to_pylist():
+            host = "site%02d.example.org" % (doc_id % 50)
+            path = "/articles/%08d" % doc_id
+            if doc_id % 4 == 0:
+                host = host.upper() + ":443"
+            if doc_id % 7 == 0:
+                path = "/articles/../articles/%08d" % doc_id
+            url = "https://" + host + path
+            if doc_id % 3 == 0:
+                url += "?utm_source=feed&x=1"
+            if doc_id % 5 == 0:
+                url += "#section2"
+            out.append(canonicalize_url(url))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].combine_chunks(),
+                "url": pa.array(out, pa.string()),
+            }
+        )
+
+    docs = _docs(sf_dir, ["doc_id"])
+    out = docs.map_batches(mangle_and_canon, batch_format="pyarrow")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+CORPUS_QUERIES["url_canonicalize"] = _q_url_canonicalize
+CORPUS_ORACLE_SQL["url_canonicalize"] = """
+SELECT doc_id,
+       'https://site' || lpad(CAST(doc_id % 50 AS VARCHAR), 2, '0')
+       || '.example.org/articles/'
+       || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+       || CASE WHEN doc_id % 3 = 0 THEN '?x=1' ELSE '' END AS url
+FROM documents
+ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------ token-budget mixing
 
 def _q_token_budget_mix(sf_dir: str):
@@ -173,6 +225,155 @@ SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST((cum - n_tokens) // 1000 AS BIGINT) AS shard_id
 FROM ordered
 ORDER BY doc_id
+"""
+
+
+# -------------------------------------- weighted (priority) sampling
+
+# 4-hex-char md5 prefix as an int — cheap to reconstruct in SQL
+# (4 strpos terms); 16 bits of uniformity is plenty for sampling
+_H4_SQL = """
+  (strpos('0123456789abcdef',
+          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
++ (strpos('0123456789abcdef',
+          substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
++ (strpos('0123456789abcdef',
+          substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
++ (strpos('0123456789abcdef',
+          substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+"""
+
+
+def _q_weighted_sample(sf_dir: str):
+    """Weighted sampling without replacement (Duffield et al. priority
+    sampling): per language, the 10 documents with the largest
+    ``priority = w / u`` where w = n_chars and u is a deterministic
+    md5-derived uniform. Both engines compute priority with the SAME
+    two IEEE double operations (exact multiply < 2^52, one correctly
+    rounded divide), so the ORDERING — which selects rows, not just
+    values — is bit-identical cross-engine; ties (equal (w, h4))
+    break by doc_id. Distributed via the lossless partial-top-k
+    combiner tree (no whole-group shuffle)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.webtext import capped_topk_per_key
+
+    def prio(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        w = batch["n_chars"].to_numpy(zero_copy_only=False)
+        h4 = np.fromiter(
+            (
+                int(hashlib.md5(str(int(i)).encode()).hexdigest()[:4], 16)
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        priority = w.astype(np.float64) * 4294967296.0 / (h4 + 1)
+        return pa.Table.from_pydict(
+            {
+                "lang": batch["lang"].combine_chunks(),
+                "doc_id": batch["doc_id"].combine_chunks(),
+                "priority": pa.array(priority, pa.float64()),
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        prio, batch_format="pyarrow"
+    )
+    out = capped_topk_per_key(ds, key="lang", k=10, val="priority")
+    return (
+        out.to_pandas()
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
+CORPUS_QUERIES["weighted_sample"] = _q_weighted_sample
+CORPUS_ORACLE_SQL["weighted_sample"] = f"""
+WITH prio AS (
+    SELECT lang, doc_id,
+           CAST(n_chars AS DOUBLE) * 4294967296
+           / (({_H4_SQL}) + 1) AS priority
+    FROM documents
+)
+SELECT lang, doc_id, priority
+FROM (
+    SELECT lang, doc_id, priority,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY priority DESC, doc_id) AS rn
+    FROM prio
+)
+WHERE rn <= 10
+ORDER BY lang, doc_id
+"""
+
+
+# -------------------------------------- per-domain language entropy
+
+def _q_domain_lang_entropy(sf_dir: str):
+    """Language-mix entropy per domain (a crawl spam/quality signal:
+    single-language domains score 0, mixed-content farms score high).
+    Counts pre-combine per batch; the exchange is over (domain, lang)
+    pairs only; the entropy arithmetic runs on that small aggregate."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from .queries_webtext import _url_domain_batch
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = _url_domain_batch(batch)
+        return (
+            t.select(["domain"])
+            .append_column("lang", batch["lang"].combine_chunks())
+            .group_by(["domain", "lang"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["domain", "lang", "n"])
+        )
+
+    counts = (
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["domain", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for domain, grp in counts.groupby("domain"):
+        n = grp["n"].to_numpy(dtype=np.float64)
+        tot = n.sum()
+        p = n / tot
+        rows.append((domain, int(tot), float(-(p * np.log2(p)).sum())))
+    import pandas as pd
+
+    return pd.DataFrame(
+        rows, columns=["domain", "n_docs", "entropy"]
+    ).sort_values("domain").reset_index(drop=True)
+
+
+CORPUS_QUERIES["domain_lang_entropy"] = _q_domain_lang_entropy
+CORPUS_ORACLE_SQL["domain_lang_entropy"] = """
+WITH d AS (
+    SELECT 'site' || lpad(CAST(doc_id % 50 AS VARCHAR), 2, '0')
+           || '.example.org' AS domain,
+           lang
+    FROM documents
+), c AS (
+    SELECT domain, lang, count(*) AS n FROM d GROUP BY 1, 2
+), t AS (
+    SELECT domain, sum(n) AS tot FROM c GROUP BY domain
+)
+SELECT c.domain,
+       CAST(any_value(t.tot) AS BIGINT) AS n_docs,
+       -sum((c.n / t.tot) * log2(c.n / t.tot)) AS entropy
+FROM c JOIN t USING (domain)
+GROUP BY c.domain
+ORDER BY c.domain
 """
 
 

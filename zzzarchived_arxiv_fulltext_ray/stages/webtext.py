@@ -95,7 +95,8 @@ def topk_per_key_partial(
         {
             key: pa.array(keys[keep], pa.string()),
             id_col: pa.array(d[keep], pa.int64()),
-            val: pa.array(v[keep], pa.int64()),
+            # preserve the value dtype (int counts, float priorities)
+            val: pa.array(v[keep], pa.from_numpy_dtype(v.dtype)),
         }
     )
 
