@@ -419,3 +419,32 @@ def test_weighted_sample_priority_is_pure_ieee():
         "SELECT CAST(12345 AS DOUBLE) * 4294967296 / (48880)"
     ).fetchone()[0]
     assert got == want  # bit-equal, no tolerance
+
+
+def test_canonicalize_property_idempotent_and_total():
+    """Property: canonicalize is total (never raises) and idempotent
+    over adversarial URL-ish strings."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    url_chars = st.text(
+        alphabet=st.sampled_from(
+            list("abcXYZ09./:?&=#%~_-")
+        ),
+        max_size=40,
+    )
+
+    @given(
+        scheme=st.sampled_from(["http", "https", "HTTP", "ftp", ""]),
+        host=st.sampled_from(
+            ["a.b", "A.B.", "x", "a.b:443", "a.b:80", "a.b:1234", ""]
+        ),
+        rest=url_chars,
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(scheme, host, rest):
+        u = (scheme + "://" + host + "/" + rest) if scheme else rest
+        once = canonicalize_url(u)
+        assert canonicalize_url(once) == once
+
+    check()
