@@ -448,3 +448,21 @@ def test_canonicalize_property_idempotent_and_total():
         assert canonicalize_url(once) == once
 
     check()
+
+
+def test_anchors_of_markup():
+    from zzzarchived_arxiv_fulltext_ray.stages.links import (
+        anchors_of_markup,
+    )
+
+    markup = (
+        '<a href="/x" class="z">Hello <b>World</b></a>'
+        "<a href='/y'>&amp; more\n  text</a>"
+        '<a href=/bare>bare</a>'
+        '<a name="no-href">skip</a>'
+    )
+    assert anchors_of_markup(markup) == [
+        ("/x", "Hello World"),
+        ("/y", "& more text"),
+        ("/bare", "bare"),
+    ]

@@ -104,6 +104,60 @@ ORDER BY 1
 """
 
 
+def _q_anchor_texts(sf_dir: str):
+    """Top (target, anchor-text) pairs: the anchor-text corpus (link
+    text is a relevance/label signal for the linked-to target)."""
+    from ..sources.pages import read_pages
+    from ..stages.links import top_anchor_texts
+
+    return top_anchor_texts(read_pages(sf_dir), k=100)
+
+
+CORPUS_QUERIES["anchor_texts"] = _q_anchor_texts
+CORPUS_ORACLE_SQL["anchor_texts"] = """
+WITH eligible AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0 THEN 3 ELSE 1 END AS m
+    FROM documents
+    WHERE doc_id % 20 IN (3, 6, 7) OR doc_id % 20 >= 9
+), nav_words(i, w) AS (
+    VALUES (0, 'Home'), (1, 'News'), (2, 'Sports'), (3, 'Opinion'),
+           (4, 'Culture'), (5, 'Science'), (6, 'Business'),
+           (7, 'Travel'), (8, 'Archive'), (9, 'About'),
+           (10, 'Contact'), (11, 'Subscribe')
+), farm_words(i, w) AS (
+    VALUES (0, 'trending'), (1, 'popular'), (2, 'latest'),
+           (3, 'editors'), (4, 'picks'), (5, 'weekly'), (6, 'digest'),
+           (7, 'related'), (8, 'stories'), (9, 'from'),
+           (10, 'around'), (11, 'the'), (12, 'network'),
+           (13, 'partner'), (14, 'links'), (15, 'more'),
+           (16, 'coverage')
+), pairs AS (
+    SELECT '/' || n.w AS target, n.w AS anchor, e.m
+    FROM eligible e JOIN nav_words n ON n.i < 6 + e.doc_id % 6
+    UNION ALL
+    SELECT '/t/' || CAST((e.doc_id * 7 + t.i) % 997 AS VARCHAR),
+           a.w || ' ' || b.w || ' '
+               || CAST((e.doc_id * 7 + t.i) % 997 AS VARCHAR),
+           e.m
+    FROM eligible e,
+         UNNEST(generate_series(0, 17)) AS t(i)
+    JOIN farm_words a ON a.i = (e.doc_id + t.i) % 17
+    JOIN farm_words b ON b.i = (e.doc_id + 2 * t.i + 3) % 17
+    UNION ALL
+    SELECT f.target, f.anchor, e.m
+    FROM eligible e,
+         (VALUES ('/privacy', 'Privacy'), ('/terms', 'Terms'))
+         AS f(target, anchor)
+)
+SELECT target, anchor, CAST(sum(m) AS BIGINT) AS n
+FROM pairs
+GROUP BY target, anchor
+ORDER BY n DESC, target, anchor
+LIMIT 100
+"""
+
+
 # ------------------------------------------------ URL canonicalization
 
 def _q_url_canonicalize(sf_dir: str):

@@ -33,6 +33,15 @@ _HREF_RE = re.compile(
 
 _DOMAIN_RE = re.compile(r"^[a-z][a-z0-9+.-]*://([^/]+)", re.IGNORECASE)
 
+# full anchor elements: href value (any quote style) + inner text
+_ANCHOR_RE = re.compile(
+    r"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))"""
+    r"""[^>]*>(.*?)</a>""",
+    re.IGNORECASE | re.DOTALL,
+)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+
 
 def hrefs_of_markup(markup: str) -> List[str]:
     """All href attribute values, document order, duplicates kept."""
@@ -42,6 +51,18 @@ def hrefs_of_markup(markup: str) -> List[str]:
 def page_domain(url: str) -> str:
     m = _DOMAIN_RE.match(url)
     return m.group(1) if m else ""
+
+
+def anchors_of_markup(markup: str):
+    """(target, anchor_text) per <a> element, document order. Anchor
+    text is de-tagged, entity-unescaped, whitespace-collapsed."""
+    import html as _html
+
+    out = []
+    for a, b, c, inner in _ANCHOR_RE.findall(markup):
+        text = _WS_RE.sub(" ", _html.unescape(_TAG_RE.sub("", inner))).strip()
+        out.append((a or b or c, text))
+    return out
 
 
 def extract_links_batch(batch: pa.Table) -> pa.Table:
@@ -71,6 +92,49 @@ def extract_links_batch(batch: pa.Table) -> pa.Table:
             "target": pa.array(targets, pa.string()),
         }
     )
+
+
+def extract_anchors_batch(batch: pa.Table) -> pa.Table:
+    """pages batch (url, html) -> one (target, anchor) row per <a>
+    element — the anchor-text corpus extractor (anchor text is a
+    training/relevance signal per linked-to target)."""
+    targets: List[str] = []
+    anchors: List[str] = []
+    for payload in batch["html"].to_pylist():
+        if not payload or sniff.sniff_kind(payload) != sniff.KIND_HTML:
+            continue
+        markup = sniff.decode_payload(payload, sniff.detect_charset(payload))
+        for t, a in anchors_of_markup(markup):
+            targets.append(t)
+            anchors.append(a)
+    return pa.Table.from_pydict(
+        {
+            "target": pa.array(targets, pa.string()),
+            "anchor": pa.array(anchors, pa.string()),
+        }
+    )
+
+
+def top_anchor_texts(pages_ds, k: int = 100):
+    """Most common (target, anchor-text) pairs, (n desc, target,
+    anchor) top ``k`` — same pre-combine-then-distinct-exchange shape
+    as :func:`top_link_targets`."""
+    from ray.data.aggregate import Sum
+
+    pairs = pages_ds.map_batches(
+        extract_anchors_batch, batch_format="pyarrow"
+    )
+    partial = pairs.map_batches(
+        _local_count(["target", "anchor"]), batch_format="pyarrow"
+    )
+    agg = partial.groupby(["target", "anchor"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+    out = agg.to_pandas()
+    out = out.sort_values(
+        ["n", "target", "anchor"], ascending=[False, True, True]
+    ).head(k)
+    return out.reset_index(drop=True)
 
 
 def _local_count(cols):
