@@ -158,6 +158,69 @@ LIMIT 100
 """
 
 
+def _q_html_tag_stats(sf_dir: str):
+    """Structural stats per crawled HTML page row: anchor, paragraph
+    and list-item tag counts parsed from the RAW payload (decode via
+    the cascade's sniff path). The oracle never parses: it derives the
+    expected counts from the synthesizer's template (26 + doc_id%6
+    anchors, one <p> per text paragraph, 18 <li>) — structure parse
+    cross-validated against ground truth."""
+    import pyarrow as pa
+
+    from ..functions import sniff
+    from ..sources.pages import read_pages
+
+    def stats(batch: pa.Table) -> pa.Table:
+        urls, n_a, n_p, n_li = [], [], [], []
+        for url, payload in zip(
+            batch["url"].to_pylist(), batch["html"].to_pylist()
+        ):
+            if not payload or sniff.sniff_kind(payload) != sniff.KIND_HTML:
+                continue
+            markup = sniff.decode_payload(
+                payload, sniff.detect_charset(payload)
+            )
+            urls.append(url)
+            n_a.append(markup.count('<a href="'))
+            n_p.append(markup.count("<p>"))
+            n_li.append(markup.count("<li>"))
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array(urls, pa.string()),
+                "n_anchors": pa.array(n_a, pa.int64()),
+                "n_paragraphs": pa.array(n_p, pa.int64()),
+                "n_list_items": pa.array(n_li, pa.int64()),
+            }
+        )
+
+    out = read_pages(sf_dir).map_batches(stats, batch_format="pyarrow")
+    return out.to_pandas().sort_values("url").reset_index(drop=True)
+
+
+CORPUS_QUERIES["html_tag_stats"] = _q_html_tag_stats
+CORPUS_ORACLE_SQL["html_tag_stats"] = """
+WITH eligible AS (
+    SELECT doc_id, text,
+           CASE WHEN doc_id % 10 = 0 THEN 3 ELSE 1 END AS m
+    FROM documents
+    WHERE doc_id % 20 IN (3, 6, 7) OR doc_id % 20 >= 9
+), rep AS (
+    SELECT doc_id, text
+    FROM eligible, UNNEST(generate_series(1, m)) AS g(i)
+)
+SELECT 'https://site' || lpad(CAST(doc_id % 50 AS VARCHAR), 2, '0')
+       || '.example.org/articles/'
+       || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+       CAST(26 + doc_id % 6 AS BIGINT) AS n_anchors,
+       CAST(CASE WHEN doc_id % 20 = 6 THEN 1
+                 ELSE len(string_split(text, chr(10) || chr(10)))
+            END AS BIGINT) AS n_paragraphs,
+       CAST(18 AS BIGINT) AS n_list_items
+FROM rep
+ORDER BY url
+"""
+
+
 # ------------------------------------------------ URL canonicalization
 
 def _q_url_canonicalize(sf_dir: str):
