@@ -345,6 +345,174 @@ ORDER BY doc_id
 """
 
 
+# ----------------------------------------------- inverted index (IR)
+
+def _q_inverted_index(sf_dir: str):
+    """Posting lists for mid-frequency tokens (5 <= df <= 400): the IR
+    index-construction shape. Scale plan: document frequencies first
+    (per-batch distinct + counted partials -> one small (token, df)
+    exchange), the driver keeps only the BOUNDED df-range vocabulary
+    and broadcasts it, then a second scan emits (token, doc_id) pairs
+    for selected tokens only — hot/stop tokens never shuffle their
+    postings. Postings ship as a csv string (deterministic, ordered)
+    so both engines compare exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    DF_LO, DF_HI = 5, 400
+
+    def distinct_pairs(batch: pa.Table):
+        ids, toks = [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for w in set(text.split()):
+                ids.append(doc_id)
+                toks.append(w)
+        return ids, toks
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        _, toks = distinct_pairs(batch)
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "token": pa.array(list(u), pa.string()),
+                "df": pa.array(c, pa.int64()),
+            }
+        )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    df = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    sel = df[(df["df"] >= DF_LO) & (df["df"] <= DF_HI)]
+    vocab = dict(zip(sel["token"], sel["df"].astype(int)))  # bounded
+
+    def postings_pairs(batch: pa.Table) -> pa.Table:
+        ids, toks = distinct_pairs(batch)
+        keep_i, keep_t = [], []
+        for i, t in zip(ids, toks):
+            if t in vocab:
+                keep_i.append(i)
+                keep_t.append(t)
+        return pa.Table.from_pydict(
+            {
+                "token": pa.array(keep_t, pa.string()),
+                "doc_id": pa.array(keep_i, pa.int64()),
+            }
+        )
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        tok = g["token"][0].as_py()
+        ids = sorted(g["doc_id"].to_pylist())
+        return pa.Table.from_pydict(
+            {
+                "token": pa.array([tok], pa.string()),
+                "df": pa.array([vocab[tok]], pa.int64()),
+                "postings": pa.array(
+                    [",".join(str(i) for i in ids)], pa.string()
+                ),
+            }
+        )
+
+    out = (
+        docs.map_batches(postings_pairs, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(merge_group, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("token").reset_index(drop=True)
+
+
+CORPUS_QUERIES["inverted_index"] = _q_inverted_index
+CORPUS_ORACLE_SQL["inverted_index"] = """
+WITH toks AS (
+    SELECT DISTINCT doc_id, w
+    FROM (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+    )
+), df AS (
+    SELECT w, count(*) AS df FROM toks GROUP BY w
+), sel AS (
+    SELECT w, df FROM df WHERE df BETWEEN 5 AND 400
+)
+SELECT s.w AS token, CAST(s.df AS BIGINT) AS df,
+       string_agg(CAST(t.doc_id AS VARCHAR), ','
+                  ORDER BY t.doc_id) AS postings
+FROM sel s JOIN toks t ON t.w = s.w
+GROUP BY s.w, s.df
+ORDER BY token
+"""
+
+
+# ------------------------------------------- context-window chunking
+
+def _q_doc_chunks(sf_dir: str):
+    """Overlapping context windows (64-token windows, stride 48) per
+    document — pretraining/RAG context prep. Pure per-document
+    fan-out; no exchange at all."""
+    import numpy as np
+    import pyarrow as pa
+
+    WIN, STRIDE = 64, 48
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        d_ids, c_ids, starts, lens = [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            n = len(text.split())
+            i = 0
+            while i * STRIDE < n:
+                d_ids.append(doc_id)
+                c_ids.append(i)
+                starts.append(i * STRIDE)
+                lens.append(min(WIN, n - i * STRIDE))
+                i += 1
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(d_ids, pa.int64()),
+                "chunk_id": pa.array(c_ids, pa.int64()),
+                "start_tok": pa.array(starts, pa.int64()),
+                "chunk_tokens": pa.array(lens, pa.int64()),
+            }
+        )
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow"
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+
+
+CORPUS_QUERIES["doc_chunks"] = _q_doc_chunks
+CORPUS_ORACLE_SQL["doc_chunks"] = """
+WITH toks AS (
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '')) AS n
+    FROM documents
+)
+SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_id,
+       CAST(g.i * 48 AS BIGINT) AS start_tok,
+       CAST(LEAST(64, n - g.i * 48) AS BIGINT) AS chunk_tokens
+FROM toks, UNNEST(generate_series(0, (n - 1) // 48)) AS g(i)
+WHERE n > 0
+ORDER BY doc_id, chunk_id
+"""
+
+
 # -------------------------------------- weighted (priority) sampling
 
 # 4-hex-char md5 prefix as an int — cheap to reconstruct in SQL
