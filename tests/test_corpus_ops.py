@@ -466,3 +466,22 @@ def test_anchors_of_markup():
         ("/y", "& more text"),
         ("/bare", "bare"),
     ]
+
+
+def test_token_budget_distributed_plan_equal(ray_session):
+    """boundary='distributed' (window-cumsum filter, no driver row
+    pull) must select exactly the same documents as the driver plan."""
+    rng = np.random.default_rng(21)
+    rows = [
+        (int(i), ["en", "de"][i % 2],
+         " ".join(["w"] * int(rng.integers(0, 25))))
+        for i in range(150)
+    ]
+    a = token_budget_select(_mix_ds(rows), 2, 3, boundary="driver")
+    b = token_budget_select(_mix_ds(rows), 2, 3, boundary="distributed")
+    assert _got_tuples(a) == _got_tuples(b) == _mix_brute(rows, 2, 3)
+
+
+def test_token_budget_unknown_plan_raises(ray_session):
+    with pytest.raises(ValueError):
+        token_budget_select(_mix_ds([(1, "en", "x")]), boundary="nope")

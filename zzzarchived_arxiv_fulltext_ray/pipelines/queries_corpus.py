@@ -285,8 +285,23 @@ def _q_token_budget_mix(sf_dir: str):
     return token_budget_select(docs, budget_num=1, budget_den=2)
 
 
+def _q_token_budget_mix_distributed(sf_dir: str):
+    """Same selection, forced no-driver-pull physical plan: the full
+    distributed window cumsum + budget filter (the 10^12-doc path) —
+    a gate witness that both plans agree (cf. decontaminate_partitioned)."""
+    from ..stages.mixing import token_budget_select
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "text"])
+    return token_budget_select(
+        docs, budget_num=1, budget_den=2, boundary="distributed"
+    )
+
+
 CORPUS_QUERIES["token_budget_mix"] = _q_token_budget_mix
-CORPUS_ORACLE_SQL["token_budget_mix"] = """
+CORPUS_QUERIES["token_budget_mix_distributed"] = (
+    _q_token_budget_mix_distributed
+)
+_TOKEN_BUDGET_SQL = """
 WITH toks AS (
     SELECT doc_id, lang,
            len(list_filter(regexp_split_to_array(text, '\\s+'),
@@ -308,6 +323,8 @@ FROM ordered o JOIN bud USING (lang)
 WHERE o.cum <= bud.budget
 ORDER BY o.doc_id
 """
+CORPUS_ORACLE_SQL["token_budget_mix"] = _TOKEN_BUDGET_SQL
+CORPUS_ORACLE_SQL["token_budget_mix_distributed"] = _TOKEN_BUDGET_SQL
 
 
 # ------------------------------------- window cumsum / shard layout

@@ -98,7 +98,11 @@ def _tokens_hash_batch(batch: pa.Table, n_buckets: int) -> pa.Table:
 
 
 def token_budget_select(
-    docs_ds, budget_num: int = 1, budget_den: int = 2, n_buckets: int = 256
+    docs_ds,
+    budget_num: int = 1,
+    budget_den: int = 2,
+    n_buckets: int = 256,
+    boundary: str = "driver",
 ):
     """Per-lang token-budget prefix selection.
 
@@ -108,6 +112,19 @@ def token_budget_select(
     — exactly the SQL window ``sum(n_tokens) OVER (PARTITION BY lang
     ORDER BY hash, doc_id) <= budget``, computed without any global
     sort (see module docstring).
+
+    ``boundary`` picks how the cutoff bucket is resolved exactly
+    (identical answers, pinned equal in tests):
+
+    * ``"driver"`` — pull ONLY the boundary bucket's rows
+      (~1/n_buckets of each group) and order them on the driver. Two
+      narrow scans, no row shuffle; right while group_size/n_buckets
+      fits the driver (raise n_buckets with corpus size).
+    * ``"distributed"`` — run the full
+      :func:`~..stages.window.grouped_ordered_cumsum` (per-bucket
+      distributed sorts) and filter ``cum <= budget``. One narrow
+      (id, group, val, h) shuffle instead of any driver row pull —
+      the 10^12-doc path.
 
     Returns a pandas frame (doc_id, lang, n_tokens) sorted by doc_id.
     """
@@ -152,6 +169,44 @@ def token_budget_select(
             cum += int(n)
         cutoff[lang] = cut
         base_cum[lang] = cum  # tokens selected below the cutoff bucket
+
+    if boundary == "distributed":
+        # no driver row pull at all: full distributed window cumsum
+        # (per-bucket sorts), then a stateless budget filter
+        from .window import grouped_ordered_cumsum
+
+        def tok_only(batch: pa.Table) -> pa.Table:
+            return _tokens_hash_batch(batch, n_buckets).select(
+                ["doc_id", "lang", "n_tokens"]
+            )
+
+        cum_ds = grouped_ordered_cumsum(
+            docs_ds.map_batches(tok_only, batch_format="pyarrow"),
+            "lang",
+            "doc_id",
+            "n_tokens",
+            n_buckets=n_buckets,
+        )
+
+        def keep(batch: pa.Table) -> pa.Table:
+            langs = np.asarray(batch["group"].to_pylist())
+            c = batch["cum"].to_numpy(zero_copy_only=False)
+            mask = np.zeros(len(langs), dtype=bool)
+            for lang, bud in budget.items():  # vectorized per lang
+                mask |= (langs == lang) & (c <= bud)
+            out = batch.filter(pa.array(mask))
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": out["id"].combine_chunks(),
+                    "lang": out["group"].combine_chunks(),
+                    "n_tokens": out["val"].combine_chunks(),
+                }
+            )
+
+        out = cum_ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+    if boundary != "driver":
+        raise ValueError(f"unknown boundary plan: {boundary}")
 
     # boundary: pull ONLY each lang's cutoff bucket (~1/n_buckets of
     # the group), order exactly, extend the prefix to the budget
