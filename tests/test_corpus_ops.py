@@ -485,3 +485,25 @@ def test_token_budget_distributed_plan_equal(ray_session):
 def test_token_budget_unknown_plan_raises(ray_session):
     with pytest.raises(ValueError):
         token_budget_select(_mix_ds([(1, "en", "x")]), boundary="nope")
+
+
+def test_hrefs_robust_to_malformed_markup():
+    # unclosed tags, nested quotes, attribute soup — the regex scanner
+    # must not raise and must keep well-formed matches
+    from zzzarchived_arxiv_fulltext_ray.stages.links import (
+        anchors_of_markup,
+        hrefs_of_markup,
+    )
+
+    soup = (
+        '<a href="/ok">fine</a><a href="/unclosed">never closed'
+        "<div><a href='/q\"uote'>q</a>"
+        '<a href=>empty</a><a >none</a>'
+    )
+    hrefs = hrefs_of_markup(soup)
+    assert hrefs == ["/ok", "/unclosed", '/q"uote']
+    # anchors: an unclosed <a> lazily matches to the NEXT </a>,
+    # swallowing the nested anchor (regex-over-HTML contract); the
+    # href-only scanner above still sees every href
+    anchors = anchors_of_markup(soup)
+    assert anchors == [("/ok", "fine"), ("/unclosed", "never closedq")]
