@@ -1238,6 +1238,164 @@ def _q_extract_psv(sf_dir: str):
     )
 
 
+def _q_regional_revenue(sf_dir: str):
+    """TPC-H Q5-shaped six-table pipeline: revenue per nation for one
+    region/year where customer and supplier are co-located. Physical
+    plan: region/nation and the supplier key->nation PROJECTION are
+    broadcast lookups (tiny; at real scale the supplier projection is
+    a `ray.put` table, two ints per supplier); the two big joins —
+    filtered orders x region-filtered customers on custkey, lineitem
+    x that on orderkey — run as partitioned hash joins with all
+    filters and the cents conversion pushed below the exchanges;
+    the final aggregate pre-combines per batch to 25 nation rows."""
+    import datetime
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.relational import partitioned_hash_join
+
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pydict()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pydict()
+    asia_rk = {
+        rk
+        for rk, rn in zip(region["r_regionkey"], region["r_name"])
+        if rn == "ASIA"
+    }
+    asia_nk = np.array(
+        sorted(
+            nk
+            for nk, rk in zip(nation["n_nationkey"], nation["n_regionkey"])
+            if rk in asia_rk
+        ),
+        dtype=np.int64,
+    )
+    nat_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = np.asarray(supp["s_suppkey"])
+    sn = np.asarray(supp["s_nationkey"])
+    supp_nat = np.full(int(sk.max()) + 1, -1, dtype=np.int64)
+    supp_nat[sk] = sn  # dense suppkey -> nationkey lookup
+
+    lo, hi = datetime.date(1996, 1, 1), datetime.date(1997, 1, 1)
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], pa.scalar(lo)),
+            pc.less(batch["o_orderdate"], pa.scalar(hi)),
+        )
+        t = batch.filter(keep)
+        return pa.Table.from_arrays(
+            [t["o_custkey"].combine_chunks(), t["o_orderkey"].combine_chunks()],
+            names=["custkey", "orderkey"],
+        )
+
+    def c_prep(batch: pa.Table) -> pa.Table:
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(np.isin(nk, asia_nk)))
+        return pa.Table.from_arrays(
+            [t["c_custkey"].combine_chunks(), t["c_nationkey"].combine_chunks()],
+            names=["custkey", "c_nationkey"],
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(o_prep, batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(c_prep, batch_format="pyarrow")
+
+    oc = partitioned_hash_join(orders, cust, key="custkey").map_batches(
+        lambda b: b.select(["orderkey", "c_nationkey"]),
+        batch_format="pyarrow",
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        batch["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+                    ),
+                    100.0,
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.Table.from_arrays(
+            [
+                batch["l_orderkey"].combine_chunks(),
+                batch["l_suppkey"].combine_chunks(),
+                cents,
+            ],
+            names=["orderkey", "l_suppkey", "cents"],
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    joined = partitioned_hash_join(li, oc, key="orderkey")
+
+    def colocate_and_combine(batch: pa.Table) -> pa.Table:
+        skeys = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        cnat = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(supp_nat[skeys] == cnat))
+        names = pa.array(
+            [nat_name[int(k)] for k in t["c_nationkey"].to_pylist()],
+            pa.string(),
+        )
+        g = (
+            pa.Table.from_arrays(
+                [names, t["cents"].combine_chunks()],
+                names=["nation", "cents"],
+            )
+            .group_by("nation")
+            .aggregate([("cents", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["nation", "revenue_cents", "n_items"])
+
+    out = (
+        joined.map_batches(colocate_and_combine, batch_format="pyarrow")
+        .groupby("nation")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_items", alias_name="n_items"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("nation").reset_index(drop=True)
+
+
+TRAINING_QUERIES["regional_revenue"] = _q_regional_revenue
+TRAINING_ORACLE_SQL["regional_revenue"] = """
+SELECT n.n_name AS nation,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1997-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
 TRAINING_QUERIES["join_priority_revenue"] = _q_join_priority_revenue
 TRAINING_QUERIES["join_priority_revenue_native"] = (
     _q_join_priority_revenue_native
