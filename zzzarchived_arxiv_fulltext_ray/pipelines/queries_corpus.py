@@ -362,6 +362,116 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------- end-to-end curation composition
+
+def _q_curate_pages(sf_dir: str):
+    """The flagship curation composition, end-to-end from RAW pages:
+    latest-crawl dedup -> extraction cascade (byte-identity contract)
+    -> Gopher quality gate on the EXTRACTED text -> per-language
+    half-token-budget selection in md5(url) order. Four real operator
+    families chained in one lazy streaming plan; the oracle replays
+    the whole chain in SQL (extraction semantics from the pages
+    formulas, the independent gopher count spellings, the budget
+    window)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..sources.pages import read_pages
+    from ..stages.mixing import token_budget_select
+    from ..stages.webtext import gopher_verdict_batch
+    from .extraction import extraction_pipeline
+
+    ds = extraction_pipeline(read_pages(sf_dir), derive_psv=False)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ok = batch.filter(pc.equal(batch["status"], "succeeded"))
+        # verdict depends on text only; feed a dummy doc_id and keep
+        # the url keying outside
+        tmp = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(np.arange(len(ok)), pa.int64()),
+                "text": ok["text"].combine_chunks(),
+            }
+        )
+        keep = pc.equal(gopher_verdict_batch(tmp)["verdict"], "keep")
+        return ok.filter(keep).select(["url", "lang", "text"])
+
+    gated = ds.map_batches(gate, batch_format="pyarrow")
+    return token_budget_select(gated, 1, 2, id_col="url")
+
+
+CORPUS_QUERIES["curate_pages"] = _q_curate_pages
+CORPUS_ORACLE_SQL["curate_pages"] = """
+WITH ok AS (
+    SELECT 'https://site' || lpad(CAST(doc_id % 50 AS VARCHAR), 2, '0')
+           || '.example.org/articles/'
+           || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+           lang, text
+    FROM documents
+    WHERE doc_id % 20 NOT IN (4, 5, 6)
+), m AS (
+    SELECT url, lang,
+           regexp_extract_all(text, '\\S+') AS words,
+           string_split(text, chr(10)) AS lines,
+           text
+    FROM ok
+), c AS (
+    SELECT url, lang,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(coalesce(list_aggregate(
+               list_transform(words, w -> length(w)), 'sum'), 0)
+               AS BIGINT) AS n_word_chars,
+           CAST(len(list_filter(words,
+               w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+               AS n_alpha_words,
+           CAST(length(text) - length(replace(text, '#', ''))
+               + (length(text) - length(replace(text, '...', ''))) // 3
+               AS BIGINT) AS n_symbols,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(lines,
+               l -> starts_with(l, '- ') OR starts_with(l, '* ')))
+               AS BIGINT) AS n_bullet_lines,
+           CAST(len(list_filter(lines, l -> ends_with(l, '...')))
+               AS BIGINT) AS n_ellipsis_lines,
+           CAST((CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(words, 'a') THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(words, 'in') THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(words, 'is') THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(words, 'it') THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_stop
+    FROM m
+), keepd AS (
+    SELECT url, lang, n_words
+    FROM c
+    WHERE NOT (n_words < 30 OR n_words > 100000)
+      AND NOT (3 * n_words > n_word_chars OR n_word_chars > 10 * n_words)
+      AND NOT (10 * n_symbols > n_words)
+      AND NOT (2 * n_bullet_lines > n_lines)
+      AND NOT (10 * n_ellipsis_lines > 3 * n_lines)
+      AND NOT (5 * n_alpha_words < 4 * n_words)
+      AND n_stop >= 2
+), bud AS (
+    SELECT lang, CAST(sum(n_words) // 2 AS BIGINT) AS budget
+    FROM keepd GROUP BY lang
+), ordered AS (
+    SELECT url, lang, n_words,
+           sum(n_words) OVER (
+               PARTITION BY lang
+               ORDER BY substr(md5(url), 1, 8), url
+           ) AS cum
+    FROM keepd
+)
+SELECT o.url, o.lang, CAST(o.n_words AS BIGINT) AS n_tokens
+FROM ordered o JOIN bud USING (lang)
+WHERE o.cum <= bud.budget
+ORDER BY o.url
+"""
+
+
 # ----------------------------------------------- inverted index (IR)
 
 def _q_inverted_index(sf_dir: str):

@@ -49,10 +49,16 @@ def _md5_u32(s: str) -> int:
 
 
 def doc_hash_keys(ids) -> np.ndarray:
-    """uint64 order keys for doc_ids: md5(str(doc_id)) hex prefix."""
-    return np.fromiter(
-        (_md5_u32(str(int(i))) for i in ids), dtype=np.uint64, count=len(ids)
-    )
+    """uint64 order keys: md5 hex prefix of each id's canonical string
+    form — ``str(int)`` for integer ids, the raw string for string ids
+    (urls) — so the SQL spelling is ``md5(CAST(id AS VARCHAR))`` /
+    ``md5(url)`` respectively."""
+    vals = list(ids)
+    if vals and isinstance(vals[0], (int, np.integer)):
+        it = (_md5_u32(str(int(i))) for i in vals)
+    else:
+        it = (_md5_u32(str(s)) for s in vals)
+    return np.fromiter(it, dtype=np.uint64, count=len(vals))
 
 
 _token_bucket_memo: Dict[str, int] = {}
@@ -78,18 +84,23 @@ def token_buckets(tokens: List[str], n_buckets: int = 256) -> np.ndarray:
 # ------------------------------------------------ token-budget mixing
 
 
-def _tokens_hash_batch(batch: pa.Table, n_buckets: int) -> pa.Table:
+def _tokens_hash_batch(
+    batch: pa.Table,
+    n_buckets: int,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> pa.Table:
     texts = batch["text"].to_pylist()
     n_tokens = np.array([len(t.split()) for t in texts], dtype=np.int64)
-    h = doc_hash_keys(batch["doc_id"].to_numpy(zero_copy_only=False))
+    h = doc_hash_keys(batch[id_col].to_pylist())
     # range-partition the 32-bit hash space into n_buckets CONTIGUOUS
     # intervals — bucket order must refine hash order for the
     # cutoff-bucket scheme to be exact (a modulo would interleave)
     bucket = ((h * np.uint64(n_buckets)) >> np.uint64(32)).astype(np.int64)
     return pa.Table.from_pydict(
         {
-            "doc_id": batch["doc_id"].combine_chunks(),
-            "lang": batch["lang"].combine_chunks(),
+            id_col: batch[id_col].combine_chunks(),
+            group_col: batch[group_col].combine_chunks(),
             "n_tokens": pa.array(n_tokens, pa.int64()),
             "h": pa.array(h, pa.uint64()),
             "bucket": pa.array(bucket, pa.int64()),
@@ -103,15 +114,20 @@ def token_budget_select(
     budget_den: int = 2,
     n_buckets: int = 256,
     boundary: str = "driver",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
 ):
-    """Per-lang token-budget prefix selection.
+    """Per-group token-budget prefix selection.
 
-    Selects, per language, the maximal prefix of documents ordered by
-    ``(md5(doc_id) prefix, doc_id)`` whose cumulative whitespace-token
-    count is <= ``floor(total_tokens(lang) * budget_num / budget_den)``
-    — exactly the SQL window ``sum(n_tokens) OVER (PARTITION BY lang
-    ORDER BY hash, doc_id) <= budget``, computed without any global
-    sort (see module docstring).
+    Selects, per group (default: language), the maximal prefix of
+    documents ordered by ``(md5(id) prefix, id)`` whose cumulative
+    whitespace-token count is <=
+    ``floor(total_tokens(group) * budget_num / budget_den)`` —
+    exactly the SQL window ``sum(n_tokens) OVER (PARTITION BY group
+    ORDER BY hash, id) <= budget``, computed without any global sort
+    (see module docstring). ``id_col`` may be an integer column
+    (doc_id; hashed as md5(str(id))) or a string column (url; hashed
+    as md5(url)).
 
     ``boundary`` picks how the cutoff bucket is resolved exactly
     (identical answers, pinned equal in tests):
@@ -126,40 +142,41 @@ def token_budget_select(
       (id, group, val, h) shuffle instead of any driver row pull —
       the 10^12-doc path.
 
-    Returns a pandas frame (doc_id, lang, n_tokens) sorted by doc_id.
+    Returns a pandas frame (id_col, group_col, n_tokens) sorted by id.
     """
     from ray.data.aggregate import Sum
 
     hashed = docs_ds.map_batches(
-        lambda b: _tokens_hash_batch(b, n_buckets), batch_format="pyarrow"
+        lambda b: _tokens_hash_batch(b, n_buckets, id_col, group_col),
+        batch_format="pyarrow",
     )
 
-    # pass 1: (lang, bucket) token histogram — pre-combined per batch,
-    # then one exchange over <= n_langs * n_buckets rows
+    # pass 1: (group, bucket) token histogram — pre-combined per
+    # batch, then one exchange over <= n_groups * n_buckets rows
     def partial(batch: pa.Table) -> pa.Table:
         return (
-            batch.select(["lang", "bucket", "n_tokens"])
-            .group_by(["lang", "bucket"])
+            batch.select([group_col, "bucket", "n_tokens"])
+            .group_by([group_col, "bucket"])
             .aggregate([("n_tokens", "sum")])
-            .rename_columns(["lang", "bucket", "n_tokens"])
+            .rename_columns([group_col, "bucket", "n_tokens"])
         )
 
     hist = (
         hashed.map_batches(partial, batch_format="pyarrow")
-        .groupby(["lang", "bucket"])
+        .groupby([group_col, "bucket"])
         .aggregate(Sum("n_tokens", alias_name="n_tokens"))
         .to_pandas()
     )
 
-    # driver: per lang, prefix-sum the 256 buckets; find the cutoff
+    # driver: per group, prefix-sum the buckets; find the cutoff
     cutoff: Dict[str, int] = {}
     base_cum: Dict[str, int] = {}
     budget: Dict[str, int] = {}
-    for lang, grp in hist.groupby("lang"):
+    for grp_key, grp in hist.groupby(group_col):
         grp = grp.sort_values("bucket")
         total = int(grp["n_tokens"].sum())
         bud = total * budget_num // budget_den
-        budget[lang] = bud
+        budget[grp_key] = bud
         cum = 0
         cut = n_buckets  # all buckets fit
         for b, n in zip(grp["bucket"], grp["n_tokens"]):
@@ -167,8 +184,8 @@ def token_budget_select(
                 cut = int(b)
                 break
             cum += int(n)
-        cutoff[lang] = cut
-        base_cum[lang] = cum  # tokens selected below the cutoff bucket
+        cutoff[grp_key] = cut
+        base_cum[grp_key] = cum  # tokens selected below the cutoff
 
     if boundary == "distributed":
         # no driver row pull at all: full distributed window cumsum
@@ -176,94 +193,93 @@ def token_budget_select(
         from .window import grouped_ordered_cumsum
 
         def tok_only(batch: pa.Table) -> pa.Table:
-            return _tokens_hash_batch(batch, n_buckets).select(
-                ["doc_id", "lang", "n_tokens"]
-            )
+            return _tokens_hash_batch(
+                batch, n_buckets, id_col, group_col
+            ).select([id_col, group_col, "n_tokens"])
 
         cum_ds = grouped_ordered_cumsum(
             docs_ds.map_batches(tok_only, batch_format="pyarrow"),
-            "lang",
-            "doc_id",
+            group_col,
+            id_col,
             "n_tokens",
             n_buckets=n_buckets,
         )
 
         def keep(batch: pa.Table) -> pa.Table:
-            langs = np.asarray(batch["group"].to_pylist())
+            groups = np.asarray(batch["group"].to_pylist())
             c = batch["cum"].to_numpy(zero_copy_only=False)
-            mask = np.zeros(len(langs), dtype=bool)
-            for lang, bud in budget.items():  # vectorized per lang
-                mask |= (langs == lang) & (c <= bud)
+            mask = np.zeros(len(groups), dtype=bool)
+            for grp_key, bud in budget.items():  # vectorized per group
+                mask |= (groups == grp_key) & (c <= bud)
             out = batch.filter(pa.array(mask))
             return pa.Table.from_pydict(
                 {
-                    "doc_id": out["id"].combine_chunks(),
-                    "lang": out["group"].combine_chunks(),
+                    id_col: out["id"].combine_chunks(),
+                    group_col: out["group"].combine_chunks(),
                     "n_tokens": out["val"].combine_chunks(),
                 }
             )
 
         out = cum_ds.map_batches(keep, batch_format="pyarrow").to_pandas()
-        return out.sort_values("doc_id").reset_index(drop=True)
+        return out.sort_values(id_col).reset_index(drop=True)
     if boundary != "driver":
         raise ValueError(f"unknown boundary plan: {boundary}")
 
-    # boundary: pull ONLY each lang's cutoff bucket (~1/n_buckets of
+    # boundary: pull ONLY each group's cutoff bucket (~1/n_buckets of
     # the group), order exactly, extend the prefix to the budget
     def boundary_filter(batch: pa.Table) -> pa.Table:
-        langs = np.asarray(batch["lang"].to_pylist())
+        groups = np.asarray(batch[group_col].to_pylist())
         buckets = batch["bucket"].to_numpy(zero_copy_only=False)
-        mask = np.zeros(len(langs), dtype=bool)
-        for lang, cut in cutoff.items():  # vectorized per lang (few)
+        mask = np.zeros(len(groups), dtype=bool)
+        for grp_key, cut in cutoff.items():  # vectorized per group
             if cut < n_buckets:
-                mask |= (langs == lang) & (buckets == cut)
+                mask |= (groups == grp_key) & (buckets == cut)
         return batch.filter(pa.array(mask)).select(
-            ["doc_id", "lang", "n_tokens", "h"]
+            [id_col, group_col, "n_tokens", "h"]
         )
 
     boundary_sel: Dict[str, set] = {}
     if any(c < n_buckets for c in cutoff.values()):
-        boundary = (
+        boundary_df = (
             hashed.map_batches(boundary_filter, batch_format="pyarrow")
             .to_pandas()
         )
-    else:  # every lang fits its whole corpus: no boundary pass needed
+    else:  # every group fits its whole corpus: no boundary pass needed
         import pandas as pd
 
-        boundary = pd.DataFrame(
-            columns=["doc_id", "lang", "n_tokens", "h"]
+        boundary_df = pd.DataFrame(
+            columns=[id_col, group_col, "n_tokens", "h"]
         )
-    for lang, grp in boundary.groupby("lang"):
-        grp = grp.sort_values(["h", "doc_id"])
-        cum = base_cum.get(lang, 0)
-        bud = budget.get(lang, 0)
+    for grp_key, grp in boundary_df.groupby(group_col):
+        grp = grp.sort_values(["h", id_col])
+        cum = base_cum.get(grp_key, 0)
+        bud = budget.get(grp_key, 0)
         sel = set()
-        for doc_id, n in zip(grp["doc_id"], grp["n_tokens"]):
+        for row_id, n in zip(grp[id_col], grp["n_tokens"]):
             if cum + int(n) > bud:
                 break
             cum += int(n)
-            sel.add(int(doc_id))
-        boundary_sel[lang] = sel
+            sel.add(row_id)
+        boundary_sel[grp_key] = sel
 
     # final pass: stateless filter against the broadcast cutoffs
     def select(batch: pa.Table) -> pa.Table:
-        langs = np.asarray(batch["lang"].to_pylist())
+        groups = np.asarray(batch[group_col].to_pylist())
         buckets = batch["bucket"].to_numpy(zero_copy_only=False)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        mask = np.zeros(len(langs), dtype=bool)
-        for lang, cut in cutoff.items():  # vectorized per lang (few)
-            lm = langs == lang
-            mask |= lm & (buckets < cut)
-            sel = boundary_sel.get(lang)
+        ids = np.asarray(batch[id_col].to_pylist())
+        mask = np.zeros(len(groups), dtype=bool)
+        for grp_key, cut in cutoff.items():  # vectorized per group
+            gm = groups == grp_key
+            mask |= gm & (buckets < cut)
+            sel = boundary_sel.get(grp_key)
             if sel:
-                sel_arr = np.fromiter(sel, dtype=np.int64, count=len(sel))
-                mask |= lm & np.isin(ids, sel_arr)
+                mask |= gm & np.isin(ids, np.asarray(list(sel)))
         return batch.filter(pa.array(mask)).select(
-            ["doc_id", "lang", "n_tokens"]
+            [id_col, group_col, "n_tokens"]
         )
 
     out = hashed.map_batches(select, batch_format="pyarrow").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return out.sort_values(id_col).reset_index(drop=True)
 
 
 # --------------------------------------------- DSIR importance scores

@@ -47,7 +47,7 @@ def grouped_ordered_cumsum(
     from ray.data.aggregate import Sum
 
     def annotate(batch: pa.Table) -> pa.Table:
-        h = doc_hash_keys(batch[id_col].to_numpy(zero_copy_only=False))
+        h = doc_hash_keys(batch[id_col].to_pylist())
         bucket = ((h * np.uint64(n_buckets)) >> np.uint64(32)).astype(
             np.int64
         )
@@ -99,7 +99,9 @@ def grouped_ordered_cumsum(
         run += v
 
     def cum_of_group(g: pa.Table) -> pa.Table:
-        ids = g["id"].to_numpy(zero_copy_only=False)
+        # np.asarray over the pylist gives '<U..' dtype for string ids
+        # (np.lexsort rejects object arrays) and int64 for ints
+        ids = np.asarray(g["id"].to_pylist())
         hs = g["h"].to_numpy(zero_copy_only=False)
         vals = g["val"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((ids, hs))  # primary h, tie-break id
