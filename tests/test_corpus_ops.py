@@ -507,3 +507,29 @@ def test_hrefs_robust_to_malformed_markup():
     # href-only scanner above still sees every href
     anchors = anchors_of_markup(soup)
     assert anchors == [("/ok", "fine"), ("/unclosed", "never closedq")]
+
+
+def test_global_row_number_matches_window(ray_session):
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.window import (
+        global_row_number,
+    )
+
+    rng = np.random.default_rng(9)
+    keys = rng.integers(0, 12, size=180)  # heavy ties on purpose
+    ids = np.arange(180)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "k": pa.array(keys, pa.int64()),
+            }
+        )
+    )
+    out = global_row_number(ds, "doc_id", "k").to_pandas()
+    # brute force: sort by (k desc, id), 1-based positions
+    order = sorted(zip(keys, ids), key=lambda t: (-t[0], t[1]))
+    want = {i: r + 1 for r, (_, i) in enumerate(order)}
+    got = dict(zip(out["id"].astype(int), out["rnk"].astype(int)))
+    assert got == want

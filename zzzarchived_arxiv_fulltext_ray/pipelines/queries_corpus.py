@@ -789,6 +789,29 @@ ORDER BY c.domain
 """
 
 
+# ----------------------------------------- global ranking (window #2)
+
+def _q_doc_rank(sf_dir: str):
+    """Exact global row_number by document length (desc, doc_id ties)
+    — the ranking window primitive, computed via distinct-value
+    histogram range partitioning, never a global sort."""
+    from ..stages.window import global_row_number
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    out = global_row_number(docs, "doc_id", "n_chars").to_pandas()
+    out = out.rename(columns={"id": "doc_id", "key": "n_chars"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+CORPUS_QUERIES["doc_rank"] = _q_doc_rank
+CORPUS_ORACLE_SQL["doc_rank"] = """
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk
+FROM documents
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------- DSIR importance scores
 
 def _q_dsir_select(sf_dir: str):

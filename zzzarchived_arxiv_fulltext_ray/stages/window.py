@@ -123,6 +123,68 @@ def grouped_ordered_cumsum(
     )
 
 
+def global_row_number(
+    ds,
+    id_col: str,
+    key_col: str,
+    descending: bool = True,
+):
+    """Exact global ``row_number() OVER (ORDER BY key [DESC], id)``
+    without a global sort — the ranking window primitive.
+
+    Plan: a (key -> count) histogram (pre-combined per batch; the
+    exchange is over DISTINCT key values, which for integer features
+    like lengths is far smaller than the corpus) -> driver exclusive
+    prefix over the sorted key domain -> per-key groups rank their own
+    rows by id against the broadcast base offset. A key value shared
+    by many rows makes one task proportional to that tie group — cap
+    via a finer (composite) key if a feature is extremely heavy-tied.
+
+    Returns Dataset[(id, key, rnk)], rnk starting at 1.
+    """
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select([key_col])
+            .group_by([key_col])
+            .aggregate([([], "count_all")])
+            .rename_columns([key_col, "n"])
+        )
+
+    hist = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(key_col, ascending=not descending)
+    )
+    base: Dict[int, int] = {}
+    run = 0
+    for k, n in zip(hist[key_col], hist["n"]):
+        base[k] = run
+        run += int(n)
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g[id_col].to_pylist())
+        order = np.argsort(ids, kind="stable")
+        start = base.get(g[key_col][0].as_py(), 0)
+        rnk = start + np.arange(1, len(ids) + 1, dtype=np.int64)
+        return pa.Table.from_pydict(
+            {
+                "id": pa.array(ids[order]),
+                "key": g[key_col].take(
+                    pa.array(order, pa.int64())
+                ).combine_chunks(),
+                "rnk": pa.array(rnk, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, key_col]).groupby(key_col).map_groups(
+        rank_group, batch_format="pyarrow"
+    )
+
+
 def shard_assign(
     docs_ds,
     shard_tokens: int,
