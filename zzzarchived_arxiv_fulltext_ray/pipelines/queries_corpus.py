@@ -398,7 +398,30 @@ def _q_curate_pages(sf_dir: str):
         return ok.filter(keep).select(["url", "lang", "text"])
 
     gated = ds.map_batches(gate, batch_format="pyarrow")
-    return token_budget_select(gated, 1, 2, id_col="url")
+
+    # token_budget_select consumes its input on up to three passes
+    # (histogram, boundary, final) and Ray has no common-subexpression
+    # reuse — so drop the text and materialize ONLY the narrow
+    # (url, lang, n_tokens) projection; the extraction cascade runs
+    # exactly once. At cluster scale this intermediate is a
+    # 3-fixed-width-column parquet checkpoint instead.
+    def tokens_only(batch: pa.Table) -> pa.Table:
+        n = pa.array(
+            [len(t.split()) for t in batch["text"].to_pylist()],
+            pa.int64(),
+        )
+        return pa.Table.from_pydict(
+            {
+                "url": batch["url"].combine_chunks(),
+                "lang": batch["lang"].combine_chunks(),
+                "n_tokens": n,
+            }
+        )
+
+    narrow = gated.map_batches(
+        tokens_only, batch_format="pyarrow"
+    ).materialize()
+    return token_budget_select(narrow, 1, 2, id_col="url")
 
 
 CORPUS_QUERIES["curate_pages"] = _q_curate_pages

@@ -90,8 +90,15 @@ def _tokens_hash_batch(
     id_col: str = "doc_id",
     group_col: str = "lang",
 ) -> pa.Table:
-    texts = batch["text"].to_pylist()
-    n_tokens = np.array([len(t.split()) for t in texts], dtype=np.int64)
+    if "n_tokens" in batch.column_names:
+        # pre-tokenized input (e.g. a narrow materialized projection
+        # so an expensive upstream isn't re-executed per pass)
+        n_tokens = batch["n_tokens"].to_numpy(zero_copy_only=False)
+    else:
+        texts = batch["text"].to_pylist()
+        n_tokens = np.array(
+            [len(t.split()) for t in texts], dtype=np.int64
+        )
     h = doc_hash_keys(batch[id_col].to_pylist())
     # range-partition the 32-bit hash space into n_buckets CONTIGUOUS
     # intervals — bucket order must refine hash order for the
