@@ -533,3 +533,21 @@ def test_global_row_number_matches_window(ray_session):
     want = {i: r + 1 for r, (_, i) in enumerate(order)}
     got = dict(zip(out["id"].astype(int), out["rnk"].astype(int)))
     assert got == want
+
+
+def test_ntile_of_rank_matches_sql_semantics():
+    import duckdb
+
+    from zzzarchived_arxiv_fulltext_ray.stages.window import ntile_of_rank
+
+    for n in [1, 2, 3, 4, 5, 7, 8, 9, 17]:
+        for tiles in [1, 2, 3, 4, 5]:
+            want = [
+                r[0]
+                for r in duckdb.sql(
+                    f"SELECT ntile({tiles}) OVER (ORDER BY i) "
+                    f"FROM range({n}) t(i) ORDER BY i"
+                ).fetchall()
+            ]
+            got = list(ntile_of_rank(np.arange(1, n + 1), n, tiles))
+            assert got == want, (n, tiles, got, want)

@@ -835,6 +835,58 @@ ORDER BY doc_id
 """
 
 
+def _q_lang_ntile(sf_dir: str):
+    """Per-language length quartiles — NTILE(4) OVER (PARTITION BY
+    lang ORDER BY n_chars, doc_id) via the grouped ranking primitive
+    plus the exact SQL ntile arithmetic on broadcast group sizes."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count
+
+    from ..stages.window import grouped_row_number, ntile_of_rank
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    sizes = dict(
+        zip(
+            *(
+                lambda df: (df["lang"], df["count()"].astype(int))
+            )(docs.groupby("lang").count().to_pandas())
+        )
+    )
+    ranked = grouped_row_number(docs, "lang", "doc_id", "n_chars")
+
+    def tile(batch: pa.Table) -> pa.Table:
+        parts = np.asarray(batch["part"].to_pylist())
+        rnk = batch["rnk"].to_numpy(zero_copy_only=False)
+        t = np.zeros(len(parts), dtype=np.int64)
+        for lang, n in sizes.items():  # vectorized per lang
+            m = parts == lang
+            if m.any():
+                t[m] = ntile_of_rank(rnk[m], int(n), 4)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["id"].combine_chunks(),
+                "lang": batch["part"].combine_chunks(),
+                "n_chars": batch["key"].combine_chunks(),
+                "tile": pa.array(t, pa.int64()),
+            }
+        )
+
+    out = ranked.map_batches(tile, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+CORPUS_QUERIES["lang_ntile"] = _q_lang_ntile
+CORPUS_ORACLE_SQL["lang_ntile"] = """
+SELECT doc_id, lang, n_chars,
+       CAST(ntile(4) OVER (PARTITION BY lang
+                           ORDER BY n_chars, doc_id) AS BIGINT) AS tile
+FROM documents
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------- DSIR importance scores
 
 def _q_dsir_select(sf_dir: str):

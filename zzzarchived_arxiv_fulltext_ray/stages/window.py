@@ -185,6 +185,101 @@ def global_row_number(
     )
 
 
+def grouped_row_number(
+    ds,
+    part_col: str,
+    id_col: str,
+    key_col: str,
+    descending: bool = False,
+):
+    """Exact ``row_number() OVER (PARTITION BY part ORDER BY key
+    [DESC], id)`` — the partitioned spelling of
+    :func:`global_row_number`, same no-global-sort plan with the
+    histogram keyed by (part, key).
+
+    Returns Dataset[(id, part, key, rnk)], rnk starting at 1 within
+    each partition.
+    """
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select([part_col, key_col])
+            .group_by([part_col, key_col])
+            .aggregate([([], "count_all")])
+            .rename_columns([part_col, key_col, "n"])
+        )
+
+    hist = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby([part_col, key_col])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(
+            [part_col, key_col], ascending=[True, not descending]
+        )
+    )
+    base: Dict[tuple, int] = {}
+    run_part, run = None, 0
+    for p, k, n in zip(hist[part_col], hist[key_col], hist["n"]):
+        if p != run_part:
+            run_part, run = p, 0
+        base[(p, k)] = run
+        run += int(n)
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        gk = pa.compute.binary_join_element_wise(
+            pa.compute.cast(batch[part_col], pa.string()),
+            pa.compute.cast(batch[key_col], pa.string()),
+            _SEP,
+        )
+        return pa.Table.from_pydict(
+            {
+                "id": batch[id_col].combine_chunks(),
+                "part": batch[part_col].combine_chunks(),
+                "key": batch[key_col].combine_chunks(),
+                "gk": gk,
+            }
+        )
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g["id"].to_pylist())
+        order = np.argsort(ids, kind="stable")
+        start = base.get(
+            (g["part"][0].as_py(), g["key"][0].as_py()), 0
+        )
+        rnk = start + np.arange(1, len(ids) + 1, dtype=np.int64)
+        take = pa.array(order, pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "id": pa.array(ids[order]),
+                "part": g["part"].take(take).combine_chunks(),
+                "key": g["key"].take(take).combine_chunks(),
+                "rnk": pa.array(rnk, pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([part_col, id_col, key_col])
+        .map_batches(annotate, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(rank_group, batch_format="pyarrow")
+    )
+
+
+def ntile_of_rank(rnk: np.ndarray, n: int, tiles: int) -> np.ndarray:
+    """SQL NTILE semantics from 1-based ranks: the first ``n % tiles``
+    tiles hold ``n // tiles + 1`` rows, the rest ``n // tiles``."""
+    big = n // tiles + 1
+    cut = (n % tiles) * big  # rows covered by the big tiles
+    r = np.asarray(rnk, dtype=np.int64)
+    in_big = r <= cut
+    t_big = (r - 1) // max(big, 1) + 1
+    small = max(n // tiles, 1)
+    t_small = (n % tiles) + (r - cut - 1) // small + 1
+    return np.where(in_big, t_big, t_small).astype(np.int64)
+
+
 def shard_assign(
     docs_ds,
     shard_tokens: int,
