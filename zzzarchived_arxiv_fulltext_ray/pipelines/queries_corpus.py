@@ -812,6 +812,70 @@ ORDER BY c.domain
 """
 
 
+# ------------------------------------ ROWS-frame window (moving sum)
+
+def _q_events_moving(sf_dir: str):
+    """Trailing 4-row moving sum per user (ROWS BETWEEN 3 PRECEDING
+    AND CURRENT ROW) — the row-frame window shape. Per-user groups
+    order by (ts, event_id); the frame is a vectorized
+    cumsum-minus-shifted-cumsum in exact integer cents (explicit
+    half-away-from-zero, the repo-wide money convention), so the
+    oracle match is integer-exact with no float tolerance."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def frame(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        v = g["value"].to_numpy(zero_copy_only=False)[order]
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(cents)])
+        n = len(cents)
+        lo = np.maximum(np.arange(n) - 3, 0)
+        w_sum = cum[np.arange(1, n + 1)] - cum[lo]
+        w_n = np.arange(1, n + 1) - lo
+        return pa.Table.from_pydict(
+            {
+                "event_id": pa.array(eid[order], pa.int64()),
+                "user_id": g["user_id"].take(
+                    pa.array(order, pa.int64())
+                ).combine_chunks(),
+                "w_sum_cents": pa.array(w_sum, pa.int64()),
+                "w_n": pa.array(w_n, pa.int64()),
+            }
+        )
+
+    out = (
+        ev.groupby("user_id")
+        .map_groups(frame, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+CORPUS_QUERIES["events_moving"] = _q_events_moving
+CORPUS_ORACLE_SQL["events_moving"] = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS w_sum_cents,
+       CAST(count(*) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS w_n
+FROM events
+ORDER BY event_id
+"""
+
+
 # ----------------------------------------- global ranking (window #2)
 
 def _q_doc_rank(sf_dir: str):
