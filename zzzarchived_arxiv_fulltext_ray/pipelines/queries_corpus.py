@@ -158,6 +158,63 @@ LIMIT 100
 """
 
 
+def _q_page_titles(sf_dir: str):
+    """<title> extraction per crawled HTML page row (crawl-index
+    metadata op); decode via the cascade's sniff path, so Latin-1 and
+    BOM'd UTF-16 titles parse identically. Oracle reconstructs the
+    synthesizer's 'Article {doc_id}' titles."""
+    import re
+
+    import pyarrow as pa
+
+    from ..functions import sniff
+    from ..sources.pages import read_pages
+
+    title_re = re.compile(r"<title>(.*?)</title>", re.IGNORECASE | re.DOTALL)
+
+    def titles(batch: pa.Table) -> pa.Table:
+        urls, out = [], []
+        for url, payload in zip(
+            batch["url"].to_pylist(), batch["html"].to_pylist()
+        ):
+            if not payload or sniff.sniff_kind(payload) != sniff.KIND_HTML:
+                continue
+            markup = sniff.decode_payload(
+                payload, sniff.detect_charset(payload)
+            )
+            m = title_re.search(markup)
+            urls.append(url)
+            out.append(m.group(1).strip() if m else "")
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array(urls, pa.string()),
+                "title": pa.array(out, pa.string()),
+            }
+        )
+
+    out = read_pages(sf_dir).map_batches(titles, batch_format="pyarrow")
+    return out.to_pandas().sort_values("url").reset_index(drop=True)
+
+
+CORPUS_QUERIES["page_titles"] = _q_page_titles
+CORPUS_ORACLE_SQL["page_titles"] = """
+WITH eligible AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0 THEN 3 ELSE 1 END AS m
+    FROM documents
+    WHERE doc_id % 20 IN (3, 6, 7) OR doc_id % 20 >= 9
+), rep AS (
+    SELECT doc_id FROM eligible, UNNEST(generate_series(1, m)) AS g(i)
+)
+SELECT 'https://site' || lpad(CAST(doc_id % 50 AS VARCHAR), 2, '0')
+       || '.example.org/articles/'
+       || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+       'Article ' || CAST(doc_id AS VARCHAR) AS title
+FROM rep
+ORDER BY url
+"""
+
+
 def _q_html_tag_stats(sf_dir: str):
     """Structural stats per crawled HTML page row: anchor, paragraph
     and list-item tag counts parsed from the RAW payload (decode via
