@@ -555,7 +555,7 @@ ORDER BY o.url
 # ----------------------------------------------- inverted index (IR)
 
 def _q_inverted_index(sf_dir: str):
-    """Posting lists for mid-frequency tokens (5 <= df <= 400): the IR
+    """Posting lists for mid-frequency tokens (df in [max(5, N/100), 8N/10]): the IR
     index-construction shape. Scale plan: document frequencies first
     (per-batch distinct + counted partials -> one small (token, df)
     exchange), the driver keeps only the BOUNDED df-range vocabulary
@@ -568,7 +568,11 @@ def _q_inverted_index(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    DF_LO, DF_HI = 5, 400
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    # scale-free df band: mid-frequency = [max(5, N/100), 8N/10] in
+    # integer arithmetic (count() is parquet-metadata-only, no scan)
+    n_docs = docs.count()
+    DF_LO, DF_HI = max(5, n_docs // 100), n_docs * 8 // 10
 
     def distinct_pairs(batch: pa.Table):
         ids, toks = [], []
@@ -590,7 +594,6 @@ def _q_inverted_index(sf_dir: str):
             }
         )
 
-    docs = _docs(sf_dir, ["doc_id", "text"])
     df = (
         docs.map_batches(df_partial, batch_format="pyarrow")
         .groupby("token")
@@ -649,7 +652,9 @@ WITH toks AS (
 ), df AS (
     SELECT w, count(*) AS df FROM toks GROUP BY w
 ), sel AS (
-    SELECT w, df FROM df WHERE df BETWEEN 5 AND 400
+    SELECT w, df FROM df
+    WHERE df BETWEEN greatest(5, (SELECT count(*) FROM documents) // 100)
+                 AND ((SELECT count(*) FROM documents) * 8 // 10)
 )
 SELECT s.w AS token, CAST(s.df AS BIGINT) AS df,
        string_agg(CAST(t.doc_id AS VARCHAR), ','
