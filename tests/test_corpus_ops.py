@@ -551,3 +551,36 @@ def test_ntile_of_rank_matches_sql_semantics():
             ]
             got = list(ntile_of_rank(np.arange(1, n + 1), n, tiles))
             assert got == want, (n, tiles, got, want)
+
+
+def test_window_cumsum_property_fuzz(ray_session):
+    """Property fuzz: grouped_ordered_cumsum == the SQL window for
+    arbitrary group shapes, value distributions (incl. zeros) and
+    bucket counts."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(123)
+    for trial in range(4):
+        n = int(rng.integers(5, 150))
+        n_groups = int(rng.integers(1, 5))
+        nb = int(rng.choice([2, 16, 256]))
+        rows = [
+            (int(i), f"g{rng.integers(n_groups)}",
+             int(rng.choice([0, 0, 1, 3, 50])))
+            for i in range(n)
+        ]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "g": pa.array([r[1] for r in rows]),
+                    "v": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            )
+        )
+        out = grouped_ordered_cumsum(
+            ds, "g", "doc_id", "v", n_buckets=nb
+        ).to_pandas()
+        want = _cum_brute(rows)
+        got = dict(zip(out["id"].astype(int), out["cum"].astype(int)))
+        assert got == want, (trial, n, n_groups, nb)
