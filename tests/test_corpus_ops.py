@@ -584,3 +584,84 @@ def test_window_cumsum_property_fuzz(ray_session):
         want = _cum_brute(rows)
         got = dict(zip(out["id"].astype(int), out["cum"].astype(int)))
         assert got == want, (trial, n, n_groups, nb)
+
+
+def test_token_budget_string_ids_both_plans(ray_session):
+    """url-keyed selection (the curate_pages path): md5(url) ordering,
+    both physical plans, vs brute force."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(31)
+    rows = [
+        (f"https://s{i % 7}.org/p/{i:05d}", ["en", "zh"][i % 2],
+         " ".join(["w"] * int(rng.integers(0, 12))))
+        for i in range(90)
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows]),
+                "lang": pa.array([r[1] for r in rows]),
+                "text": pa.array([r[2] for r in rows]),
+            }
+        )
+    )
+    # brute: order by (md5(url) hex prefix, url)
+    bylang = {}
+    for u, l, t in rows:
+        bylang.setdefault(l, []).append((u, len(t.split())))
+    want = []
+    for lang, items in bylang.items():
+        total = sum(n for _, n in items)
+        bud = total // 2
+        items.sort(
+            key=lambda it: (
+                hashlib.md5(it[0].encode()).hexdigest()[:8], it[0]
+            )
+        )
+        cum = 0
+        for u, n in items:
+            if cum + n > bud:
+                break
+            cum += n
+            want.append((u, lang, n))
+    want.sort()
+    for plan in ("driver", "distributed"):
+        got = token_budget_select(ds, 1, 2, id_col="url", boundary=plan)
+        tuples = sorted(
+            zip(got["url"], got["lang"], got["n_tokens"].astype(int))
+        )
+        assert tuples == want, plan
+
+
+def test_grouped_row_number_descending(ray_session):
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.window import (
+        grouped_row_number,
+    )
+
+    rng = np.random.default_rng(17)
+    parts = [["a", "b"][i % 2] for i in range(80)]
+    keys = rng.integers(0, 6, size=80)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "p": pa.array(parts),
+                "doc_id": pa.array(np.arange(80), pa.int64()),
+                "k": pa.array(keys, pa.int64()),
+            }
+        )
+    )
+    out = grouped_row_number(ds, "p", "doc_id", "k", descending=True)
+    got = {
+        (r["part"], int(r["id"])): int(r["rnk"])
+        for r in out.to_pandas().to_dict("records")
+    }
+    for p in ("a", "b"):
+        members = [
+            (keys[i], i) for i in range(80) if parts[i] == p
+        ]
+        order = sorted(members, key=lambda t: (-t[0], t[1]))
+        for rank0, (_, i) in enumerate(order):
+            assert got[(p, i)] == rank0 + 1
