@@ -1,19 +1,30 @@
-"""Link-graph, data-mixing and importance-selection queries + oracles.
+"""Corpus-construction queries + oracles (round-3 operator families).
 
-Three corpus-level operator families added round 3:
+* Link graph from the RAW page payloads (``stages.links``): the
+  engine sniffs + decodes each payload and regex-parses anchors;
+  the oracles never parse HTML but reconstruct the synthesizer's
+  deterministic link structure straight from ``documents`` —
+  end-to-end cross-validation of the real parse against ground truth
+  (``link_targets``, ``domain_outdegree``, ``anchor_texts``,
+  ``page_titles``, ``html_tag_stats``).
+* Data mixing / selection (``stages.mixing``): per-language
+  token-budget prefix selection in two physical plans
+  (``token_budget_mix``, ``token_budget_mix_distributed``), DSIR
+  importance scores (``dsir_select``), priority sampling
+  (``weighted_sample``), URL canonicalization
+  (``url_canonicalize``), per-domain language entropy
+  (``domain_lang_entropy``).
+* Window primitives (``stages.window``): distributed exact cumsum
+  (``shard_assign``), global/grouped row_number (``doc_rank``,
+  ``lang_ntile``), a ROWS-frame moving aggregate (``events_moving``).
+* IR / context prep: bounded-df inverted index (``inverted_index``),
+  overlapping context windows (``doc_chunks``).
+* The flagship composition ``curate_pages``: dedup -> extraction ->
+  Gopher gate -> url-keyed token budget, the whole chain replayed in
+  one SQL oracle.
 
-* ``link_targets`` / ``domain_outdegree`` — href extraction from the
-  RAW page payloads (``stages.links``): the engine sniffs + decodes
-  each payload and regex-parses anchors; the oracle never parses HTML
-  but reconstructs the synthesizer's deterministic link structure
-  (nav words, ``/t/{(doc_id*7+i)%997}`` farm targets, footer) straight
-  from ``documents`` — end-to-end cross-validation of the real parse
-  against ground truth, the pages-synthesizer pattern (CLAUDE.md).
-* ``token_budget_mix`` — per-language token-budget prefix selection
-  (``stages.mixing.token_budget_select``); the oracle is the direct
-  window-function spelling the engine computes shuffle-free.
-* ``dsir_select`` — DSIR hashed-unigram importance scores; the oracle
-  retrains the same smoothed bucket model in SQL.
+Every oracle follows the pages-synthesizer convention (CLAUDE.md):
+deterministic pure-function-of-doc_id inputs reconstructed in SQL.
 """
 
 from typing import Callable, Dict
