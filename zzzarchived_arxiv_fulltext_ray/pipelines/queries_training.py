@@ -1311,7 +1311,14 @@ def _q_regional_revenue(sf_dir: str):
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).map_batches(c_prep, batch_format="pyarrow")
 
-    oc = partitioned_hash_join(orders, cust, key="custkey").map_batches(
+    # both sides of the custkey join are post-filter SMALL (~1/6 of
+    # orders by date, ~1/5 of customers by region): size the exchange
+    # to them — 128 buckets here is overhead-dominated at test scale
+    # and pointless at cluster scale (buckets scale with the SMALLER
+    # side's size, not the corpus)
+    oc = partitioned_hash_join(
+        orders, cust, key="custkey", num_buckets=32
+    ).map_batches(
         lambda b: b.select(["orderkey", "c_nationkey"]),
         batch_format="pyarrow",
     )
