@@ -665,3 +665,32 @@ def test_grouped_row_number_descending(ray_session):
         order = sorted(members, key=lambda t: (-t[0], t[1]))
         for rank0, (_, i) in enumerate(order):
             assert got[(p, i)] == rank0 + 1
+
+
+def test_events_churn_full_outer_classes(ray_session):
+    """Full-outer witness: every day-edge classified; started/stopped
+    counts balance per user (every run of active days opens once and
+    closes once, except a run still open on the last day)."""
+    from zzzarchived_arxiv_fulltext_ray.pipelines.queries_corpus import (
+        CORPUS_QUERIES,
+    )
+
+    out = CORPUS_QUERIES["events_churn"]("/root/testdata/sf0.001")
+    assert set(out["status"]) == {"started", "stopped", "active"}
+    # started rows have no prev_cents, stopped rows no cents
+    assert out.loc[out.status == "started", "prev_cents"].isna().all()
+    assert out.loc[out.status == "stopped", "cents"].isna().all()
+    assert out.loc[out.status == "active"].notna().all().all()
+    # per user: n_started == n_stopped + (1 if active on final day)
+    for uid, g in out.groupby("user_id"):
+        active_days = set(
+            g.loc[g.cents.notna(), "epoch_day"].astype(int)
+        )
+        n_started = int((g.status == "started").sum())
+        n_stopped = int((g.status == "stopped").sum())
+        last = max(active_days)
+        # a run ending on the corpus's final active day never emits
+        # its 'stopped' edge (there is no day after it in the data)
+        assert n_started - n_stopped in (0, 1)
+        if n_started - n_stopped == 1:
+            assert last + 1 not in active_days

@@ -1070,3 +1070,121 @@ FROM bucketed x JOIN lr USING (b)
 GROUP BY x.doc_id
 ORDER BY x.doc_id
 """
+
+
+# ------------------------------- full-outer reconciliation (churn)
+
+def _q_events_churn(sf_dir: str):
+    """Day-over-day per-user activity reconciliation — the FULL OUTER
+    join witness. The per-(user, day) spend aggregate is full-outer
+    self-joined against its one-day-shifted copy, classifying every
+    active-day edge as ``started`` (no activity yesterday),
+    ``stopped`` (active yesterday, silent today) or ``active``.
+
+    Scale shape: the corpus-sized event stream collapses to the tiny
+    (user, day) grain with a per-batch Arrow combine BEFORE the one
+    groupby exchange; the full-outer join itself runs through the
+    bucketed Acero exchange (``partitioned_hash_join``), so neither
+    side is ever broadcast or pulled to the driver. ``num_buckets``
+    scales with cluster size. Money follows the repo convention:
+    exact integer cents, half-away-from-zero.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.relational import partitioned_hash_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    _US_PER_DAY = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)),
+            pa.int64(),
+        )
+        day = pc.divide(
+            pc.cast(batch["ts"], pa.int64()), _US_PER_DAY
+        )
+        t = pa.Table.from_arrays(
+            [batch["user_id"].combine_chunks(), day, cents],
+            names=["user_id", "epoch_day", "c"],
+        )
+        g = t.group_by(["user_id", "epoch_day"]).aggregate([("c", "sum")])
+        return g.rename_columns(["user_id", "epoch_day", "c"])
+
+    daily = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "epoch_day"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def as_today(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                b["user_id"].combine_chunks(),
+                b["epoch_day"].combine_chunks(),
+                b["c"].combine_chunks(),
+            ],
+            names=["user_id", "epoch_day", "cents"],
+        )
+
+    def as_yesterday(b: pa.Table) -> pa.Table:
+        # key shifted forward: this row matches "tomorrow"'s edge
+        return pa.Table.from_arrays(
+            [
+                b["user_id"].combine_chunks(),
+                pc.add(b["epoch_day"].combine_chunks(), 1),
+                b["c"].combine_chunks(),
+            ],
+            names=["user_id", "epoch_day", "prev_cents"],
+        )
+
+    joined = partitioned_hash_join(
+        daily.map_batches(as_today, batch_format="pyarrow"),
+        daily.map_batches(as_yesterday, batch_format="pyarrow"),
+        ["user_id", "epoch_day"],
+        num_buckets=32,
+        how="outer",
+    )
+
+    def classify(b: pa.Table) -> pa.Table:
+        status = pc.if_else(
+            pc.is_null(b["prev_cents"]),
+            pa.scalar("started"),
+            pc.if_else(
+                pc.is_null(b["cents"]),
+                pa.scalar("stopped"),
+                pa.scalar("active"),
+            ),
+        )
+        return b.append_column("status", status)
+
+    out = joined.map_batches(classify, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["user_id", "epoch_day"]).reset_index(drop=True)
+
+
+CORPUS_QUERIES["events_churn"] = _q_events_churn
+CORPUS_ORACLE_SQL["events_churn"] = """
+WITH daily AS (
+    SELECT user_id,
+           epoch_us(ts) // 86400000000 AS epoch_day,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+)
+SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+       COALESCE(a.epoch_day, b.epoch_day + 1) AS epoch_day,
+       a.c AS cents,
+       b.c AS prev_cents,
+       CASE WHEN b.c IS NULL THEN 'started'
+            WHEN a.c IS NULL THEN 'stopped'
+            ELSE 'active' END AS status
+FROM daily a FULL OUTER JOIN daily b
+  ON a.user_id = b.user_id AND a.epoch_day = b.epoch_day + 1
+ORDER BY 1, 2
+"""
