@@ -694,3 +694,30 @@ def test_events_churn_full_outer_classes(ray_session):
         assert n_started - n_stopped in (0, 1)
         if n_started - n_stopped == 1:
             assert last + 1 not in active_days
+
+
+def test_pagerank_matches_dense_reference(ray_session):
+    """Distributed plan == single-node dense power iteration on a
+    random graph with parallel edges and dangling nodes; total mass
+    conserved (sums to 1 with dangling redistribution)."""
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.pagerank import (
+        pagerank,
+        pagerank_numpy,
+    )
+
+    rng = np.random.default_rng(3)
+    src = [f"n{int(i)}" for i in rng.integers(0, 30, 200)]
+    dst = [f"n{int(i)}" for i in rng.integers(0, 40, 200)]  # 30+ dangling
+    w = [int(x) for x in rng.integers(1, 5, 200)]
+    ds = rd.from_arrow(
+        pa.table(
+            {"src": src, "dst": dst, "w": pa.array(w, pa.int64())}
+        )
+    )
+    got = {r["node"]: r["pr"] for r in pagerank(ds, n_iter=3).take_all()}
+    want = pagerank_numpy(src, dst, w, n_iter=3)
+    assert set(got) == set(want)
+    assert max(abs(got[k] - want[k]) for k in want) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9

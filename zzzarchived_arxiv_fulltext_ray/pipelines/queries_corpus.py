@@ -1188,3 +1188,96 @@ FROM daily a FULL OUTER JOIN daily b
   ON a.user_id = b.user_id AND a.epoch_day = b.epoch_day + 1
 ORDER BY 1, 2
 """
+
+
+# -------------------------------------------- link-graph PageRank
+
+def _q_pagerank(sf_dir: str):
+    """Weighted PageRank (damping 0.85, dangling-mass redistribution,
+    3 power-iteration rounds) over the domain -> target link graph
+    parsed from the RAW page payloads. The oracle replays the exact
+    float recurrence as three unrolled SQL iterations over the
+    synthesizer's reconstructed link structure — operation order is
+    mirrored so both engines compute the same IEEE doubles."""
+    import pyarrow as pa
+    import ray.data
+
+    from ..sources.pages import read_pages
+    from ..stages.links import extract_links_batch
+    from ..stages.pagerank import pagerank
+
+    def as_edges(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                b["src_domain"].combine_chunks(),
+                b["target"].combine_chunks(),
+                pa.array([1] * b.num_rows, pa.int64()),
+            ],
+            names=["src", "dst", "w"],
+        )
+
+    edges = read_pages(sf_dir).map_batches(
+        extract_links_batch, batch_format="pyarrow"
+    ).map_batches(as_edges, batch_format="pyarrow")
+    out = pagerank(edges, n_iter=3, damping=0.85).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+CORPUS_QUERIES["pagerank"] = _q_pagerank
+CORPUS_ORACLE_SQL["pagerank"] = (
+    _LINKS_CTE
+    + """
+, edges AS (
+    SELECT 'site' || lpad(CAST(doc_id % 50 AS VARCHAR), 2, '0')
+           || '.example.org' AS src,
+           target AS dst,
+           CAST(sum(m) AS BIGINT) AS w
+    FROM links GROUP BY 1, 2
+), outw AS (
+    SELECT src, sum(w) AS outw FROM edges GROUP BY src
+), en AS (
+    SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(o.outw AS DOUBLE) AS p
+    FROM edges e JOIN outw o USING (src)
+), nodes AS (
+    SELECT node, min(f) AS dang FROM (
+        SELECT src AS node, 0 AS f FROM edges
+        UNION ALL
+        SELECT dst AS node, 1 AS f FROM edges
+    ) GROUP BY node
+), nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (
+    SELECT node, dang, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes, nn
+),
+d0 AS (SELECT COALESCE(sum(r), 0) AS dm FROM r0 WHERE dang = 1),
+i0 AS (SELECT en.dst AS node, sum(r0.r * en.p) AS infl
+       FROM r0 JOIN en ON r0.node = en.src GROUP BY 1),
+r1 AS (
+    SELECT nodes.node, nodes.dang,
+           CAST(0.85 AS DOUBLE) * COALESCE(i0.infl, 0)
+           + ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+              + CAST(0.85 AS DOUBLE) * (d0.dm / nn.n)) AS r
+    FROM nodes LEFT JOIN i0 USING (node) CROSS JOIN d0 CROSS JOIN nn
+),
+d1 AS (SELECT COALESCE(sum(r), 0) AS dm FROM r1 WHERE dang = 1),
+i1 AS (SELECT en.dst AS node, sum(r1.r * en.p) AS infl
+       FROM r1 JOIN en ON r1.node = en.src GROUP BY 1),
+r2 AS (
+    SELECT nodes.node, nodes.dang,
+           CAST(0.85 AS DOUBLE) * COALESCE(i1.infl, 0)
+           + ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+              + CAST(0.85 AS DOUBLE) * (d1.dm / nn.n)) AS r
+    FROM nodes LEFT JOIN i1 USING (node) CROSS JOIN d1 CROSS JOIN nn
+),
+d2 AS (SELECT COALESCE(sum(r), 0) AS dm FROM r2 WHERE dang = 1),
+i2 AS (SELECT en.dst AS node, sum(r2.r * en.p) AS infl
+       FROM r2 JOIN en ON r2.node = en.src GROUP BY 1),
+r3 AS (
+    SELECT nodes.node, nodes.dang,
+           CAST(0.85 AS DOUBLE) * COALESCE(i2.infl, 0)
+           + ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+              + CAST(0.85 AS DOUBLE) * (d2.dm / nn.n)) AS r
+    FROM nodes LEFT JOIN i2 USING (node) CROSS JOIN d2 CROSS JOIN nn
+)
+SELECT node, r AS pr FROM r3 ORDER BY node
+"""
+)

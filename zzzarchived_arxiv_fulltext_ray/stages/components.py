@@ -69,6 +69,28 @@ def _components_driver(pairs_ds) -> pa.Table:
     )
 
 
+def pin_loop_state(ds, num_blocks: int = 8):
+    """Pin a Dataset that feeds back into an iterative plan.
+
+    Two invariants keep every round the same cost (without them
+    per-round wall compounds 4-5x, measured):
+
+    * constant BLOCK COUNT — a round's union-of-k-streams sort
+      shuffle otherwise emits ~k-fold the blocks of the previous
+      round, and scheduling overhead scales with blocks;
+    * severed LINEAGE — a fresh Dataset over the materialized
+      Arrow refs, so round N+1's plan does not re-plan round N.
+
+    Shared by every iterative operator (components label propagation,
+    PageRank power iteration).
+    """
+    import ray.data as rd
+
+    return rd.from_arrow_refs(
+        ds.repartition(num_blocks).materialize().to_arrow_refs()
+    )
+
+
 def _components_distributed(pairs_ds, max_rounds: int = 64):
     """Min-label propagation with pointer jumping.
 
@@ -79,22 +101,11 @@ def _components_distributed(pairs_ds, max_rounds: int = 64):
     convergence is detected by one cheap global sum (monotone:
     unchanged sum == fixpoint), no compare-join needed.
     """
-    import ray.data as rd
     from ray.data.aggregate import Min, Sum
 
     from .relational import partitioned_hash_join
 
-    def _pin(ds, num_blocks: int = 8):
-        # Two invariants keep every round the same cost (without them
-        # per-round wall compounds 4-5x, measured):
-        # * constant BLOCK COUNT — the round's union-of-4-streams sort
-        #   shuffle otherwise emits ~4x the blocks of the previous
-        #   round, and scheduling overhead scales with blocks;
-        # * severed LINEAGE — a fresh Dataset over the materialized
-        #   Arrow refs, so round N+1's plan does not re-plan round N.
-        return rd.from_arrow_refs(
-            ds.repartition(num_blocks).materialize().to_arrow_refs()
-        )
+    _pin = pin_loop_state
 
     def to_edges(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].cast(pa.int64())
