@@ -616,3 +616,48 @@ def test_minhash_band_batch_vectorized_stage():
     k1, k2, k3 = (set(k.loc[i, "bucket_key"]) for i in (1, 2, 3))
     assert k1 == k2
     assert not (k1 & k3)
+
+
+def test_semdedup_matches_dense_reference(ray_session):
+    """Distributed SemDeDup prune == dense single-node rule, on a
+    corpus WITH planted near-duplicates (the synthetic embeddings are
+    near-orthogonal, so duplicates are injected as jittered copies)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.similarity import (
+        semdedup,
+        semdedup_numpy,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(120, 16))
+    # rows 120..149 are jittered copies of rows 0..29 -> real dups
+    dup = base[:30] + rng.normal(scale=0.01, size=(30, 16))
+    vecs = np.vstack([base, dup])
+    ids = np.arange(len(vecs))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    out = semdedup(ds, k=4, iters=3, tau=0.95).to_pandas()
+    got = dict(zip(out["vec_id"].astype(int), out["keep"].astype(bool)))
+
+    clusters = dict(zip(out["vec_id"].astype(int), out["cluster"].astype(int)))
+    f32 = vecs.astype(np.float32)  # match the Dataset's storage dtype
+    want = semdedup_numpy(
+        ids, f32, [clusters[i] for i in ids], tau=0.95
+    )
+    assert got == want
+    # the planted copies must actually be dropped (same cluster as
+    # their originals at this jitter level)
+    dropped = {i for i, k in got.items() if not k}
+    assert len(dropped & set(range(120, 150))) >= 25
+    assert all(got[i] for i in range(30))  # originals kept

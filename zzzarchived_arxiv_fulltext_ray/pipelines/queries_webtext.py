@@ -661,6 +661,27 @@ WEBTEXT_QUERIES["kmeans_clusters"] = _q_kmeans_clusters
 # correctness pinned against single-node Lloyd's in pytest
 
 
+def _q_semdedup(sf_dir: str):
+    """SemDeDup semantic dedup: k-means-cluster the embeddings, prune
+    near-duplicates within each cluster (cosine >= 0.4, keep the
+    lowest vec_id). Iterative k-means -> rows-only; the prune rule is
+    pinned against a dense single-node reference in pytest
+    (test_semdedup_matches_dense_reference)."""
+    import ray.data
+
+    from ..stages.similarity import semdedup
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = semdedup(emb, k=8, iters=5, tau=0.4).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+WEBTEXT_QUERIES["semdedup"] = _q_semdedup
+# composition over iterative k-means: rows-only, like kmeans_clusters
+
+
 # -------------------------------------------- per-group quantile filter
 
 def _q_lang_p90_filter(sf_dir: str):

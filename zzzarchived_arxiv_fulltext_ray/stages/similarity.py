@@ -658,3 +658,89 @@ def kmeans(
 
     inertia = float(final.aggregate(Sum("dist2"))["sum(dist2)"])
     return final, cents, inertia
+
+
+def semdedup(
+    emb_ds,
+    k: int = 8,
+    iters: int = 5,
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    k-means-cluster the embedding space, then prune near-duplicate
+    pairs WITHIN each cluster only — the clustering makes the
+    quadratic pairwise step tractable because it never crosses
+    cluster boundaries.
+
+    Partitioning assumption (document per the custom-operator rule):
+    at corpus scale ``k`` is chosen so n/k rows fit one task — the
+    per-cluster pairwise matmul is O((n/k)^2 d) and the groupby
+    shuffle moves each row once. The keep rule is deterministic:
+    drop a row iff some LOWER-id row in the same cluster has cosine
+    >= ``tau`` (same keep-lowest-id convention as the text near-dup
+    family).
+
+    Returns a Dataset (id, cluster, keep: bool). Iterative k-means
+    makes the composition SQL-inexpressible (rows-only query);
+    pruning parity is pinned against a dense single-node reference
+    in pytest.
+    """
+    import ray
+
+    _final, cents, _inertia = kmeans(emb_ds, k=k, iters=iters, id_col=id_col)
+    ref = ray.put(cents)
+    assigned = emb_ds.map_batches(
+        lambda b, r=ref: _assign_clusters_batch(b, r, id_col),
+        batch_format="pyarrow",
+    )
+
+    def prune(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = _normalize(_matrix_of(group)[order])
+        sims = m @ m.T
+        n = len(ids)
+        # keep[i] == no earlier kept-or-not row within tau. SemDeDup
+        # drops against ANY earlier duplicate (not only kept ones):
+        # strictly-lower-triangular max per row (masked, so the rule
+        # stays correct for tau <= 0 too)
+        masked = np.where(np.tri(n, k=-1, dtype=bool), sims, -np.inf)
+        keep = masked.max(axis=1, initial=-np.inf) < tau
+        return pa.Table.from_pydict(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "cluster": group["cluster"].take(
+                    pa.array(order, pa.int64())
+                ).combine_chunks(),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(
+        prune, batch_format="pyarrow"
+    )
+
+
+def semdedup_numpy(ids, vecs, clusters, tau: float = 0.4):
+    """Single-node reference for the semdedup prune rule (test
+    oracle): given fixed cluster assignments, drop a row iff a
+    lower-id same-cluster row is within ``tau`` cosine."""
+    import collections
+
+    by_c = collections.defaultdict(list)
+    for i, v, c in zip(ids, vecs, clusters):
+        by_c[c].append((i, np.asarray(v, dtype=np.float64)))
+    keep = {}
+    for c, rows in by_c.items():
+        rows.sort(key=lambda t: t[0])
+        for j, (i, v) in enumerate(rows):
+            vn = v / np.linalg.norm(v)
+            ok = True
+            for i2, v2 in rows[:j]:
+                if float(vn @ (v2 / np.linalg.norm(v2))) >= tau:
+                    ok = False
+                    break
+            keep[i] = ok
+    return keep
