@@ -1121,6 +1121,11 @@ def _q_events_churn(sf_dir: str):
         ev.map_batches(partial, batch_format="pyarrow")
         .groupby(["user_id", "epoch_day"])
         .aggregate(Sum("c", alias_name="c"))
+        # both join branches consume this: materialize the SMALL
+        # post-aggregate grain once instead of re-executing the
+        # corpus scan + exchange per branch (the corpus itself
+        # still streams exactly once)
+        .materialize()
     )
 
     def as_today(b: pa.Table) -> pa.Table:
