@@ -1286,3 +1286,110 @@ r3 AS (
 SELECT node, r AS pr FROM r3 ORDER BY node
 """
 )
+
+
+# ------------------------------------------------ funnel analysis
+
+def _q_events_funnel(sf_dir: str):
+    """Strict-order conversion funnel per user: first ``view``, first
+    ``click`` within 24h AFTER it, first ``purchase`` within 24h after
+    that; ``stage`` is how deep the user got (0-3).
+
+    Scale shape: the scan projects three columns and filters to the
+    three funnel types BEFORE the one groupby-user exchange; the
+    per-user group task is a vectorized numpy pass over a group whose
+    size is bounded by one user's activity (same contract as
+    sessionization — user_id cardinality is high, so no group
+    concentrates the corpus). A fully exchange-minimal alternative
+    (three chained min-if aggregate + join rounds) costs more plan
+    round-trips than it saves at any realistic per-user volume.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    def only_funnel_types(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.is_in(
+                b["event_type"],
+                value_set=pa.array(["view", "click", "purchase"]),
+            )
+        )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).map_batches(only_funnel_types, batch_format="pyarrow")
+
+    def funnel(g: pa.Table) -> pa.Table:
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        typ = g["event_type"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"][0].as_py()
+
+        gap = 24 * 3600 * 1_000_000  # 24h conversion window, in us
+
+        def first_after(kind, t_min):
+            m = typ == kind
+            if t_min is not None:
+                m = m & (ts > t_min) & (ts - t_min <= gap)
+            return int(ts[m].min()) if m.any() else None
+
+        t1 = first_after("view", None)
+        t2 = first_after("click", t1) if t1 is not None else None
+        t3 = first_after("purchase", t2) if t2 is not None else None
+        stage = 3 if t3 is not None else 2 if t2 is not None else (
+            1 if t1 is not None else 0
+        )
+        tt = pa.timestamp("us")
+        return pa.Table.from_arrays(
+            [
+                pa.array([uid], pa.int64()),
+                pa.array([stage], pa.int64()),
+                pa.array([t1], tt),
+                pa.array([t2], tt),
+                pa.array([t3], tt),
+            ],
+            names=["user_id", "stage", "view_ts", "click_ts", "purchase_ts"],
+        )
+
+    out = (
+        ev.groupby("user_id")
+        .map_groups(funnel, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+CORPUS_QUERIES["events_funnel"] = _q_events_funnel
+CORPUS_ORACLE_SQL["events_funnel"] = """
+WITH funnel_users AS (
+    SELECT DISTINCT user_id FROM events
+    WHERE event_type IN ('view', 'click', 'purchase')
+), v AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN v ON v.user_id = e.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t1
+      AND epoch_us(e.ts) - epoch_us(v.t1) <= 86400000000
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN c ON c.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      AND epoch_us(e.ts) - epoch_us(c.t2) <= 86400000000
+    GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CASE WHEN p.t3 IS NOT NULL THEN 3
+            WHEN c.t2 IS NOT NULL THEN 2
+            WHEN v.t1 IS NOT NULL THEN 1
+            ELSE 0 END AS stage,
+       v.t1 AS view_ts, c.t2 AS click_ts, p.t3 AS purchase_ts
+FROM funnel_users u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+ORDER BY u.user_id
+"""
