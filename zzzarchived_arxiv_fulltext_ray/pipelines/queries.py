@@ -239,6 +239,39 @@ def _q_lineitem_agg(sf_dir: str):
     )
 
 
+def _q_lineitem_rollup(sf_dir: str):
+    """ROLLUP / grouping-sets aggregate: the (returnflag, linestatus)
+    grain plus its per-flag subtotals and the grand total, NULL keys
+    marking the super-aggregate rows (SQL ``GROUP BY ROLLUP``).
+
+    Scale shape: only the FINEST grain is computed distributed (batch
+    partial combine -> one small groupby exchange); every rollup
+    level is then derived from that bounded result (|flags| x
+    |statuses| rows regardless of corpus size) — super-aggregates are
+    a pure function of the finest grain, so no second pass over the
+    data and no extra exchange.
+    """
+    out = _q_lineitem_agg(sf_dir)  # finest grain, already sorted
+
+    import pandas as pd
+
+    vals = ["sum_qty", "sum_cents", "n_rows"]
+    lvl1 = out.groupby("l_returnflag", as_index=False)[vals].sum()
+    lvl1["l_linestatus"] = None
+    lvl0 = out[vals].sum().to_frame().T
+    lvl0["l_returnflag"] = None
+    lvl0["l_linestatus"] = None
+    cols = ["l_returnflag", "l_linestatus"] + vals
+    full = pd.concat(
+        [out[cols], lvl1[cols], lvl0[cols]], ignore_index=True
+    )
+    for c in vals:
+        full[c] = full[c].astype("int64")
+    return full.sort_values(
+        ["l_returnflag", "l_linestatus"], na_position="first"
+    ).reset_index(drop=True)
+
+
 def _q_segment_revenue(sf_dir: str):
     """Broadcast dim join: orders joined to customer via a ray.put
     lookup (no shuffle), grouped by market segment."""
@@ -311,6 +344,7 @@ QUERIES: Dict[str, Callable] = {
     "dedup_exact": _q_dedup_exact,
     "lang_stats": _q_lang_stats,
     "lineitem_agg": _q_lineitem_agg,
+    "lineitem_rollup": _q_lineitem_rollup,
     "segment_revenue": _q_segment_revenue,
     **TRAINING_QUERIES,
     **WEBTEXT_QUERIES,
@@ -376,6 +410,15 @@ ORACLE_SQL: Dict[str, str] = {
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
+    """,
+    "lineitem_rollup": """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
     "segment_revenue": """
     SELECT c.c_mktsegment,
