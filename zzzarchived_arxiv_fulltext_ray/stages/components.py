@@ -69,7 +69,7 @@ def _components_driver(pairs_ds) -> pa.Table:
     )
 
 
-def pin_loop_state(ds, num_blocks: int = 8):
+def pin_loop_state(ds, num_blocks=8):
     """Pin a Dataset that feeds back into an iterative plan.
 
     Two invariants keep every round the same cost (without them
@@ -81,14 +81,19 @@ def pin_loop_state(ds, num_blocks: int = 8):
     * severed LINEAGE — a fresh Dataset over the materialized
       Arrow refs, so round N+1's plan does not re-plan round N.
 
+    ``num_blocks=None`` skips the repartition (severs lineage only) —
+    right when the producing plan already emits a bounded, constant
+    block count each round (e.g. a bucketed-join groupby), where the
+    extra AllToAll would be pure fixed cost.
+
     Shared by every iterative operator (components label propagation,
     PageRank power iteration).
     """
     import ray.data as rd
 
-    return rd.from_arrow_refs(
-        ds.repartition(num_blocks).materialize().to_arrow_refs()
-    )
+    if num_blocks is not None:
+        ds = ds.repartition(num_blocks)
+    return rd.from_arrow_refs(ds.materialize().to_arrow_refs())
 
 
 def _components_distributed(pairs_ds, max_rounds: int = 64):

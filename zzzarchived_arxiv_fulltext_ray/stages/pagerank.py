@@ -15,10 +15,13 @@ redistribution as a pure Ray Data plan:
   groupby-sum exchange over destinations, then (3) a left-outer join
   back onto the static node relation applying teleport + dangling
   mass, so nodes with zero inflow keep receiving rank;
-* loop state is pinned to a constant block count each round
-  (``components.pin_loop_state``) — ``materialize()`` alone lets the
-  per-round plan and block count compound (measured 4-5x per round on
-  the components loop).
+* loop state is pinned (lineage severed AND coalesced to a constant
+  small block count) each round (``components.pin_loop_state``) —
+  ``materialize()`` alone lets the per-round plan compound (measured
+  4-5x per round on the components loop), and skipping the coalesce
+  leaves hundreds of tiny sort-output blocks whose per-block task
+  overhead dominates every later stage (measured 20-60 s/round at
+  sf0.1 vs ~2 s pinned).
 
 Partitioning assumption: ``num_buckets`` bounds reduce parallelism of
 the join exchanges — raise it with cluster size. Skewed in-degree
@@ -123,9 +126,10 @@ def pagerank(
             "r", pa.array([r0] * b.num_rows, pa.float64())
         )
 
-    ranks = pin_loop_state(
-        nodes.map_batches(init_rank, batch_format="pyarrow"), num_blocks
-    )
+    # lazy over the pinned nodes blocks: round 1 re-executes this tiny
+    # map twice (dm pass + join) — cheaper than another materialize
+    # round-trip
+    ranks = nodes.map_batches(init_rank, batch_format="pyarrow")
 
     teleport = (1.0 - damping) / n
 
