@@ -979,19 +979,15 @@ def _q_lang_ntile(sf_dir: str):
     import numpy as np
     import pyarrow as pa
 
-    from ray.data.aggregate import Count
-
     from ..stages.window import grouped_row_number, ntile_of_rank
 
     docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
-    sizes = dict(
-        zip(
-            *(
-                lambda df: (df["lang"], df["count()"].astype(int))
-            )(docs.groupby("lang").count().to_pandas())
-        )
+    # group sizes come from the ranking plan's own histogram — no
+    # second corpus scan
+    ranked, hist = grouped_row_number(
+        docs, "lang", "doc_id", "n_chars", with_hist=True
     )
-    ranked = grouped_row_number(docs, "lang", "doc_id", "n_chars")
+    sizes = hist.groupby("lang")["n"].sum().astype(int).to_dict()
 
     def tile(batch: pa.Table) -> pa.Table:
         parts = np.asarray(batch["part"].to_pylist())

@@ -191,6 +191,7 @@ def grouped_row_number(
     id_col: str,
     key_col: str,
     descending: bool = False,
+    with_hist: bool = False,
 ):
     """Exact ``row_number() OVER (PARTITION BY part ORDER BY key
     [DESC], id)`` — the partitioned spelling of
@@ -198,7 +199,10 @@ def grouped_row_number(
     histogram keyed by (part, key).
 
     Returns Dataset[(id, part, key, rnk)], rnk starting at 1 within
-    each partition.
+    each partition. ``with_hist=True`` returns ``(ds, hist)`` where
+    ``hist`` is the already-computed (part, key, n) pandas histogram —
+    callers needing group sizes (ntile, quantiles) derive them from it
+    instead of paying a second corpus scan.
     """
     from ray.data.aggregate import Sum
 
@@ -259,12 +263,13 @@ def grouped_row_number(
             }
         )
 
-    return (
+    out = (
         ds.select_columns([part_col, id_col, key_col])
         .map_batches(annotate, batch_format="pyarrow")
         .groupby("gk")
         .map_groups(rank_group, batch_format="pyarrow")
     )
+    return (out, hist) if with_hist else out
 
 
 def ntile_of_rank(rnk: np.ndarray, n: int, tiles: int) -> np.ndarray:
