@@ -1389,3 +1389,68 @@ LEFT JOIN c USING (user_id)
 LEFT JOIN p USING (user_id)
 ORDER BY u.user_id
 """
+
+
+# --------------------------------------- JSON property extraction
+
+def _q_events_props_stats(sf_dir: str):
+    """Semi-structured payload parsing: extract the integer ``k``
+    property from the JSON ``props`` column (vectorized Arrow
+    ``extract_regex`` on the narrow projected column — a web-scale
+    pipeline parses JSON sidecar metadata exactly like this, without
+    a Python loop) and aggregate per event type with a per-batch
+    combine before the tiny groupby exchange. Rows whose props lack
+    ``k`` parse to NULL and drop out of the sum (same as SQL)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)'),
+                "k",
+            ),
+            pa.int64(),
+        )
+        t = pa.Table.from_arrays(
+            [
+                batch["event_type"].combine_chunks(),
+                k,
+                pc.cast(pc.is_valid(k), pa.int64()),
+            ],
+            names=["event_type", "k", "one"],
+        )
+        g = t.group_by("event_type").aggregate(
+            [("k", "sum"), ("one", "sum")]
+        )
+        return g.rename_columns(["event_type", "sum_k", "n_with_k"])
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("sum_k", alias_name="sum_k"),
+            Sum("n_with_k", alias_name="n_with_k"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+CORPUS_QUERIES["events_props_stats"] = _q_events_props_stats
+CORPUS_ORACLE_SQL["events_props_stats"] = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(count(json_extract_string(props, '$.k')) AS BIGINT)
+           AS n_with_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
