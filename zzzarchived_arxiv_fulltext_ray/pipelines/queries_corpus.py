@@ -1454,3 +1454,131 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ------------------------------------------------- BM25 retrieval
+
+def _q_bm25_search(sf_dir: str):
+    """BM25 top-20 for the fixed query {hash, join, merge} over the
+    document corpus (k1=1.2, b=0.75, Robertson idf
+    ln(1 + (N-df+0.5)/(df+0.5))).
+
+    Two streaming passes: (1) a tiny stats aggregate — corpus size,
+    total token length, per-query-term document frequency — combined
+    per batch to ONE partial row, so the exchange is O(batches);
+    (2) vectorized scoring with the idf/avgdl constants closed over
+    (driver state is 5 scalars), with a per-batch local top-k before
+    the bounded driver merge (the ``ann_topk`` combiner shape). The
+    oracle replays the identical float expression tree, operation
+    order mirrored, so scores match bit-for-bit."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    TERMS = ("hash", "join", "merge")
+    K1, B, TOPK = 1.2, 0.75, 20
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def tf_len(batch: pa.Table):
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        tfs = np.zeros((len(ids), len(TERMS)), dtype=np.int64)
+        lens = np.zeros(len(ids), dtype=np.int64)
+        for i, t in enumerate(batch["text"].to_pylist()):
+            c = Counter(t.split())
+            lens[i] = sum(c.values())
+            for j, term in enumerate(TERMS):
+                tfs[i, j] = c.get(term, 0)
+        return ids, tfs, lens
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        _ids, tfs, lens = tf_len(batch)
+        row = {
+            "n_docs": [len(lens)],
+            "sum_len": [int(lens.sum())],
+        }
+        for j, term in enumerate(TERMS):
+            row[f"df_{j}"] = [int((tfs[:, j] > 0).sum())]
+        return pa.Table.from_pydict(row)
+
+    agg = docs.map_batches(stats_partial, batch_format="pyarrow").sum(
+        ["n_docs", "sum_len"] + [f"df_{j}" for j in range(len(TERMS))]
+    )
+    n = agg["sum(n_docs)"]
+    avgdl = agg["sum(sum_len)"] / n  # float division, mirrored in SQL
+    idf = [
+        math.log(1.0 + (n - agg[f"sum(df_{j})"] + 0.5)
+                 / (agg[f"sum(df_{j})"] + 0.5))
+        for j in range(len(TERMS))
+    ]
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        ids, tfs, lens = tf_len(batch)
+        score = np.zeros(len(ids), dtype=np.float64)
+        for j in range(len(TERMS)):
+            tf = tfs[:, j].astype(np.float64)
+            den = tf + K1 * (1.0 - B + B * lens / avgdl)
+            score = score + idf[j] * (tf * (K1 + 1.0)) / den
+        order = np.lexsort((ids, -score))[:TOPK]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "score": pa.array(score[order], pa.float64()),
+            }
+        )
+
+    out = docs.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).head(TOPK)
+    return out.reset_index(drop=True)
+
+
+CORPUS_QUERIES["bm25_search"] = _q_bm25_search
+CORPUS_ORACLE_SQL["bm25_search"] = """
+WITH per_doc AS (
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS dl,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x = 'hash')) AS BIGINT) AS tf1,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x = 'join')) AS BIGINT) AS tf2,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x = 'merge')) AS BIGINT) AS tf3
+    FROM documents
+), stats AS (
+    SELECT count(*) AS n,
+           CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+           ln(1.0 + (count(*) - count(*) FILTER (WHERE tf1 > 0) + 0.5)
+                    / (count(*) FILTER (WHERE tf1 > 0) + 0.5)) AS idf1,
+           ln(1.0 + (count(*) - count(*) FILTER (WHERE tf2 > 0) + 0.5)
+                    / (count(*) FILTER (WHERE tf2 > 0) + 0.5)) AS idf2,
+           ln(1.0 + (count(*) - count(*) FILTER (WHERE tf3 > 0) + 0.5)
+                    / (count(*) FILTER (WHERE tf3 > 0) + 0.5)) AS idf3
+    FROM per_doc
+), scored AS (
+    SELECT d.doc_id,
+           s.idf1 * (d.tf1 * (CAST(1.2 AS DOUBLE) + 1.0))
+               / (d.tf1 + CAST(1.2 AS DOUBLE)
+                  * (1.0 - CAST(0.75 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * d.dl / s.avgdl))
+           + s.idf2 * (d.tf2 * (CAST(1.2 AS DOUBLE) + 1.0))
+               / (d.tf2 + CAST(1.2 AS DOUBLE)
+                  * (1.0 - CAST(0.75 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * d.dl / s.avgdl))
+           + s.idf3 * (d.tf3 * (CAST(1.2 AS DOUBLE) + 1.0))
+               / (d.tf3 + CAST(1.2 AS DOUBLE)
+                  * (1.0 - CAST(0.75 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * d.dl / s.avgdl))
+           AS score
+    FROM per_doc d CROSS JOIN stats s
+)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
