@@ -1582,3 +1582,63 @@ SELECT doc_id, score FROM scored
 ORDER BY score DESC, doc_id
 LIMIT 20
 """
+
+
+# ------------------------------------- exact grouped count-distinct
+
+def _q_domain_unique_targets(sf_dir: str):
+    """Exact COUNT(DISTINCT target) per source domain — the two-stage
+    distinct spelling: per-batch local dedup of (domain, target)
+    pairs, one exchange that groups the DISTINCT pairs (never the raw
+    occurrence stream), then a per-batch count combine into the tiny
+    per-domain aggregate. Re-crawl duplicate pages collapse in the
+    distinct, so the result is crawl-multiplicity-invariant."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.pages import read_pages
+    from ..stages.links import extract_links_batch
+
+    pairs = read_pages(sf_dir).map_batches(
+        extract_links_batch, batch_format="pyarrow"
+    )
+
+    def local_distinct(b: pa.Table) -> pa.Table:
+        return (
+            b.group_by(["src_domain", "target"])
+            .aggregate([])
+        )
+
+    distinct = (
+        pairs.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby(["src_domain", "target"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("src_domain").aggregate([([], "count_all")])
+        return g.rename_columns(["src_domain", "n_targets"])
+
+    out = (
+        distinct.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("src_domain")
+        .aggregate(Sum("n_targets", alias_name="n_targets"))
+        .to_pandas()
+    )
+    out["n_targets"] = out["n_targets"].astype("int64")
+    return out.sort_values("src_domain").reset_index(drop=True)
+
+
+CORPUS_QUERIES["domain_unique_targets"] = _q_domain_unique_targets
+CORPUS_ORACLE_SQL["domain_unique_targets"] = (
+    _LINKS_CTE
+    + """
+SELECT 'site' || lpad(CAST(doc_id % 50 AS VARCHAR), 2, '0')
+       || '.example.org' AS src_domain,
+       CAST(count(DISTINCT target) AS BIGINT) AS n_targets
+FROM links
+GROUP BY 1
+ORDER BY 1
+"""
+)
