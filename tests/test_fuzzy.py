@@ -1,0 +1,134 @@
+"""SymSpell-style fuzzy self-join (stages/fuzzy.py) — pinned against
+an in-test brute-force Levenshtein and exercised on its drop contracts
+(hot bucket cap, max_len exclusion)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from zzzarchived_arxiv_fulltext_ray.stages.fuzzy import (
+    _bucket_verified_pairs,
+    _is_deletion,
+    _variants,
+    deletion_keys_batch,
+    fuzzy_self_join,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    """Textbook Levenshtein, the brute-force referee."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _brute_pairs(names):
+    out = set()
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            if a != b and _lev(a, b) <= 1:
+                out.add((min(a, b), max(a, b)))
+    return out
+
+
+def test_is_deletion_cases():
+    assert _is_deletion(b"abc", b"abxc")
+    assert _is_deletion(b"abc", b"xabc")
+    assert _is_deletion(b"abc", b"abcx")
+    assert _is_deletion(b"", b"x")
+    assert not _is_deletion(b"abc", b"abxx")
+    assert not _is_deletion(b"abc", b"xaby")
+
+
+def test_variants_count_and_identity():
+    vs = _variants(b"aab")
+    # identity + {ab (x2 coincide), aa} -> 3 distinct
+    assert vs == {b"aab", b"ab", b"aa"}
+
+
+def test_bucket_verified_pairs_matches_brute():
+    names = np.array(
+        sorted(
+            {
+                "kitten",
+                "sitten",
+                "kitte",
+                "kittens",
+                "mitten",
+                "kitchen",
+                "xyz",
+                "xz",
+                "yz",
+                "z",
+            }
+        ),
+        dtype=object,
+    )
+    a, b = _bucket_verified_pairs(names)
+    got = set(zip(a, b))
+    want = _brute_pairs(list(names))
+    assert got == want
+    assert all(x < y for x, y in got)
+
+
+def test_deletion_keys_skip_long_and_null():
+    t = pa.table({"s": pa.array(["ab", None, "x" * 100], pa.string())})
+    out = deletion_keys_batch(t, "s", max_len=64)
+    # only "ab" survives: identity + 2 deletions = 3 variants
+    assert out.num_rows == 3
+    assert set(out["name"].to_pylist()) == {"ab"}
+
+
+def _run_self_join(names, **kw):
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(names, pa.string())})
+    ).repartition(3)
+    out = fuzzy_self_join(ds, col="k", **kw).to_pandas()
+    if out.empty:  # Ray's to_pandas drops columns on 0-row datasets
+        return set(), out
+    return set(zip(out["name_a"], out["name_b"])), out
+
+
+def test_fuzzy_self_join_matches_brute(ray_session):
+    rng = np.random.default_rng(7)
+    # structured near-miss corpus: ids differing in single digits,
+    # plus random words with planted insert/sub/delete edits
+    names = [f"user{n:04d}" for n in rng.integers(0, 300, size=120)]
+    words = ["".join(rng.choice(list("abcd"), size=5)) for _ in range(40)]
+    names += words
+    names += [w[:2] + w[3:] for w in words[:10]]       # deletions
+    names += [w + "x" for w in words[10:20]]            # insertions
+    names += [("z" + w[1:]) for w in words[20:30]]      # substitutions
+    got, out = _run_self_join(names)
+    assert got == _brute_pairs(sorted(set(names)))
+    assert (out["dist"] == 1).all()
+    # distinct contract: no duplicate pairs survive the multi-bucket gen
+    assert len(out) == len(got)
+
+
+def test_fuzzy_self_join_hot_bucket_drop(ray_session, caplog):
+    # 30 strings all sharing the deletion variant "a" (single chars
+    # + 2-char 'aX'): max_bucket=8 drops that bucket and loses pairs
+    names = ["a" + c for c in "bcdefghijklmnopqrstuvwxyz"] + ["a"]
+    got_all, _ = _run_self_join(names, max_bucket=256)
+    got_cap, _ = _run_self_join(names, max_bucket=8)
+    assert got_cap < got_all  # strictly under-reports, documented
+    brute = _brute_pairs(sorted(set(names)))
+    assert got_all == brute
+
+
+def test_fuzzy_self_join_max_len_excludes(ray_session):
+    long_a = "q" * 80
+    long_b = "q" * 80 + "r"
+    got, _ = _run_self_join(["ab", "ac", long_a, long_b], max_len=64)
+    assert got == {("ab", "ac")}  # the long pair is excluded, logged

@@ -1642,3 +1642,34 @@ GROUP BY 1
 ORDER BY 1
 """
 )
+
+
+# ------------------------------------------- fuzzy key self-join
+
+def _q_customer_fuzzy_pairs(sf_dir: str):
+    """All customer-name pairs at Levenshtein distance exactly 1 via
+    the SymSpell deletion-neighborhood plan (``stages.fuzzy``): one
+    hashed-variant exchange, in-bucket vectorized verify, distinct
+    after verify. c_name is 'Customer#%09d' so distance-1 pairs are
+    exactly the single-digit substitutions — a dense, structured
+    ground truth the exact-levenshtein oracle replays."""
+    import ray.data
+
+    from ..stages.fuzzy import fuzzy_self_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_name"]
+    )
+    out = fuzzy_self_join(cust, col="c_name").to_pandas()
+    out["dist"] = out["dist"].astype("int64")
+    return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+
+
+CORPUS_QUERIES["customer_fuzzy_pairs"] = _q_customer_fuzzy_pairs
+CORPUS_ORACLE_SQL["customer_fuzzy_pairs"] = """
+SELECT a.c_name AS name_a, b.c_name AS name_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b ON a.c_name < b.c_name
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY name_a, name_b
+"""
