@@ -721,3 +721,101 @@ def test_pagerank_matches_dense_reference(ray_session):
     assert set(got) == set(want)
     assert max(abs(got[k] - want[k]) for k in want) < 1e-12
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_grouped_rank_dense_matches_window(ray_session):
+    """rank()/dense_rank() with heavy planted ties, both directions,
+    pinned against a pandas window brute force."""
+    import pandas as pd
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.window import (
+        grouped_rank_dense,
+    )
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(400),
+            "part": rng.choice(["a", "b", "c"], size=400),
+            "key": rng.integers(0, 12, size=400),  # dense ties
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(5)
+    for desc in (True, False):
+        got = (
+            grouped_rank_dense(ds, "part", "key", descending=desc)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        g = df.groupby("part")["key"]
+        want_rnk = g.rank(method="min", ascending=not desc).astype(int)
+        want_drnk = g.rank(method="dense", ascending=not desc).astype(int)
+        assert (got["rnk"].to_numpy() == want_rnk.to_numpy()).all()
+        assert (got["drnk"].to_numpy() == want_drnk.to_numpy()).all()
+
+
+def test_pivot_wide_and_mode_match_brute(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.relational import (
+        grouped_mode,
+        grouped_value_counts,
+        pivot_wide,
+    )
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "row": rng.choice(["r1", "r2", "r3"], size=300),
+            "col": rng.choice(["x", "y", "z"], size=300),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    grain = grouped_value_counts(ds, "row", "col")
+
+    wide = (
+        pivot_wide(grain, "row", "col", ["x", "y", "z"])
+        .to_pandas()
+        .sort_values("row")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby(["row", "col"]).size().unstack(fill_value=0)
+        .reset_index()
+    )
+    for c in ["x", "y", "z"]:
+        assert (wide[c].to_numpy() == want[c].to_numpy()).all()
+
+    mode = (
+        grouped_mode(grain, "row", "col")
+        .to_pandas()
+        .sort_values("row")
+        .reset_index(drop=True)
+    )
+    for _, r in mode.iterrows():
+        counts = df[df["row"] == r["row"]]["col"].value_counts()
+        best = counts.max()
+        # argmax with smallest-value tie-break
+        assert counts[r["top_col"]] == best
+        assert r["top_col"] == min(
+            c for c, n in counts.items() if n == best
+        )
+        assert r["n"] == best
+
+
+def test_pivot_wide_undeclared_category_raises(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.relational import (
+        grouped_value_counts,
+        pivot_wide,
+    )
+
+    df = pd.DataFrame({"row": ["a", "a"], "col": ["x", "surprise"]})
+    grain = grouped_value_counts(ray.data.from_pandas(df), "row", "col")
+    with pytest.raises(Exception, match="not in"):
+        pivot_wide(grain, "row", "col", ["x"]).to_pandas()

@@ -1673,3 +1673,89 @@ FROM customer a JOIN customer b ON a.c_name < b.c_name
 WHERE levenshtein(a.c_name, b.c_name) <= 1
 ORDER BY name_a, name_b
 """
+
+
+def _q_lang_rank_dense(sf_dir: str):
+    """Tie-aware per-language length ranking: RANK + DENSE_RANK over
+    n_chars DESC (ties are real — lengths repeat within a language).
+    Both ranks are value-functions, so the plan is one histogram
+    aggregate + a stateless broadcast probe (``stages.window
+    .grouped_rank_dense``) — no group shuffle."""
+    from ..stages.window import grouped_rank_dense
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    out = grouped_rank_dense(
+        docs, "lang", "n_chars", descending=True
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+CORPUS_QUERIES["lang_rank_dense"] = _q_lang_rank_dense
+CORPUS_ORACLE_SQL["lang_rank_dense"] = """
+SELECT doc_id, lang, n_chars,
+       CAST(rank() OVER (PARTITION BY lang
+                         ORDER BY n_chars DESC) AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER (PARTITION BY lang
+                               ORDER BY n_chars DESC) AS BIGINT) AS drnk
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------- pivot / mode
+
+def _q_source_lang_pivot(sf_dir: str):
+    """PIVOT witness: documents counted per (source, lang), reshaped
+    wide — one int64 column per language of the corpus's closed lang
+    set. Raw rows never shuffle (counts combine per batch); the
+    reshape runs per source group over the tiny grain
+    (``stages.relational.pivot_wide``)."""
+    from ..stages.relational import grouped_value_counts, pivot_wide
+
+    docs = _docs(sf_dir, ["source", "lang"])
+    grain = grouped_value_counts(docs, "source", "lang")
+    out = pivot_wide(
+        grain, "source", "lang", ["de", "en", "es", "fr", "zh"]
+    ).to_pandas()
+    return out.sort_values("source").reset_index(drop=True)
+
+
+CORPUS_QUERIES["source_lang_pivot"] = _q_source_lang_pivot
+CORPUS_ORACLE_SQL["source_lang_pivot"] = """
+SELECT source,
+       CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT) AS de,
+       CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS en,
+       CAST(count(*) FILTER (WHERE lang = 'es') AS BIGINT) AS es,
+       CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS fr,
+       CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS zh
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+def _q_source_mode_lang(sf_dir: str):
+    """Grouped MODE: the dominant language per source (ties -> the
+    lexicographically smallest, the deterministic SQL row_number
+    spelling), picked per group on the counted grain."""
+    from ..stages.relational import grouped_mode, grouped_value_counts
+
+    docs = _docs(sf_dir, ["source", "lang"])
+    grain = grouped_value_counts(docs, "source", "lang")
+    out = grouped_mode(grain, "source", "lang").to_pandas()
+    return out.sort_values("source").reset_index(drop=True)
+
+
+CORPUS_QUERIES["source_mode_lang"] = _q_source_mode_lang
+CORPUS_ORACLE_SQL["source_mode_lang"] = """
+SELECT source, lang AS top_lang, n
+FROM (
+    SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY count(*) DESC, lang) AS rn
+    FROM documents
+    GROUP BY source, lang
+)
+WHERE rn = 1
+ORDER BY source
+"""

@@ -168,3 +168,83 @@ def broadcast_anti_join(ds, key: str, blocked_keys):
         )
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def grouped_value_counts(ds, row_col: str, col_col: str):
+    """The shared (row, col, n) grain for pivot/mode: per-batch
+    vectorized count combine, one exchange over the (row, col) keys —
+    the raw row stream never shuffles."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select([row_col, col_col])
+            .group_by([row_col, col_col])
+            .aggregate([([], "count_all")])
+            .rename_columns([row_col, col_col, "n"])
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([row_col, col_col])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def pivot_wide(grain_ds, row_col: str, col_col: str,
+               categories: List[str]):
+    """PIVOT: reshape the (row, col, n) grain into one wide row per
+    ``row_col`` value with a count column per DECLARED category.
+
+    The category list is explicit by contract — a pivot whose column
+    set depends on the data has an unstable schema and unbounded
+    width; declaring it keeps the operator scale-safe in the row
+    dimension (any row_col cardinality: the reshape is a per-group
+    task over the already-tiny grain, never a driver pull). Values of
+    ``col_col`` outside ``categories`` raise (silent drops would
+    under-report)."""
+    cats = list(categories)
+
+    def widen(g: pa.Table) -> pa.Table:
+        have = dict(
+            zip(g[col_col].to_pylist(),
+                (int(v) for v in g["n"].to_pylist()))
+        )
+        unknown = set(have) - set(cats)
+        if unknown:
+            raise ValueError(
+                f"pivot_wide: {col_col} values {sorted(unknown)} not in "
+                f"declared categories {cats}"
+            )
+        cols = {row_col: pa.array([g[row_col][0].as_py()])}
+        for c in cats:
+            cols[c] = pa.array([have.get(c, 0)], pa.int64())
+        return pa.Table.from_pydict(cols)
+
+    return grain_ds.groupby(row_col).map_groups(
+        widen, batch_format="pyarrow"
+    )
+
+
+def grouped_mode(grain_ds, row_col: str, col_col: str):
+    """MODE per group: the most frequent ``col_col`` value per
+    ``row_col`` (ties broken by smallest value — deterministic, the
+    SQL ``row_number() ... ORDER BY n DESC, col`` spelling), computed
+    on the counted grain so no raw row ever shuffles."""
+
+    def pick(g: pa.Table) -> pa.Table:
+        vals = np.asarray(g[col_col].to_pylist())
+        ns = g["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, -ns))  # n desc, value asc
+        i = order[0]
+        return pa.Table.from_pydict(
+            {
+                row_col: pa.array([g[row_col][0].as_py()]),
+                "top_" + col_col: pa.array([vals[i]], pa.string()),
+                "n": pa.array([int(ns[i])], pa.int64()),
+            }
+        )
+
+    return grain_ds.groupby(row_col).map_groups(
+        pick, batch_format="pyarrow"
+    )

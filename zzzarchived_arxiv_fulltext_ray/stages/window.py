@@ -331,3 +331,70 @@ def shard_assign(
 
     out = cum.map_batches(to_shard, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+def grouped_rank_dense(ds, part_col: str, key_col: str,
+                       descending: bool = True):
+    """Exact ``rank()`` and ``dense_rank()`` ``OVER (PARTITION BY part
+    ORDER BY key [DESC])`` — the tie-AWARE siblings of
+    :func:`grouped_row_number`.
+
+    Unlike row_number, both ranks are pure functions of the (part,
+    key) VALUE: rank(v) = 1 + count of rows in the partition with a
+    strictly better key, dense_rank(v) = 1 + count of DISTINCT better
+    keys. So the whole window collapses to the same pre-aggregated
+    value histogram the row_number plan builds (driver state bounded
+    by distinct (part, key) pairs, never row count) plus ONE
+    stateless map_batches that probes per-part sorted value arrays
+    with ``np.searchsorted`` — no exchange, no group shuffle at all.
+
+    Returns the input columns + ``rnk`` + ``drnk`` (both int64,
+    1-based)."""
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select([part_col, key_col])
+            .group_by([part_col, key_col])
+            .aggregate([([], "count_all")])
+            .rename_columns([part_col, key_col, "n"])
+        )
+
+    hist = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby([part_col, key_col])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    # per part: ascending distinct keys -> (rank, dense_rank) arrays
+    lut: Dict[object, tuple] = {}
+    for part, grp in hist.groupby(part_col):
+        vals = grp[key_col].to_numpy()
+        order = np.argsort(vals, kind="stable")
+        vals = vals[order]
+        cnt = grp["n"].to_numpy()[order].astype(np.int64)
+        k = len(vals)
+        csum = np.cumsum(cnt)
+        if descending:
+            rnk = csum[-1] - csum + 1          # 1 + #strictly greater
+            drnk = np.arange(k, 0, -1, dtype=np.int64)
+        else:
+            rnk = np.concatenate(([1], csum[:-1] + 1)).astype(np.int64)
+            drnk = np.arange(1, k + 1, dtype=np.int64)
+        lut[part] = (vals, rnk, drnk)
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        parts = np.asarray(batch[part_col].to_pylist())
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        rnk = np.zeros(len(parts), dtype=np.int64)
+        drnk = np.zeros(len(parts), dtype=np.int64)
+        for part, (vals, r, d) in lut.items():
+            m = parts == part
+            if m.any():
+                idx = np.searchsorted(vals, keys[m])
+                rnk[m] = r[idx]
+                drnk[m] = d[idx]
+        return batch.append_column(
+            "rnk", pa.array(rnk, pa.int64())
+        ).append_column("drnk", pa.array(drnk, pa.int64()))
+
+    return ds.map_batches(annotate, batch_format="pyarrow")
