@@ -132,3 +132,41 @@ def test_fuzzy_self_join_max_len_excludes(ray_session):
     long_b = "q" * 80 + "r"
     got, _ = _run_self_join(["ab", "ac", long_a, long_b], max_len=64)
     assert got == {("ab", "ac")}  # the long pair is excluded, logged
+
+
+def test_fuzzy_join_two_tables_matches_brute(ray_session):
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.fuzzy import fuzzy_join
+
+    rng = np.random.default_rng(5)
+    left = ["".join(rng.choice(list("abc"), size=4)) for _ in range(60)]
+    right = ["".join(rng.choice(list("abc"), size=4)) for _ in range(60)]
+    right += [w + "d" for w in left[:8]]     # insertions of left keys
+    right += left[8:14]                      # exact matches (dist 0)
+    ds_a = ray.data.from_arrow(pa.table({"x": pa.array(left)})).repartition(2)
+    ds_b = ray.data.from_arrow(pa.table({"y": pa.array(right)})).repartition(3)
+    out = fuzzy_join(ds_a, ds_b, "x", "y").to_pandas()
+    got = set(zip(out["name_a"], out["name_b"], out["dist"]))
+    want = set()
+    for a in set(left):
+        for b in set(right):
+            d = _lev(a, b)
+            if d <= 1:
+                want.add((a, b, d))
+    assert got == want
+    assert len(out) == len(got)  # distinct
+
+
+def test_fuzzy_join_no_matches_typed_empty(ray_session):
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.fuzzy import fuzzy_join
+
+    ds_a = ray.data.from_arrow(pa.table({"x": pa.array(["aaaa"])}))
+    ds_b = ray.data.from_arrow(pa.table({"y": pa.array(["zzzz"])}))
+    out = fuzzy_join(ds_a, ds_b, "x", "y")
+    assert out.count() == 0
+    assert [f.name for f in out.schema().base_schema] == [
+        "name_a", "name_b", "dist",
+    ]

@@ -272,6 +272,37 @@ def _q_lineitem_rollup(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_lineitem_cube(sf_dir: str):
+    """CUBE grouping-sets aggregate — ROLLUP's sibling with BOTH
+    one-dimension subtotal levels. Same scale shape as
+    ``lineitem_rollup``: only the finest (flag, status) grain runs
+    distributed; all four grouping sets derive from that bounded
+    result on the driver (|flags| x |statuses| rows), no second scan.
+    """
+    out = _q_lineitem_agg(sf_dir)  # finest grain, already sorted
+
+    import pandas as pd
+
+    vals = ["sum_qty", "sum_cents", "n_rows"]
+    lvl_flag = out.groupby("l_returnflag", as_index=False)[vals].sum()
+    lvl_flag["l_linestatus"] = None
+    lvl_status = out.groupby("l_linestatus", as_index=False)[vals].sum()
+    lvl_status["l_returnflag"] = None
+    lvl0 = out[vals].sum().to_frame().T
+    lvl0["l_returnflag"] = None
+    lvl0["l_linestatus"] = None
+    cols = ["l_returnflag", "l_linestatus"] + vals
+    full = pd.concat(
+        [out[cols], lvl_flag[cols], lvl_status[cols], lvl0[cols]],
+        ignore_index=True,
+    )
+    for c in vals:
+        full[c] = full[c].astype("int64")
+    return full.sort_values(
+        ["l_returnflag", "l_linestatus"], na_position="first"
+    ).reset_index(drop=True)
+
+
 def _q_segment_revenue(sf_dir: str):
     """Broadcast dim join: orders joined to customer via a ray.put
     lookup (no shuffle), grouped by market segment."""
@@ -345,6 +376,7 @@ QUERIES: Dict[str, Callable] = {
     "lang_stats": _q_lang_stats,
     "lineitem_agg": _q_lineitem_agg,
     "lineitem_rollup": _q_lineitem_rollup,
+    "lineitem_cube": _q_lineitem_cube,
     "segment_revenue": _q_segment_revenue,
     **TRAINING_QUERIES,
     **WEBTEXT_QUERIES,
@@ -410,6 +442,15 @@ ORACLE_SQL: Dict[str, str] = {
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
+    """,
+    "lineitem_cube": """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
     "lineitem_rollup": """
     SELECT l_returnflag, l_linestatus,

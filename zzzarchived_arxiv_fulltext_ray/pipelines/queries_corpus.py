@@ -1759,3 +1759,58 @@ FROM (
 WHERE rn = 1
 ORDER BY source
 """
+
+
+def _q_fuzzy_blocklist_match(sf_dir: str):
+    """Typo-tolerant blocklist matching (record-linkage witness): a
+    small blocklist of corrupted names — every 97th customer with one
+    digit deleted — matched against ALL customer names at Levenshtein
+    distance <= 1 via the two-table deletion-neighborhood join
+    (``stages.fuzzy.fuzzy_join``). Each typo recovers its source
+    customer plus any other name one edit away; the oracle replays
+    both the corruption and the exact-levenshtein join."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ..stages.fuzzy import fuzzy_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        mask = keys % 97 == 0
+        names = np.asarray(batch["c_name"].to_pylist(), dtype=object)[mask]
+        ks = keys[mask]
+        typos = [
+            s[: 9 + int(k) % 9] + s[10 + int(k) % 9 :]
+            for s, k in zip(names, ks)
+        ]
+        return pa.table({"typo_name": pa.array(typos, pa.string())})
+
+    blocklist = cust.map_batches(corrupt, batch_format="pyarrow")
+    out = fuzzy_join(
+        blocklist,
+        cust.select_columns(["c_name"]),
+        "typo_name",
+        "c_name",
+    ).to_pandas()
+    out["dist"] = out["dist"].astype("int64")
+    return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+
+
+CORPUS_QUERIES["fuzzy_blocklist_match"] = _q_fuzzy_blocklist_match
+CORPUS_ORACLE_SQL["fuzzy_blocklist_match"] = """
+WITH blocklist AS (
+    SELECT substr(c_name, 1, 9 + c_custkey % 9)
+           || substr(c_name, 11 + c_custkey % 9) AS typo_name
+    FROM customer WHERE c_custkey % 97 = 0
+)
+SELECT b.typo_name AS name_a, c.c_name AS name_b,
+       CAST(levenshtein(b.typo_name, c.c_name) AS BIGINT) AS dist
+FROM blocklist b JOIN customer c
+  ON levenshtein(b.typo_name, c.c_name) <= 1
+ORDER BY name_a, name_b
+"""

@@ -207,3 +207,140 @@ def fuzzy_self_join(ds, col: str, max_bucket: int = 256, max_len: int = 64):
 
         return rd.from_arrow(_EMPTY_PAIRS.empty_table())
     return out
+
+
+def _bucket_cross_pairs(a_names, b_names) -> "tuple[list, list, list]":
+    """Exact distance<=1 pairs ACROSS two sides (distance 0 = equal
+    keys included: cross-side equality is a match, unlike the
+    self-join). Returns (list_a, list_b, dists)."""
+    enc_a = [(s, s.encode("utf-8")) for s in a_names]
+    enc_b = [(s, s.encode("utf-8")) for s in b_names]
+    by_len_b: dict = {}
+    for s, e in enc_b:
+        by_len_b.setdefault(len(e), []).append((s, e))
+    out_a: list = []
+    out_b: list = []
+    out_d: list = []
+    # group the A side by length, vectorize against same-length B
+    by_len_a: dict = {}
+    for s, e in enc_a:
+        by_len_a.setdefault(len(e), []).append((s, e))
+    for L, rows_a in by_len_a.items():
+        rows_b = by_len_b.get(L, [])
+        if rows_b and L > 0:
+            mat_a = np.frombuffer(
+                b"".join(e for _, e in rows_a), dtype=np.uint8
+            ).reshape(len(rows_a), L)
+            mat_b = np.frombuffer(
+                b"".join(e for _, e in rows_b), dtype=np.uint8
+            ).reshape(len(rows_b), L)
+            mism = (mat_a[:, None, :] != mat_b[None, :, :]).sum(axis=2)
+            for i, j in zip(*np.nonzero(mism <= 1)):
+                out_a.append(rows_a[i][0])
+                out_b.append(rows_b[j][0])
+                out_d.append(int(mism[i, j]))
+        elif rows_b:  # L == 0: both empty strings -> equal
+            for sa, _ in rows_a:
+                for sb, _ in rows_b:
+                    out_a.append(sa)
+                    out_b.append(sb)
+                    out_d.append(0)
+        # adjacent lengths: deletion checks in both directions
+        for sa, ea in rows_a:
+            for sb, eb in by_len_b.get(L + 1, []):
+                if _is_deletion(ea, eb):
+                    out_a.append(sa)
+                    out_b.append(sb)
+                    out_d.append(1)
+            for sb, eb in by_len_b.get(L - 1, []):
+                if _is_deletion(eb, ea):
+                    out_a.append(sa)
+                    out_b.append(sb)
+                    out_d.append(1)
+    return out_a, out_b, out_d
+
+
+def fuzzy_join(
+    ds_a,
+    ds_b,
+    col_a: str,
+    col_b: str,
+    max_bucket: int = 256,
+    max_len: int = 64,
+):
+    """Two-table fuzzy equi-join on short string keys at Levenshtein
+    distance <= 1 (typo-tolerant blocklist / record-linkage matching).
+    Same deletion-neighborhood plan as :func:`fuzzy_self_join`, with
+    both sides' variants unioned into ONE exchange and pairs generated
+    across sides only. Returns distinct (name_a, name_b, dist); dist 0
+    (exact cross-side equality) is included."""
+
+    def keyed(ds, col, side):
+        def emit(batch: pa.Table) -> pa.Table:
+            t = deletion_keys_batch(batch, col, max_len=max_len)
+            return t.append_column(
+                "side", pa.array([side] * t.num_rows, pa.int8())
+            )
+
+        return ds.map_batches(emit, batch_format="pyarrow")
+
+    both = keyed(ds_a, col_a, 0).union(keyed(ds_b, col_b, 1))
+    empty = pa.schema(
+        [
+            ("name_a", pa.string()),
+            ("name_b", pa.string()),
+            ("dist", pa.int64()),
+        ]
+    )
+
+    def pairs_of_group(group: pa.Table) -> pa.Table:
+        sides = group["side"].to_numpy(zero_copy_only=False)
+        names = group["name"].to_numpy(zero_copy_only=False)
+        a = np.unique(names[sides == 0])
+        b = np.unique(names[sides == 1])
+        if a.size == 0 or b.size == 0 or a.size + b.size > max_bucket:
+            if a.size + b.size > max_bucket:
+                logger.warning(
+                    "fuzzy: dropping hot bucket key=%s with %d+%d strings "
+                    "(max_bucket=%d); pairs sharing only it are lost",
+                    group["bucket_key"][0].as_py(),
+                    a.size,
+                    b.size,
+                    max_bucket,
+                )
+            return empty.empty_table()
+        out_a, out_b, out_d = _bucket_cross_pairs(a, b)
+        return pa.Table.from_pydict(
+            {
+                "name_a": pa.array(out_a, pa.string()),
+                "name_b": pa.array(out_b, pa.string()),
+                "dist": pa.array(out_d, pa.int64()),
+            },
+            schema=empty,
+        )
+
+    pairs = both.groupby("bucket_key").map_groups(
+        pairs_of_group, batch_format="pyarrow"
+    )
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        return (
+            batch.group_by(["name_a", "name_b"])
+            .aggregate([("dist", "max")])
+            .rename_columns(["name_a", "name_b", "dist"])
+        )
+
+    from ray.data.aggregate import Max
+
+    out = (
+        pairs.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby(["name_a", "name_b"])
+        .aggregate(Max("dist", alias_name="dist"))
+    )
+    if out.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(empty.empty_table())
+    return out
