@@ -819,3 +819,64 @@ def test_pivot_wide_undeclared_category_raises(ray_session):
     grain = grouped_value_counts(ray.data.from_pandas(df), "row", "col")
     with pytest.raises(Exception, match="not in"):
         pivot_wide(grain, "row", "col", ["x"]).to_pandas()
+
+
+def test_grouped_rank_pct_cume_match_brute(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.window import (
+        grouped_rank_dense,
+    )
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(200),
+            "part": rng.choice(["a", "b"], size=200),
+            "key": rng.integers(0, 9, size=200),
+        }
+    )
+    # single-row partition edge: pct_rank must be 0.0
+    df.loc[len(df)] = [len(df), "solo", 5]
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = (
+        grouped_rank_dense(ds, "part", "key", descending=True,
+                           with_pct=True)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    g = df.groupby("part")["key"]
+    n = df.groupby("part")["key"].transform("size").to_numpy()
+    rnk = g.rank(method="min", ascending=False).astype(int).to_numpy()
+    want_pct = np.where(n > 1, (rnk - 1) / np.maximum(n - 1, 1), 0.0)
+    want_cume = g.rank(method="max", ascending=False).to_numpy() / n
+    assert (got["pct_rank"].to_numpy() == want_pct).all()
+    assert (got["cume_dist"].to_numpy() == want_cume).all()
+
+
+def test_events_retention_invariants(ray_session):
+    """Offset-0 count per cohort equals cohort size; total cell mass
+    equals the distinct (user, day) grain."""
+    import duckdb
+
+    from zzzarchived_arxiv_fulltext_ray.pipelines.queries_corpus import (
+        _q_events_retention,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = _q_events_retention(sf)
+    con = duckdb.connect()
+    grain = con.execute(
+        "SELECT count(*) FROM (SELECT DISTINCT user_id, "
+        "epoch_us(ts) // 86400000000 FROM "
+        f"read_parquet('{sf}/events.parquet'))"
+    ).fetchone()[0]
+    n_users = con.execute(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchone()[0]
+    assert out["n_users"].sum() == grain
+    day0 = out[out["day_offset"] == 0]
+    assert day0["n_users"].sum() == n_users
+    assert (out["day_offset"] >= 0).all()

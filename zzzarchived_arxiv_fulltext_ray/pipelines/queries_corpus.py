@@ -1676,16 +1676,16 @@ ORDER BY name_a, name_b
 
 
 def _q_lang_rank_dense(sf_dir: str):
-    """Tie-aware per-language length ranking: RANK + DENSE_RANK over
-    n_chars DESC (ties are real — lengths repeat within a language).
-    Both ranks are value-functions, so the plan is one histogram
-    aggregate + a stateless broadcast probe (``stages.window
-    .grouped_rank_dense``) — no group shuffle."""
+    """Tie-aware per-language length ranking: RANK, DENSE_RANK,
+    PERCENT_RANK and CUME_DIST over n_chars DESC (ties are real —
+    lengths repeat within a language). All four are value-functions,
+    so the plan is one histogram aggregate + a stateless broadcast
+    probe (``stages.window.grouped_rank_dense``) — no group shuffle."""
     from ..stages.window import grouped_rank_dense
 
     docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
     out = grouped_rank_dense(
-        docs, "lang", "n_chars", descending=True
+        docs, "lang", "n_chars", descending=True, with_pct=True
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -1696,7 +1696,11 @@ SELECT doc_id, lang, n_chars,
        CAST(rank() OVER (PARTITION BY lang
                          ORDER BY n_chars DESC) AS BIGINT) AS rnk,
        CAST(dense_rank() OVER (PARTITION BY lang
-                               ORDER BY n_chars DESC) AS BIGINT) AS drnk
+                               ORDER BY n_chars DESC) AS BIGINT) AS drnk,
+       percent_rank() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC) AS pct_rank,
+       cume_dist() OVER (PARTITION BY lang
+                         ORDER BY n_chars DESC) AS cume_dist
 FROM documents
 ORDER BY doc_id
 """
@@ -1813,4 +1817,91 @@ SELECT b.typo_name AS name_a, c.c_name AS name_b,
 FROM blocklist b JOIN customer c
   ON levenshtein(b.typo_name, c.c_name) <= 1
 ORDER BY name_a, name_b
+"""
+
+
+# ------------------------------------------------ cohort retention
+
+def _q_events_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by first-activity day
+    (the cohort), counted per day-offset of each later active day.
+
+    Scale shape: the event stream collapses per batch to the distinct
+    (user, day) grain before its one exchange; the cohort/offset
+    derivation is a per-USER group task (high-cardinality key — no
+    giant group); the final (cohort, offset) matrix aggregates with a
+    per-batch combine. Three exchanges total, each over grains that
+    shrink monotonically."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    _US_PER_DAY = 86_400_000_000
+
+    def day_grain(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(batch["ts"], pa.int64()), _US_PER_DAY)
+        t = pa.Table.from_arrays(
+            [batch["user_id"].combine_chunks(), day],
+            names=["user_id", "epoch_day"],
+        )
+        return t.group_by(["user_id", "epoch_day"]).aggregate([])
+
+    grain = (
+        ev.map_batches(day_grain, batch_format="pyarrow")
+        .groupby(["user_id", "epoch_day"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def offsets_of_user(g: pa.Table) -> pa.Table:
+        days = g["epoch_day"].to_numpy(zero_copy_only=False)
+        cohort = days.min()
+        return pa.Table.from_pydict(
+            {
+                "cohort_day": pa.array(
+                    [int(cohort)] * len(days), pa.int64()
+                ),
+                "day_offset": pa.array(days - cohort, pa.int64()),
+            }
+        )
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["cohort_day", "day_offset"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["cohort_day", "day_offset", "n_users"])
+
+    out = (
+        grain.groupby("user_id")
+        .map_groups(offsets_of_user, batch_format="pyarrow")
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["cohort_day", "day_offset"]).reset_index(
+        drop=True
+    )
+
+
+CORPUS_QUERIES["events_retention"] = _q_events_retention
+CORPUS_ORACLE_SQL["events_retention"] = """
+WITH grain AS (
+    SELECT DISTINCT user_id,
+           epoch_us(ts) // 86400000000 AS epoch_day
+    FROM events
+), firstd AS (
+    SELECT user_id, min(epoch_day) AS cohort_day
+    FROM grain GROUP BY user_id
+)
+SELECT f.cohort_day,
+       g.epoch_day - f.cohort_day AS day_offset,
+       count(*) AS n_users
+FROM grain g JOIN firstd f USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
 """

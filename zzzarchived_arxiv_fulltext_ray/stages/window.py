@@ -333,7 +333,7 @@ def shard_assign(
     return out.sort_values("doc_id").reset_index(drop=True)
 
 def grouped_rank_dense(ds, part_col: str, key_col: str,
-                       descending: bool = True):
+                       descending: bool = True, with_pct: bool = False):
     """Exact ``rank()`` and ``dense_rank()`` ``OVER (PARTITION BY part
     ORDER BY key [DESC])`` — the tie-AWARE siblings of
     :func:`grouped_row_number`.
@@ -348,7 +348,10 @@ def grouped_rank_dense(ds, part_col: str, key_col: str,
     with ``np.searchsorted`` — no exchange, no group shuffle at all.
 
     Returns the input columns + ``rnk`` + ``drnk`` (both int64,
-    1-based)."""
+    1-based). ``with_pct=True`` adds ``pct_rank`` (= (rnk-1)/(n-1),
+    0.0 for single-row partitions) and ``cume_dist`` (= rows ordered
+    at-or-before v / n) — also pure value-functions of the same
+    histogram, so still no exchange."""
     from ray.data.aggregate import Sum
 
     def count_partial(batch: pa.Table) -> pa.Table:
@@ -374,27 +377,44 @@ def grouped_rank_dense(ds, part_col: str, key_col: str,
         cnt = grp["n"].to_numpy()[order].astype(np.int64)
         k = len(vals)
         csum = np.cumsum(cnt)
+        total = int(csum[-1])
         if descending:
             rnk = csum[-1] - csum + 1          # 1 + #strictly greater
             drnk = np.arange(k, 0, -1, dtype=np.int64)
+            at_or_before = total - csum + cnt  # rows with key >= v
         else:
             rnk = np.concatenate(([1], csum[:-1] + 1)).astype(np.int64)
             drnk = np.arange(1, k + 1, dtype=np.int64)
-        lut[part] = (vals, rnk, drnk)
+            at_or_before = csum                # rows with key <= v
+        pct = (
+            (rnk - 1) / (total - 1) if total > 1
+            else np.zeros(k, dtype=np.float64)
+        )
+        cume = at_or_before / total
+        lut[part] = (vals, rnk, drnk, pct, cume)
 
     def annotate(batch: pa.Table) -> pa.Table:
         parts = np.asarray(batch[part_col].to_pylist())
         keys = batch[key_col].to_numpy(zero_copy_only=False)
         rnk = np.zeros(len(parts), dtype=np.int64)
         drnk = np.zeros(len(parts), dtype=np.int64)
-        for part, (vals, r, d) in lut.items():
+        pct = np.zeros(len(parts), dtype=np.float64)
+        cume = np.zeros(len(parts), dtype=np.float64)
+        for part, (vals, r, d, p, c) in lut.items():
             m = parts == part
             if m.any():
                 idx = np.searchsorted(vals, keys[m])
                 rnk[m] = r[idx]
                 drnk[m] = d[idx]
-        return batch.append_column(
+                pct[m] = p[idx]
+                cume[m] = c[idx]
+        out = batch.append_column(
             "rnk", pa.array(rnk, pa.int64())
         ).append_column("drnk", pa.array(drnk, pa.int64()))
+        if with_pct:
+            out = out.append_column(
+                "pct_rank", pa.array(pct, pa.float64())
+            ).append_column("cume_dist", pa.array(cume, pa.float64()))
+        return out
 
     return ds.map_batches(annotate, batch_format="pyarrow")
