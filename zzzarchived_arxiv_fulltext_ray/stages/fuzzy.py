@@ -201,6 +201,10 @@ def fuzzy_self_join(ds, col: str, max_bucket: int = 256, max_len: int = 64):
         pairs.map_batches(local_distinct, batch_format="pyarrow")
         .groupby(["name_a", "name_b"])
         .aggregate(Max("dist", alias_name="dist"))
+        # the verified-distinct result is tiny (pairs, not corpus):
+        # materialize it so the emptiness probe and the caller's
+        # consumption share ONE execution of the plan
+        .materialize()
     )
     if out.count() == 0:  # all buckets trivial/dropped: typed empty
         import ray.data as rd
@@ -338,6 +342,7 @@ def fuzzy_join(
         pairs.map_batches(local_distinct, batch_format="pyarrow")
         .groupby(["name_a", "name_b"])
         .aggregate(Max("dist", alias_name="dist"))
+        .materialize()  # tiny result: one execution for probe + caller
     )
     if out.count() == 0:
         import ray.data as rd
