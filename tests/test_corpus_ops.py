@@ -880,3 +880,88 @@ def test_events_retention_invariants(ray_session):
     day0 = out[out["day_offset"] == 0]
     assert day0["n_users"].sum() == n_users
     assert (out["day_offset"] >= 0).all()
+
+
+def test_bloom_prefiltered_join_identical_and_prunes(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.dedup import build_key_bloom
+    from zzzarchived_arxiv_fulltext_ray.stages.relational import (
+        bloom_prefiltered_join,
+        partitioned_hash_join,
+    )
+
+    rng = np.random.default_rng(17)
+    probe = pd.DataFrame(
+        {"k": rng.integers(0, 1000, size=4000), "v": np.arange(4000)}
+    )
+    build = pd.DataFrame(
+        {"k": np.arange(0, 1000, 7), "w": np.arange(0, 1000, 7) * 10}
+    )  # ~14% selective
+    lds = ray.data.from_pandas(probe).repartition(4)
+    rds = ray.data.from_pandas(build).repartition(2)
+
+    want = (
+        partitioned_hash_join(lds, rds, "k", num_buckets=8)
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    got = (
+        bloom_prefiltered_join(lds, rds, "k", num_buckets=8,
+                               n_bits=1 << 14)
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )
+
+    # the Bloom really prunes: definite non-members are gone pre-join
+    bf = build_key_bloom(rds, col="k", n_bits=1 << 14)
+    from zzzarchived_arxiv_fulltext_ray.functions.hashing import (
+        hash64_column,
+    )
+    import pyarrow as _pa
+
+    maybe = bf.contains_hashes(
+        hash64_column(_pa.chunked_array([_pa.array(probe["k"])]))
+    )
+    # at 14% build selectivity + small FP rate, most rows must drop
+    assert maybe.mean() < 0.5
+
+
+def test_bloom_prefiltered_join_composite_and_bad_how(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.relational import (
+        bloom_prefiltered_join,
+        partitioned_hash_join,
+    )
+
+    rng = np.random.default_rng(23)
+    probe = pd.DataFrame(
+        {
+            "a": rng.integers(0, 30, size=500),
+            "b": rng.choice(["x", "y", "z"], size=500),
+            "v": np.arange(500),
+        }
+    )
+    build = pd.DataFrame(
+        {"a": np.arange(0, 30, 3), "b": ["x"] * 10, "w": np.arange(10)}
+    )
+    lds = ray.data.from_pandas(probe).repartition(3)
+    rds = ray.data.from_pandas(build)
+    want = (
+        partitioned_hash_join(lds, rds, ["a", "b"], num_buckets=4)
+        .to_pandas().sort_values(["a", "b", "v"]).reset_index(drop=True)
+    )
+    got = (
+        bloom_prefiltered_join(lds, rds, ["a", "b"], num_buckets=4,
+                               n_bits=1 << 12)
+        .to_pandas().sort_values(["a", "b", "v"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )
+    with pytest.raises(ValueError, match="inner/semi"):
+        bloom_prefiltered_join(lds, rds, "a", how="left")

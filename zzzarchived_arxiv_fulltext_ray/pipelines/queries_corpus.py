@@ -1905,3 +1905,83 @@ FROM grain g JOIN firstd f USING (user_id)
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ------------------------------------- bloom-prefiltered join
+
+def _q_urgent_revenue_by_month(sf_dir: str):
+    """Selective-build-side join witness: lineitem joined to URGENT
+    orders only (~20% of orders) through
+    ``stages.relational.bloom_prefiltered_join`` — a Bloom of the
+    build side's keys is broadcast once and prunes ~80% of the probe
+    exchange before the bucketed join; false positives ride through
+    to the exact Acero join so the result is identical to the
+    unpruned join (pinned in pytest)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.relational import bloom_prefiltered_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice"],
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(batch["l_extendedprice"], 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        t = pa.Table.from_arrays(
+            [batch["l_orderkey"].combine_chunks(), cents],
+            names=["orderkey", "cents"],
+        )
+        g = t.group_by("orderkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["orderkey", "cents"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+    )
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["o_orderpriority"], "1-URGENT")
+        b = batch.filter(keep)
+        return pa.Table.from_arrays(
+            [
+                b["o_orderkey"].combine_chunks(),
+                pc.strftime(b["o_orderdate"], format="%Y-%m"),
+            ],
+            names=["orderkey", "month"],
+        )
+
+    joined = bloom_prefiltered_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        key="orderkey",
+        num_buckets=64,
+    )
+    out = (
+        joined.groupby("month")
+        .aggregate(Sum("cents", alias_name="sum_cents"))
+        .to_pandas()
+    )
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    return out.sort_values("month").reset_index(drop=True)
+
+
+CORPUS_QUERIES["urgent_revenue_by_month"] = _q_urgent_revenue_by_month
+CORPUS_ORACLE_SQL["urgent_revenue_by_month"] = """
+SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY 1
+ORDER BY 1
+"""

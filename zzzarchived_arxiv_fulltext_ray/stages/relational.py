@@ -248,3 +248,87 @@ def grouped_mode(grain_ds, row_col: str, col_col: str):
     return grain_ds.groupby(row_col).map_groups(
         pick, batch_format="pyarrow"
     )
+
+
+def bloom_prefiltered_join(
+    left_ds,
+    right_ds,
+    key,
+    num_buckets: int = 128,
+    how: str = "inner",
+    n_bits: int = 1 << 22,
+    k: int = 4,
+):
+    """Bucketed hash join with a Bloom pre-filter: build a Bloom over
+    the RIGHT side's keys (tree-merged partials, see
+    ``dedup.build_key_bloom``), broadcast the bits once, and drop
+    probe (left) rows that definitely have no match BEFORE the
+    exchange — the classic join-pruning sidecar for a selective build
+    side. False positives just ride through to the exact Acero join,
+    so the result is IDENTICAL to :func:`partitioned_hash_join`; what
+    changes is shuffle volume (~selectivity of the build side, e.g. a
+    20%-selective dim filter prunes ~80% of the probe exchange minus
+    the FP rate). Size ``n_bits`` ~10 bits per expected build-side
+    key.
+
+    Only ``inner`` and ``semi`` are legal: those are the joins where a
+    probe row without a build-side match contributes nothing. (An
+    anti join could use the Bloom the other way — emit definite
+    non-members directly — but that is a different plan.) Composite
+    keys hash as in the underlying join (XOR of per-column hashes).
+    """
+    if how not in ("inner", "semi"):
+        raise ValueError(
+            f"bloom_prefiltered_join: how={how!r} would drop rows that "
+            "belong in the result; only inner/semi are prunable"
+        )
+    import ray
+
+    from .dedup import build_key_bloom
+
+    keys: List[str] = [key] if isinstance(key, str) else list(key)
+
+    if len(keys) == 1:
+        bloom = build_key_bloom(
+            right_ds, col=keys[0], n_bits=n_bits, k=k
+        )
+
+        def key_hashes(batch: pa.Table) -> np.ndarray:
+            return _hash64_column(batch[keys[0]])
+
+    else:
+        # composite: insert the XOR-combined hash, same as bucketing
+        from ..functions.sketches import BloomFilter
+
+        def key_hashes(batch: pa.Table) -> np.ndarray:
+            h = _hash64_column(batch[keys[0]])
+            for extra in keys[1:]:
+                h = h ^ _hash64_column(batch[extra])
+            return h
+
+        def partial(batch: pa.Table) -> pa.Table:
+            bf = BloomFilter(n_bits, k)
+            bf.add_hashes(key_hashes(batch))
+            return pa.Table.from_pydict(
+                {"blob": pa.array([bf.serialize()], pa.large_binary())}
+            )
+
+        bloom = BloomFilter(n_bits, k)
+        partials = right_ds.select_columns(keys).map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        )
+        for b in partials.iter_batches(batch_format="pyarrow"):
+            for blob in b["blob"].to_pylist():
+                bloom.merge(BloomFilter.deserialize(blob, n_bits, k))
+
+    bref = ray.put(bloom)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        bf = ray.get(bref)
+        maybe = bf.contains_hashes(key_hashes(batch))
+        return batch.filter(pa.array(maybe))
+
+    pruned = left_ds.map_batches(prune, batch_format="pyarrow")
+    return partitioned_hash_join(
+        pruned, right_ds, key, num_buckets=num_buckets, how=how
+    )
