@@ -1985,3 +1985,82 @@ WHERE o.o_orderpriority = '1-URGENT'
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# -------------------------------------- grouped frequency top-k
+
+def _q_lang_top_tokens(sf_dir: str):
+    """Top-10 tokens per language by corpus count (ties -> token asc).
+    Plan: per-batch (lang, token) Counter combine -> one exchange over
+    the (lang, token) grain -> per-batch LOCAL top-10 per lang over
+    the finalized counts -> tiny per-lang merge. The merge group holds
+    <= 10 x batches rows, never a language's vocabulary — the
+    partial-top-k combiner shape (``ann_topk``, `top_docs_per_lang`)."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    K = 10
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for lang, text in zip(
+            batch["lang"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for tok in text.split():
+                counts[(lang, tok)] += 1
+        langs, toks = (
+            zip(*counts.keys()) if counts else ((), ())
+        )
+        return pa.Table.from_pydict(
+            {
+                "lang": pa.array(list(langs), pa.string()),
+                "token": pa.array(list(toks), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def _topk(t: pa.Table) -> pa.Table:
+        langs = np.asarray(t["lang"].to_pylist())
+        toks = np.asarray(t["token"].to_pylist())
+        ns = t["n"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(langs), dtype=bool)
+        for lang in np.unique(langs):
+            m = np.nonzero(langs == lang)[0]
+            order = np.lexsort((toks[m], -ns[m]))[:K]
+            keep[m[order]] = True
+        return t.filter(pa.array(keep))
+
+    out = (
+        _docs(sf_dir, ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(_topk, batch_format="pyarrow")  # local top-k
+        .groupby("lang")
+        .map_groups(_topk, batch_format="pyarrow")   # tiny merge
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(
+        ["lang", "n", "token"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+
+
+CORPUS_QUERIES["lang_top_tokens"] = _q_lang_top_tokens
+CORPUS_ORACLE_SQL["lang_top_tokens"] = """
+SELECT lang, token, n FROM (
+    SELECT lang, token, CAST(count(*) AS BIGINT) AS n,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY count(*) DESC, token) AS rn
+    FROM (SELECT lang,
+                 unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x <> '')) AS token
+          FROM documents)
+    GROUP BY lang, token
+)
+WHERE rn <= 10
+ORDER BY lang, n DESC, token
+"""
