@@ -965,3 +965,17 @@ def test_bloom_prefiltered_join_composite_and_bad_how(ray_session):
     )
     with pytest.raises(ValueError, match="inner/semi"):
         bloom_prefiltered_join(lds, rds, "a", how="left")
+
+
+def test_grouped_rank_dense_null_keys_raise(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.window import (
+        grouped_rank_dense,
+    )
+
+    df = pd.DataFrame({"part": ["a", "a", None], "key": [1.0, None, 2.0]})
+    ds = ray.data.from_pandas(df)
+    with pytest.raises(ValueError, match="null"):
+        grouped_rank_dense(ds, "part", "key").to_pandas()

@@ -368,6 +368,12 @@ def grouped_rank_dense(ds, part_col: str, key_col: str,
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
+    if hist[key_col].isna().any() or hist[part_col].isna().any():
+        raise ValueError(
+            "grouped_rank_dense: null partition/order keys are not "
+            "supported (SQL NULL ordering is dialect-dependent; filter "
+            "or fill them first)"
+        )
     # per part: ascending distinct keys -> (rank, dense_rank) arrays
     lut: Dict[object, tuple] = {}
     for part, grp in hist.groupby(part_col):
