@@ -979,3 +979,78 @@ def test_grouped_rank_dense_null_keys_raise(ray_session):
     ds = ray.data.from_pandas(df)
     with pytest.raises(ValueError, match="null"):
         grouped_rank_dense(ds, "part", "key").to_pandas()
+
+
+def test_skew_routed_join_identical_on_skewed_keys(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.relational import (
+        partitioned_hash_join,
+        skew_routed_join,
+    )
+
+    rng = np.random.default_rng(31)
+    # 60% of probe rows hit 2 hot keys; the rest spread over 500
+    hot = rng.choice([7, 13], size=3000)
+    cold = rng.integers(100, 600, size=2000)
+    probe = pd.DataFrame(
+        {"k": np.concatenate([hot, cold]), "v": np.arange(5000)}
+    )
+    build = pd.DataFrame(
+        {"k": np.arange(0, 620), "w": np.arange(0, 620) * 2}
+    )
+    lds = ray.data.from_pandas(probe).repartition(5)
+    rds = ray.data.from_pandas(build).repartition(2)
+
+    want = (
+        partitioned_hash_join(lds, rds, "k", num_buckets=8)
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    for hk in (None, [7, 13]):  # auto-detect AND explicit routing
+        got = (
+            skew_routed_join(lds, rds, "k", num_buckets=8, hot_keys=hk)
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want, check_dtype=False
+        )
+
+    # semi spelling, explicit hot keys
+    want_semi = (
+        partitioned_hash_join(lds, rds, "k", num_buckets=8, how="semi")
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    got_semi = (
+        skew_routed_join(lds, rds, "k", num_buckets=8, how="semi",
+                         hot_keys=[7, 13])
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got_semi[want_semi.columns.tolist()], want_semi,
+        check_dtype=False,
+    )
+
+
+def test_skew_routed_join_guards(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.relational import (
+        skew_routed_join,
+    )
+
+    probe = pd.DataFrame({"k": [1] * 50, "v": range(50)})
+    build = pd.DataFrame({"k": [1] * 30, "w": range(30)})
+    lds, rds = ray.data.from_pandas(probe), ray.data.from_pandas(build)
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        skew_routed_join(lds, rds, "k", hot_keys=[1],
+                         max_broadcast_rows=10).to_pandas()
+    with pytest.raises(ValueError, match="inner/semi"):
+        skew_routed_join(lds, rds, "k", how="left")
+    # hot key absent from build side: inner join result is empty
+    out = skew_routed_join(
+        lds, ray.data.from_pandas(pd.DataFrame({"k": [2], "w": [9]})),
+        "k", hot_keys=[1],
+    ).to_pandas()
+    assert len(out) == 0

@@ -2064,3 +2064,48 @@ SELECT lang, token, n FROM (
 WHERE rn <= 10
 ORDER BY lang, n DESC, token
 """
+
+
+# ------------------------------------------- skew-routed join
+
+def _q_doc_lang_enriched(sf_dir: str):
+    """Per-group stats joined back onto the rows — on a maximally
+    skewed key (5 languages, every key hot). A hash-partitioned join
+    on lang would put ~40% of the corpus in one reduce task;
+    ``stages.relational.skew_routed_join`` detects the hot keys from
+    probe-side count partials and routes them through a broadcast
+    mini-join instead (no exchange for the skewed mass; cold keys —
+    none here — still take the bucketed plan). Pinned identical to
+    the plain bucketed join in pytest."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..stages.relational import skew_routed_join
+
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["lang"]).group_by("lang").aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["lang", "lang_docs"])
+
+    counts = (
+        _docs(sf_dir, ["lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("lang_docs", alias_name="lang_docs"))
+    )
+    out = skew_routed_join(docs, counts, key="lang").to_pandas()
+    out["lang_docs"] = out["lang_docs"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+CORPUS_QUERIES["doc_lang_enriched"] = _q_doc_lang_enriched
+CORPUS_ORACLE_SQL["doc_lang_enriched"] = """
+SELECT d.doc_id, d.lang, c.lang_docs
+FROM documents d
+JOIN (SELECT lang, count(*) AS lang_docs
+      FROM documents GROUP BY lang) c USING (lang)
+ORDER BY d.doc_id
+"""

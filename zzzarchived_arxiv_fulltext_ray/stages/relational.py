@@ -332,3 +332,156 @@ def bloom_prefiltered_join(
     return partitioned_hash_join(
         pruned, right_ds, key, num_buckets=num_buckets, how=how
     )
+
+
+def skew_routed_join(
+    left_ds,
+    right_ds,
+    key: str,
+    num_buckets: int = 128,
+    how: str = "inner",
+    hot_keys=None,
+    hot_fraction: float = 0.02,
+    candidates_per_batch: int = 16,
+    max_broadcast_rows: int = 100_000,
+):
+    """Bucketed hash join with HOT-KEY routing — the salting answer to
+    probe-side key skew. A key holding a large fraction of the probe
+    stream turns one reduce task into the whole job's straggler under
+    any hash partitioning; replicating the (small) build rows for just
+    those keys removes the skew without touching the cold path.
+
+    Plan: (1) detect hot keys from probe-side per-batch count partials
+    (tiny driver merge; or pass ``hot_keys`` explicitly — e.g. known
+    boilerplate domains), (2) split both sides with a vectorized
+    ``is_in``, (3) cold rows take :func:`partitioned_hash_join`
+    unchanged, (4) hot probe rows join against the broadcast build
+    rows of the hot keys inside ``map_batches`` (no exchange at all
+    for the skewed mass), (5) union. Results are identical to the
+    unrouted join (pinned in pytest) because routing is a disjoint
+    partition of the key space.
+
+    ``inner``/``semi`` only (the split is a row-disjoint partition of
+    each side's MATCHING rows; outer/anti semantics would need
+    null-extension bookkeeping across the two plans). Guard:
+    broadcast build rows are capped at ``max_broadcast_rows`` — a
+    build side that is itself huge on a hot key means the join is a
+    near-cross-product and needs a different algorithm, so raise
+    loudly rather than OOM quietly.
+
+    Hot detection is HEURISTIC (per-batch top-``candidates_per_batch``
+    partials): a key spread thinly across batches can evade it, which
+    only costs the cold path its usual skew, never correctness.
+    """
+    if how not in ("inner", "semi"):
+        raise ValueError(
+            f"skew_routed_join: how={how!r} unsupported; only "
+            "inner/semi partition cleanly across the two routes"
+        )
+    import ray
+
+    if hot_keys is None:
+        from collections import Counter
+
+        def count_partial(batch: pa.Table) -> pa.Table:
+            vc = pc.value_counts(batch[key].combine_chunks())
+            if len(vc) == 0:
+                return pa.table(
+                    {"k": batch[key].slice(0, 0),
+                     "n": pa.array([], pa.int64()),
+                     "rows": pa.array([], pa.int64())}
+                )
+            order = pc.array_sort_indices(
+                vc.field("counts"), order="descending"
+            ).slice(0, candidates_per_batch)
+            n_out = len(order)
+            return pa.Table.from_pydict(
+                {
+                    "k": pc.take(vc.field("values"), order),
+                    "n": pc.take(vc.field("counts"), order),
+                    "rows": pa.array(
+                        [batch.num_rows] + [0] * (n_out - 1), pa.int64()
+                    ),
+                }
+            )
+
+        merged: Counter = Counter()
+        total = 0
+        for b in (
+            left_ds.select_columns([key])
+            .map_batches(count_partial, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        ):
+            total += int(pc.sum(b["rows"]).as_py() or 0)
+            for kv, n in zip(b["k"].to_pylist(), b["n"].to_pylist()):
+                merged[kv] += n
+        hot_keys = [
+            kv for kv, n in merged.items()
+            if total and n >= hot_fraction * total
+        ]
+
+    if not hot_keys:
+        return partitioned_hash_join(
+            left_ds, right_ds, key, num_buckets=num_buckets, how=how
+        )
+
+    hot_set = pa.array(list(hot_keys))
+
+    def split(ds, want_hot: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            m = pc.is_in(batch[key], value_set=hot_set)
+            return batch.filter(m if want_hot else pc.invert(m))
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    # broadcast the hot build rows once (bounded + guarded). iter
+    # rather than take_all: stops accumulating right at the guard.
+    hot_tables = []
+    n_hot_rows = 0
+    for t in split(right_ds, True).iter_batches(batch_format="pyarrow"):
+        hot_tables.append(t)
+        n_hot_rows += t.num_rows
+        if n_hot_rows > max_broadcast_rows:
+            break
+    if hot_tables:
+        hot_build = pa.concat_tables(hot_tables)
+    else:  # hot keys absent from the build side: typed empty
+        fields = []
+        sch = right_ds.schema()
+        for name, typ in zip(sch.names, sch.types):
+            if not isinstance(typ, pa.DataType):
+                typ = (
+                    pa.string()
+                    if typ is object or typ == np.dtype("O")
+                    else pa.from_numpy_dtype(np.dtype(typ))
+                )
+            fields.append((name, typ))
+        hot_build = pa.schema(fields).empty_table()
+    if hot_build.num_rows > max_broadcast_rows:
+        raise ValueError(
+            f"skew_routed_join: {hot_build.num_rows} hot build rows "
+            f"exceed max_broadcast_rows={max_broadcast_rows}; the hot "
+            "keys are not a small-dim pattern — use a different plan"
+        )
+    build_ref = ray.put(hot_build)
+    join_type = _ARROW_JOIN_TYPE[how]
+
+    def hot_join(batch: pa.Table) -> pa.Table:
+        build = ray.get(build_ref)
+        if how == "semi":
+            return batch.join(
+                build.select([key]), keys=[key], join_type=join_type
+            )
+        return batch.join(build, keys=[key], join_type=join_type)
+
+    joined_hot = split(left_ds, True).map_batches(
+        hot_join, batch_format="pyarrow"
+    )
+    joined_cold = partitioned_hash_join(
+        split(left_ds, False),
+        split(right_ds, False),
+        key,
+        num_buckets=num_buckets,
+        how=how,
+    )
+    return joined_cold.union(joined_hot)
