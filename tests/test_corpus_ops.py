@@ -1054,3 +1054,47 @@ def test_skew_routed_join_guards(ray_session):
         "k", hot_keys=[1],
     ).to_pandas()
     assert len(out) == 0
+
+
+def test_pivot_unpivot_round_trip(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.relational import (
+        grouped_value_counts,
+        pivot_wide,
+        unpivot_long,
+    )
+
+    rng = np.random.default_rng(37)
+    df = pd.DataFrame(
+        {
+            "row": rng.choice(["r1", "r2", "r3", "r4"], size=400),
+            "col": rng.choice(["x", "y", "z"], size=400),
+        }
+    )
+    grain = grouped_value_counts(
+        ray.data.from_pandas(df).repartition(3), "row", "col"
+    )
+    wide = pivot_wide(grain, "row", "col", ["x", "y", "z"])
+    back = (
+        unpivot_long(wide, "row", ["x", "y", "z"])
+        .to_pandas()
+        .sort_values(["row", "col"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby(["row", "col"]).size().rename("n").reset_index()
+        .set_index(["row", "col"])
+        .reindex(
+            pd.MultiIndex.from_product(
+                [sorted(df["row"].unique()), ["x", "y", "z"]],
+                names=["row", "col"],
+            ),
+            fill_value=0,
+        )
+        .reset_index()
+    )
+    assert (back["row"] == want["row"]).all()
+    assert (back["col"] == want["col"]).all()
+    assert (back["n"].to_numpy() == want["n"].to_numpy()).all()

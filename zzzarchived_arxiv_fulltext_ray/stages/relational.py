@@ -485,3 +485,32 @@ def skew_routed_join(
         how=how,
     )
     return joined_cold.union(joined_hot)
+
+
+def unpivot_long(wide_ds, row_col: str, categories: List[str],
+                 col_name: str = "col", val_name: str = "n"):
+    """UNPIVOT/melt — the inverse of :func:`pivot_wide`: each wide row
+    explodes to one (row, category, value) row per declared category.
+    Pure per-batch reshape (numpy repeat/tile), no exchange; the
+    declared-category contract mirrors the pivot side."""
+    cats = list(categories)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        k = len(cats)
+        rows = pc.take(
+            batch[row_col].combine_chunks(),
+            pa.array(np.repeat(np.arange(n), k)),
+        )
+        col = pa.array(np.tile(np.asarray(cats, dtype=object), n))
+        # category-blocked concat -> row-major interleave via one take
+        vals = pa.concat_arrays(
+            [batch[c].combine_chunks() for c in cats]
+        )
+        order = np.arange(n * k).reshape(k, n).T.ravel()
+        vals = pc.take(vals, pa.array(order))
+        return pa.Table.from_arrays(
+            [rows, col, vals], names=[row_col, col_name, val_name]
+        )
+
+    return wide_ds.map_batches(melt, batch_format="pyarrow")
