@@ -344,6 +344,7 @@ def skew_routed_join(
     hot_fraction: float = 0.02,
     candidates_per_batch: int = 16,
     max_broadcast_rows: int = 100_000,
+    detect_rows: int = 250_000,
 ):
     """Bucketed hash join with HOT-KEY routing — the salting answer to
     probe-side key skew. A key holding a large fraction of the probe
@@ -407,8 +408,13 @@ def skew_routed_join(
 
         merged: Counter = Counter()
         total = 0
+        # SAMPLED detection: hot keys are by definition dense in any
+        # large prefix, so cap the scan at ``detect_rows`` instead of
+        # paying a full extra pass; a missed hot key only costs the
+        # cold path its usual skew, never correctness.
         for b in (
             left_ds.select_columns([key])
+            .limit(detect_rows)
             .map_batches(count_partial, batch_format="pyarrow")
             .iter_batches(batch_format="pyarrow")
         ):
