@@ -134,9 +134,9 @@ def _bucket_verified_pairs(names: np.ndarray) -> "tuple[list, list]":
             ii, jj = np.triu_indices(idx.size, k=1)
             mism = (mat[ii] != mat[jj]).sum(axis=1)
             hit = np.nonzero(mism == 1)[0]
-            for h in hit:
-                out_a.append(names[idx[ii[h]]])
-                out_b.append(names[idx[jj[h]]])
+            if hit.size:  # vectorized emission (hits can be dense)
+                out_a.extend(names[idx[ii[hit]]].tolist())
+                out_b.extend(names[idx[jj[hit]]].tolist())
         # adjacent length L vs L+1: deletion check per cross pair
         jdx = np.nonzero(lens == L + 1)[0]
         for i in idx:
