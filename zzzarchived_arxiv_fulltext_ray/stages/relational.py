@@ -313,9 +313,23 @@ def bloom_prefiltered_join(
                 {"blob": pa.array([bf.serialize()], pa.large_binary())}
             )
 
+        def merge_rows(batch: pa.Table) -> pa.Table:
+            bf = BloomFilter(n_bits, k)
+            for blob in batch["blob"].to_pylist():
+                bf.merge(BloomFilter.deserialize(blob, n_bits, k))
+            return pa.Table.from_pydict(
+                {"blob": pa.array([bf.serialize()], pa.large_binary())}
+            )
+
         bloom = BloomFilter(n_bits, k)
-        partials = right_ds.select_columns(keys).map_batches(
-            partial, batch_format="pyarrow", batch_size=None
+        # same merge TREE as build_key_bloom: driver sees <= 8 blobs,
+        # not one per input block
+        partials = (
+            right_ds.select_columns(keys)
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .repartition(8)
+            .map_batches(merge_rows, batch_format="pyarrow",
+                         batch_size=None)
         )
         for b in partials.iter_batches(batch_format="pyarrow"):
             for blob in b["blob"].to_pylist():
