@@ -97,6 +97,23 @@ def main():
     files = sorted(glob.glob(args.input))
     if not files and not args.watch:
         raise SystemExit(f"no input files match {args.input}")
+    if files:
+        # fail FAST on a non-pages input (the pipeline would otherwise
+        # die mid-stream with a raw batch dump): check the first
+        # fragment's parquet schema for the pages contract
+        import pyarrow.dataset as pds
+
+        try:
+            found = set(pds.dataset(files[0], format="parquet").schema.names)
+        except Exception as exc:  # unreadable input
+            raise SystemExit(f"cannot read {files[0]}: {exc}")
+        need = {"url", "warc_ts", "html"}
+        if not need <= found:
+            raise SystemExit(
+                f"input {files[0]} is not a pages table: missing columns "
+                f"{sorted(need - found)} (have {sorted(found)}). Expected "
+                "the Common-Crawl-style schema (url, warc_ts, html, ...)."
+            )
     if args.shard_by == "dir":
         by_dir = {}
         for f in files:
