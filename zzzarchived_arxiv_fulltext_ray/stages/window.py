@@ -351,7 +351,16 @@ def grouped_rank_dense(ds, part_col: str, key_col: str,
     1-based). ``with_pct=True`` adds ``pct_rank`` (= (rnk-1)/(n-1),
     0.0 for single-row partitions) and ``cume_dist`` (= rows ordered
     at-or-before v / n) — also pure value-functions of the same
-    histogram, so still no exchange."""
+    histogram, so still no exchange.
+
+    Bound honesty: "bounded by distinct (part, key) pairs" degenerates
+    to row count when the key is near-unique (continuous scores, raw
+    ids) — the same bounded-distinct assumption every histogram plan
+    in this repo makes (`global_row_number`, `lang_length_median`).
+    This operator is for REPEATING keys, where ties make
+    rank/dense_rank differ from row_number in the first place; for
+    near-unique keys bucketize/quantize first, or use a sort-based
+    ranking."""
     from ray.data.aggregate import Sum
 
     def count_partial(batch: pa.Table) -> pa.Table:
