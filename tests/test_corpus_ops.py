@@ -1098,3 +1098,34 @@ def test_pivot_unpivot_round_trip(ray_session):
     assert (back["row"] == want["row"]).all()
     assert (back["col"] == want["col"]).all()
     assert (back["n"].to_numpy() == want["n"].to_numpy()).all()
+
+
+def test_global_row_number_sorted_matches_histogram_plan(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.window import (
+        global_row_number,
+        global_row_number_sorted,
+    )
+
+    rng = np.random.default_rng(43)
+    # near-unique keys (the histogram plan's degenerate regime) PLUS
+    # planted heavy ties (the sort plan must tie-break on id)
+    keys = np.concatenate(
+        [rng.integers(0, 10**6, size=900), np.full(100, 777)]
+    )
+    df = pd.DataFrame({"id": np.arange(1000), "key": keys})
+    ds = ray.data.from_pandas(df).repartition(7)
+    for desc in (True, False):
+        a = (
+            global_row_number(ds, "id", "key", descending=desc)
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        b = (
+            global_row_number_sorted(ds, "id", "key", descending=desc)
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        assert (a["rnk"].to_numpy() == b["rnk"].to_numpy()).all()
+        # both are a permutation of 1..n
+        assert sorted(b["rnk"]) == list(range(1, 1001))

@@ -2109,3 +2109,27 @@ JOIN (SELECT lang, count(*) AS lang_docs
       FROM documents GROUP BY lang) c USING (lang)
 ORDER BY d.doc_id
 """
+
+
+def _q_doc_rank_sorted(sf_dir: str):
+    """`doc_rank`'s second physical plan: the same global row_number
+    through Ray's distributed sort + per-block base offsets
+    (``stages.window.global_row_number_sorted``) — the plan that stays
+    bounded when the order key is near-unique and the histogram plan's
+    driver state would degenerate to row count. Same oracle as
+    `doc_rank`; the two plans are pinned equal in pytest."""
+    from ..stages.window import global_row_number_sorted
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    out = global_row_number_sorted(docs, "doc_id", "n_chars").to_pandas()
+    out = out.rename(columns={"id": "doc_id", "key": "n_chars"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+CORPUS_QUERIES["doc_rank_sorted"] = _q_doc_rank_sorted
+CORPUS_ORACLE_SQL["doc_rank_sorted"] = """
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk
+FROM documents
+ORDER BY doc_id
+"""

@@ -433,3 +433,62 @@ def grouped_rank_dense(ds, part_col: str, key_col: str,
         return out
 
     return ds.map_batches(annotate, batch_format="pyarrow")
+
+def global_row_number_sorted(
+    ds,
+    id_col: str,
+    key_col: str,
+    descending: bool = True,
+):
+    """Exact global ``row_number() OVER (ORDER BY key [DESC], id)``
+    via Ray's distributed SORT — the scale-general sibling of
+    :func:`global_row_number` for NEAR-UNIQUE keys, where the
+    histogram plan's driver state would degenerate to row count.
+
+    Plan: ``ds.sort`` range-partitions into globally ordered blocks;
+    block row counts come from the materialized blocks' metadata (an
+    exclusive prefix over #blocks integers — the only driver state);
+    each block then annotates ``base + arange`` in place. The
+    annotation step drops to raw Ray tasks because a Dataset map
+    cannot see its block's global position — exactly the documented
+    last-resort case; order and lineage are preserved by operating on
+    the materialized sorted block refs.
+
+    Returns Dataset[(id, key, rnk)], rnk starting at 1.
+    """
+    import ray
+    import ray.data as rd
+
+    sorted_ds = (
+        ds.select_columns([id_col, key_col])
+        .sort([key_col, id_col], descending=[descending, False])
+        .materialize()
+    )
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    bases = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+    @ray.remote
+    def _annotate(t: pa.Table, base: int) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "id": t[id_col].combine_chunks(),
+                "key": t[key_col].combine_chunks(),
+                "rnk": pa.array(
+                    base + np.arange(1, t.num_rows + 1, dtype=np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return rd.from_arrow_refs(
+        [
+            _annotate.remote(r, int(b))
+            for r, b in zip(refs, bases)
+        ]
+    )
