@@ -2133,3 +2133,39 @@ SELECT doc_id, n_chars,
 FROM documents
 ORDER BY doc_id
 """
+
+
+def _q_source_lang_unpivot(sf_dir: str):
+    """UNPIVOT witness: the pivot matrix melted back to long form —
+    the DENSE (source, lang, n) grid including explicit zeros for
+    absent combinations (what distinguishes unpivot output from the
+    sparse counted grain). Pure per-batch reshape after the pivot; no
+    extra exchange."""
+    from ..stages.relational import (
+        grouped_value_counts,
+        pivot_wide,
+        unpivot_long,
+    )
+
+    langs = ["de", "en", "es", "fr", "zh"]
+    docs = _docs(sf_dir, ["source", "lang"])
+    grain = grouped_value_counts(docs, "source", "lang")
+    wide = pivot_wide(grain, "source", "lang", langs)
+    out = unpivot_long(
+        wide, "source", langs, col_name="lang", val_name="n"
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["source", "lang"]).reset_index(drop=True)
+
+
+CORPUS_QUERIES["source_lang_unpivot"] = _q_source_lang_unpivot
+CORPUS_ORACLE_SQL["source_lang_unpivot"] = """
+SELECT s.source, l.lang,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM (SELECT DISTINCT source FROM documents) s
+CROSS JOIN (VALUES ('de'), ('en'), ('es'), ('fr'), ('zh')) AS l(lang)
+LEFT JOIN (SELECT source, lang, count(*) AS n
+           FROM documents GROUP BY source, lang) c
+  ON c.source = s.source AND c.lang = l.lang
+ORDER BY s.source, l.lang
+"""
