@@ -197,3 +197,18 @@ def test_fuzzy_candidate_completeness_property():
             )
             got.update(zip(a, b))
         assert got == _brute_pairs(sorted(words)), f"trial {trial}"
+
+
+def test_fuzzy_byte_level_contract_on_unicode():
+    """The documented boundary: distance is BYTE-level Levenshtein.
+    A multi-byte character substitution is byte-distance 2, so such
+    pairs are (correctly, per contract) NOT matched even though their
+    character distance is 1 — pinned so the ASCII-only oracle claim
+    stays honest."""
+    names = np.array(sorted({"café", "cafe", "cafés"}), dtype=object)
+    a, b = _bucket_verified_pairs(names)
+    got = set(zip(a, b))
+    # "café" vs "cafés": one byte appended -> matched.
+    # "cafe" vs "café": é is 2 UTF-8 bytes -> byte distance 2 -> not.
+    assert ("café", "cafés") in got
+    assert ("cafe", "café") not in got
