@@ -19,6 +19,7 @@ def _docs(sf_dir: str, columns):
 
 
 def _q_dedup_ngram(sf_dir: str):
+    """N-gram Jaccard near-duplicate pairs (shingle -> capped inverted-index candidates -> exact verify, auto physical plan)."""
     from ..stages.neardup import neardup_pairs
 
     ds = neardup_pairs(
@@ -87,6 +88,7 @@ def _q_dedup_simhash(sf_dir: str):
 
 
 def _q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k ANN for 8 query vectors (partial-top-k combiner per batch; the exact baseline the IVF/LSH paths are pinned against)."""
     import ray.data
 
     from ..stages.similarity import ann_topk
@@ -101,6 +103,7 @@ def _q_ann_topk(sf_dir: str):
 
 
 def _q_embedding_neardup(sf_dir: str):
+    """Exact cosine near-duplicate pairs over the embedding column via the block-pair theta join (no broadcast corpus state)."""
     import ray.data
 
     from ..stages.similarity import embedding_neardup
@@ -112,6 +115,7 @@ def _q_embedding_neardup(sf_dir: str):
 
 
 def _q_text_quality(sf_dir: str):
+    """Length/punctuation/stopword quality scores per document (C4/Gopher-style feature kernels)."""
     from ..stages.textstage import quality_batch
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -121,6 +125,7 @@ def _q_text_quality(sf_dir: str):
 
 
 def _q_lang_id(sf_dir: str):
+    """N-gram-heuristic language identification per document vs the labeled lang column."""
     from ..stages.textstage import langid_batch
 
     ds = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
@@ -166,6 +171,7 @@ def _q_doc_winnow(sf_dir: str):
 
 
 def _q_multimodal_decode(sf_dir: str):
+    """Image decode/resize actor-pool stage over the synthetic binary image format (codec-gated; deterministic fake decode)."""
     from ..stages.multimodal import image_pipeline
 
     ds = image_pipeline(_docs(sf_dir, ["doc_id"]))
@@ -281,6 +287,7 @@ def _q_corpus_filter(sf_dir: str):
 
 
 def _q_multimodal_audio(sf_dir: str):
+    """Audio decode + 1-second feature-window stage over synthetic PCM payloads (codec-gated)."""
     from ..stages.multimodal import audio_pipeline
 
     ds = audio_pipeline(_docs(sf_dir, ["doc_id"]))
@@ -292,6 +299,7 @@ def _q_multimodal_audio(sf_dir: str):
 
 
 def _q_multimodal_video(sf_dir: str):
+    """Video frame-sampling stage over the synthetic container format (codec-gated)."""
     from ..stages.multimodal import video_pipeline
 
     ds = video_pipeline(_docs(sf_dir, ["doc_id"]), sample_every=25)
@@ -387,6 +395,7 @@ def _q_events_user_stats(sf_dir: str):
 
 
 def _q_events_windowed(sf_dir: str):
+    """Tumbling 1-hour event windows: per-(user, window) count + integer-cent sum."""
     import ray.data
 
     from ..stages.textstage import windowed_events

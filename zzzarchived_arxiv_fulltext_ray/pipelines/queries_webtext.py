@@ -257,9 +257,14 @@ ORDER BY g2.doc_id
 
 WEBTEXT_QUERIES["decontaminate"] = _q_decontaminate
 WEBTEXT_ORACLE_SQL["decontaminate"] = _DECON_SQL
-WEBTEXT_QUERIES["decontaminate_partitioned"] = (
-    lambda sf_dir: _q_decontaminate(sf_dir, plan="partitioned")
-)
+def _q_decontaminate_partitioned(sf_dir: str):
+    """Benchmark n-gram decontamination via the partitioned
+    hash-semi-join plan (no broadcast) — pinned equal to the
+    broadcast spelling under the same oracle."""
+    return _q_decontaminate(sf_dir, plan="partitioned")
+
+
+WEBTEXT_QUERIES["decontaminate_partitioned"] = _q_decontaminate_partitioned
 WEBTEXT_ORACLE_SQL["decontaminate_partitioned"] = _DECON_SQL
 
 
