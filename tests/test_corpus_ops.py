@@ -1129,3 +1129,32 @@ def test_global_row_number_sorted_matches_histogram_plan(ray_session):
         assert (a["rnk"].to_numpy() == b["rnk"].to_numpy()).all()
         # both are a permutation of 1..n
         assert sorted(b["rnk"]) == list(range(1, 1001))
+
+
+def test_distributed_kth_matches_numpy(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.selection import (
+        distributed_kth_value,
+        distributed_quantile_disc,
+    )
+
+    rng = np.random.default_rng(53)
+    # huge near-unique domain AND planted heavy duplicates
+    vals = np.concatenate(
+        [rng.integers(-(10**12), 10**12, size=5000),
+         np.full(500, 42), np.full(500, -7)]
+    )
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(5)
+    s = np.sort(vals)
+    for k in [1, 2, 500, 3000, len(vals)]:
+        assert distributed_kth_value(ds, "v", k) == s[k - 1]
+    for q in (0.5, 0.9, 0.01):
+        v, n = distributed_quantile_disc(ds, "v", q)
+        krank = max(1, -(-(round(q * 10**6) * n) // 10**6))
+        assert n == len(vals) and v == s[krank - 1]
+    with pytest.raises(ValueError, match="exceeds"):
+        distributed_kth_value(ds, "v", len(vals) + 1)
+    with pytest.raises(ValueError, match=">= 1"):
+        distributed_kth_value(ds, "v", 0)

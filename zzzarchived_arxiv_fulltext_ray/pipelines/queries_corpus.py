@@ -2169,3 +2169,42 @@ LEFT JOIN (SELECT source, lang, count(*) AS n
   ON c.source = s.source AND c.lang = l.lang
 ORDER BY s.source, l.lang
 """
+
+
+# ------------------------------- distributed exact selection
+
+def _q_events_median_value(sf_dir: str):
+    """Exact global median event value (integer cents) via iterative
+    bucket-refinement selection (``stages.selection``) — the quantile
+    plan whose driver state is one fixed bucket vector per pass, never
+    a value histogram: works unchanged when values are near-unique
+    over a huge domain (pinned on a ±10^12 domain in pytest)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..stages.selection import distributed_quantile_disc
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(b["value"], 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table({"cents": cents})
+
+    cents = ev.map_batches(to_cents, batch_format="pyarrow")
+    p50, n = distributed_quantile_disc(cents, "cents", 0.5)
+    return pd.DataFrame({"p50_cents": [int(p50)], "n": [int(n)]})
+
+
+CORPUS_QUERIES["events_median_value"] = _q_events_median_value
+CORPUS_ORACLE_SQL["events_median_value"] = """
+SELECT CAST(quantile_disc(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.5)
+            AS BIGINT) AS p50_cents,
+       count(*) AS n
+FROM events
+"""

@@ -1,0 +1,115 @@
+"""Exact distributed order-statistic selection (k-th smallest).
+
+``lang_p90_filter`` / ``lang_length_median`` compute exact quantiles
+through a (key -> count) value histogram — correct and cheap while the
+key domain is bounded (lengths, scores in cents at modest range), but
+the histogram degenerates to row count when values are near-unique
+over a huge domain. This stage is the scale-general complement: the
+classic ITERATIVE BUCKET REFINEMENT selection (distributed
+quickselect over the value domain), the same gap-closer for quantiles
+that ``window.global_row_number_sorted`` is for ranking.
+
+Plan per pass (int64 columns):
+
+1. driver holds a live range [lo, hi] and the target's residual rank
+   ``k_rem`` inside it (pass 0 seeds [min, max] from one aggregate);
+2. one projected scan: each batch bincounts its in-range values into
+   ``num_buckets`` equal-width buckets (a fixed 8 KiB int64 vector per
+   block — NO per-value state anywhere);
+3. the driver prefix-sums the merged vector, descends into the bucket
+   containing ``k_rem``, and tightens [lo, hi].
+
+Each pass shrinks the range by ~num_buckets x, so passes =
+ceil(log_B(domain)) — at B=4096 a full int64 domain takes 6 scans, a
+cents-scale domain 1-2. When the live range itself fits one bucket
+vector (width 1), the value is read off exactly. Total driver state:
+one int64[num_buckets] per pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["distributed_kth_value", "distributed_quantile_disc"]
+
+
+def _range_histogram(ds, col: str, lo: int, hi: int, num_buckets: int,
+                     width: int) -> np.ndarray:
+    """One scan: int64[num_buckets] counts of in-[lo, hi] values."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[col].to_numpy(zero_copy_only=False)
+        x = x[(x >= lo) & (x <= hi)]
+        b = ((x - lo) // width).astype(np.int64)
+        counts = np.bincount(b, minlength=num_buckets)[:num_buckets]
+        return pa.Table.from_pydict(
+            {"h": pa.array([counts], pa.list_(pa.int64()))}
+        )
+
+    total = np.zeros(num_buckets, dtype=np.int64)
+    partials = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    for t in partials.iter_batches(batch_format="pyarrow"):
+        for row in t["h"].to_pylist():
+            total += np.asarray(row, dtype=np.int64)
+    return total
+
+
+def distributed_kth_value(
+    ds, col: str, k: int, num_buckets: int = 4096
+) -> int:
+    """Exact k-th smallest (1-based) of an int64 column.
+
+    Raises if ``k`` exceeds the row count. NULLs are excluded (SQL
+    aggregate semantics)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from ray.data.aggregate import Max, Min
+
+    agg = ds.select_columns([col]).aggregate(Min(col), Max(col))
+    lo, hi = agg[f"min({col})"], agg[f"max({col})"]
+    if lo is None:
+        raise ValueError("distributed_kth_value: no non-null values")
+    lo, hi = int(lo), int(hi)
+    k_rem = k
+
+    while True:
+        span = hi - lo + 1
+        width = max(1, -(-span // num_buckets))  # ceil div
+        counts = _range_histogram(ds, col, lo, hi, num_buckets, width)
+        csum = np.cumsum(counts)
+        if k_rem > int(csum[-1]):
+            raise ValueError(
+                f"k={k_rem} exceeds {int(csum[-1])} in-range rows "
+                "(k larger than the non-null row count?)"
+            )
+        b = int(np.searchsorted(csum, k_rem))
+        if b > 0:
+            k_rem -= int(csum[b - 1])
+        lo = lo + b * width
+        hi = min(hi, lo + width - 1)
+        if width == 1:
+            return lo
+
+
+def distributed_quantile_disc(
+    ds, col: str, q: float, num_buckets: int = 4096
+) -> "tuple[int, int]":
+    """Exact discrete quantile: the value at rank ceil(q * n) — the
+    repo's integer-arithmetic convention that matches DuckDB
+    ``quantile_disc`` (see lang_p90_filter). Returns (value, n).
+
+    The row count comes from one projected count; the selection adds
+    ceil(log_B(domain)) scans."""
+    from ray.data.aggregate import Count
+
+    n = int(ds.select_columns([col]).aggregate(Count(col))[f"count({col})"])
+    if n == 0:
+        raise ValueError("distributed_quantile_disc: empty column")
+    # rank = ceil(q * n) in INTEGER arithmetic: q as a fraction over a
+    # power of 10 avoids float 0.9*10 != 9 artifacts
+    num, den = round(q * 10**6), 10**6
+    k = max(1, -(-(num * n) // den))
+    return distributed_kth_value(ds, col, k, num_buckets=num_buckets), n
