@@ -1158,3 +1158,21 @@ def test_distributed_kth_matches_numpy(ray_session):
         distributed_kth_value(ds, "v", len(vals) + 1)
     with pytest.raises(ValueError, match=">= 1"):
         distributed_kth_value(ds, "v", 0)
+
+
+def test_distributed_quantile_cont_matches_numpy(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.selection import (
+        distributed_quantile_cont,
+    )
+
+    rng = np.random.default_rng(59)
+    vals = rng.integers(-(10**9), 10**9, size=4001)  # odd n: exact mid
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(4)
+    for q in (0.25, 0.5, 0.75, 0.0, 1.0):
+        got, n = distributed_quantile_cont(ds, "v", q)
+        want = float(np.quantile(vals, q, method="linear"))
+        assert n == len(vals)
+        assert got == want, (q, got, want)

@@ -2208,3 +2208,43 @@ SELECT CAST(quantile_disc(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.5)
        count(*) AS n
 FROM events
 """
+
+
+def _q_events_value_quartiles(sf_dir: str):
+    """Interpolated (quantile_cont) quartiles of the event value in
+    cents via the same value-domain selection — order statistics
+    exact, interpolation mirroring the SQL formula term-for-term."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..stages.selection import distributed_quantile_cont
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(b["value"], 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table({"cents": cents})
+
+    cents = ev.map_batches(to_cents, batch_format="pyarrow")
+    q25, n = distributed_quantile_cont(cents, "cents", 0.25)
+    q50, _ = distributed_quantile_cont(cents, "cents", 0.5)
+    q75, _ = distributed_quantile_cont(cents, "cents", 0.75)
+    return pd.DataFrame(
+        {"q25": [q25], "q50": [q50], "q75": [q75], "n": [int(n)]}
+    )
+
+
+CORPUS_QUERIES["events_value_quartiles"] = _q_events_value_quartiles
+CORPUS_ORACLE_SQL["events_value_quartiles"] = """
+SELECT quantile_cont(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.25) AS q25,
+       quantile_cont(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.5)  AS q50,
+       quantile_cont(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.75) AS q75,
+       count(*) AS n
+FROM events
+"""

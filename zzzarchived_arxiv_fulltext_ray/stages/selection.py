@@ -31,7 +31,11 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["distributed_kth_value", "distributed_quantile_disc"]
+__all__ = [
+    "distributed_kth_value",
+    "distributed_quantile_disc",
+    "distributed_quantile_cont",
+]
 
 
 def _range_histogram(ds, col: str, lo: int, hi: int, num_buckets: int,
@@ -113,3 +117,29 @@ def distributed_quantile_disc(
     num, den = round(q * 10**6), 10**6
     k = max(1, -(-(num * n) // den))
     return distributed_kth_value(ds, col, k, num_buckets=num_buckets), n
+
+
+def distributed_quantile_cont(
+    ds, col: str, q: float, num_buckets: int = 4096
+) -> "tuple[float, int]":
+    """Exact continuous (interpolated) quantile — SQL
+    ``quantile_cont`` semantics: position q*(n-1) over the 0-based
+    sorted order, linear interpolation between the straddling order
+    statistics. Both order statistics come from
+    :func:`distributed_kth_value`; the interpolation mirrors the SQL
+    formula term-for-term in float64. Returns (value, n)."""
+    from ray.data.aggregate import Count
+
+    n = int(ds.select_columns([col]).aggregate(Count(col))[f"count({col})"])
+    if n == 0:
+        raise ValueError("distributed_quantile_cont: empty column")
+    pos = q * (n - 1)
+    lo_i = int(np.floor(pos))
+    hi_i = int(np.ceil(pos))
+    x_lo = distributed_kth_value(ds, col, lo_i + 1,
+                                 num_buckets=num_buckets)
+    if hi_i == lo_i:
+        return float(x_lo), n
+    x_hi = distributed_kth_value(ds, col, hi_i + 1,
+                                 num_buckets=num_buckets)
+    return float(x_lo) + (float(x_hi) - float(x_lo)) * (pos - lo_i), n
