@@ -2248,3 +2248,58 @@ SELECT quantile_cont(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.25) AS q25,
        count(*) AS n
 FROM events
 """
+
+
+def _q_events_lead(sf_dir: str):
+    """Windowed analytic (LEAD): each event with the user's NEXT event
+    value — the forward twin of `events_lag`, same one-shuffle plan
+    (``stages.textstage.lead_events``); money in exact cents."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..stages.textstage import lead_events
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["value"], 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        next_cents = pc.cast(
+            pc.round(pc.multiply(batch["next_value"], 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch["user_id"].combine_chunks(),
+                "ts": batch["ts"].combine_chunks(),
+                "cents": cents,
+                "next_cents": next_cents,
+            }
+        )
+
+    return (
+        lead_events(ev)
+        .map_batches(to_cents, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["user_id", "ts", "cents"])
+        .reset_index(drop=True)
+    )
+
+
+CORPUS_QUERIES["events_lead"] = _q_events_lead
+CORPUS_ORACLE_SQL["events_lead"] = """
+SELECT user_id, ts,
+       CAST(round(value * 100) AS BIGINT) AS cents,
+       CAST(round(lead(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, value) * 100)
+            AS BIGINT) AS next_cents
+FROM events
+ORDER BY user_id, ts, cents
+"""

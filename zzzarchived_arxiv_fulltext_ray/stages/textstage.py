@@ -298,3 +298,33 @@ def heavy_hitter_tokens(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def lead_events(ev_ds):
+    """LEAD — the forward twin of :func:`lag_events`: per user ordered
+    by (ts, value), attach the NEXT event's value. Same one-shuffle
+    plan; the shift is fully vectorized (sorted shift + scatter)."""
+    import numpy as np
+
+    def with_lead(group: pa.Table) -> pa.Table:
+        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals = group["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, ts))
+        nxt_sorted = np.concatenate((vals[order][1:], [np.nan]))
+        nxt = np.empty(len(vals), dtype=np.float64)
+        nxt[order] = nxt_sorted
+        return pa.Table.from_pydict(
+            {
+                "user_id": group["user_id"].combine_chunks(),
+                "ts": group["ts"].combine_chunks(),
+                "value": group["value"].combine_chunks(),
+                "next_value": pa.array(
+                    [None if np.isnan(v) else float(v) for v in nxt],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return ev_ds.groupby("user_id").map_groups(
+        with_lead, batch_format="pyarrow"
+    )
