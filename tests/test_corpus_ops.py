@@ -1176,3 +1176,36 @@ def test_distributed_quantile_cont_matches_numpy(ray_session):
         want = float(np.quantile(vals, q, method="linear"))
         assert n == len(vals)
         assert got == want, (q, got, want)
+
+
+def test_grouped_quantile_disc_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.selection import (
+        grouped_quantile_disc,
+    )
+
+    rng = np.random.default_rng(61)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c", "d"], size=8000),
+            "v": rng.integers(-(10**12), 10**12, size=8000),
+        }
+    )
+    # constant-value group (lo == hi resolves without a pass)
+    df = pd.concat(
+        [df, pd.DataFrame({"g": ["e"] * 50, "v": [5] * 50})],
+        ignore_index=True,
+    )
+    ds = ray.data.from_pandas(df).repartition(5)
+    for q in (0.5, 0.9, 0.1):
+        got = grouped_quantile_disc(ds, "g", "v", q)
+        exp = duckdb.sql(
+            f"SELECT g, quantile_disc(v, {q}), count(*) "
+            "FROM df GROUP BY g ORDER BY g"
+        ).fetchall()
+        assert [(a, b, c) for a, b, c in got] == [
+            (a, int(b), int(c)) for a, b, c in exp
+        ]

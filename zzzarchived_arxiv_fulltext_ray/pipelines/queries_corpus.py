@@ -2303,3 +2303,52 @@ SELECT user_id, ts,
 FROM events
 ORDER BY user_id, ts, cents
 """
+
+
+def _q_event_type_median_value(sf_dir: str):
+    """Median event value (cents) per event type via the GROUPED
+    bucket-refinement selection — all groups share each scan (one
+    (G x 4096) count matrix per pass), exact over unbounded value
+    domains where per-group count histograms would degenerate."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..stages.selection import grouped_quantile_disc
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(b["value"], 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table(
+            {"event_type": b["event_type"].combine_chunks(),
+             "cents": cents}
+        )
+
+    cents = ev.map_batches(to_cents, batch_format="pyarrow")
+    rows = grouped_quantile_disc(cents, "event_type", "cents", 0.5)
+    return pd.DataFrame(
+        {
+            "event_type": [r[0] for r in rows],
+            "p50_cents": [r[1] for r in rows],
+            "n": [r[2] for r in rows],
+        }
+    )
+
+
+CORPUS_QUERIES["event_type_median_value"] = _q_event_type_median_value
+CORPUS_ORACLE_SQL["event_type_median_value"] = """
+SELECT event_type,
+       CAST(quantile_disc(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.5)
+            AS BIGINT) AS p50_cents,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

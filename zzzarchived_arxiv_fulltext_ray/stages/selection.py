@@ -143,3 +143,94 @@ def distributed_quantile_cont(
     x_hi = distributed_kth_value(ds, col, hi_i + 1,
                                  num_buckets=num_buckets)
     return float(x_lo) + (float(x_hi) - float(x_lo)) * (pos - lo_i), n
+
+
+def grouped_quantile_disc(
+    ds, group_col: str, col: str, q: float, num_buckets: int = 4096
+) -> "list[tuple]":
+    """GROUPED exact discrete quantile over an unbounded value domain:
+    every group runs the same bucket-refinement selection, and all
+    groups share each scan — one pass bincounts every active group's
+    in-range values into a (groups x num_buckets) matrix via a single
+    vectorized ``np.add.at``.
+
+    Driver state: groups x num_buckets int64 per pass (G bounded by
+    contract — e.g. event types, languages; a grouped quantile over
+    unbounded group cardinality wants the count-histogram plan or a
+    per-group shuffle instead). Passes = ceil(log_B(max domain)).
+    Rank convention = ceil(q * n_g), matching DuckDB quantile_disc.
+    Returns [(group, value, n_g), ...] sorted by group."""
+    from ray.data.aggregate import Count, Max, Min
+
+    stats = (
+        ds.select_columns([group_col, col])
+        .groupby(group_col)
+        .aggregate(Min(col), Max(col), Count(col))
+        .to_pandas()
+        .sort_values(group_col)
+    )
+    groups = stats[group_col].to_numpy()
+    lo = stats[f"min({col})"].to_numpy().astype(np.int64).copy()
+    hi = stats[f"max({col})"].to_numpy().astype(np.int64).copy()
+    n = stats[f"count({col})"].to_numpy().astype(np.int64)
+    num, den = round(q * 10**6), 10**6
+    k_rem = np.maximum(1, -(-(num * n) // den))
+    G = len(groups)
+    active = lo < hi  # width-1 ranges are already resolved
+
+    # group value -> index mapping for the scan (groups are sorted)
+    gkeys = np.asarray(groups)
+
+    while active.any():
+        span = hi - lo + 1
+        width = np.maximum(1, -(-span // num_buckets))
+        lo_c, width_c, act_c = lo.copy(), width.copy(), active.copy()
+
+        def partial(batch: pa.Table) -> pa.Table:
+            gv = np.asarray(batch[group_col].to_pylist())
+            gi = np.searchsorted(gkeys, gv)
+            # guard stray keys (none expected: stats came from ds)
+            ok = (gi < G) & (gkeys[np.minimum(gi, G - 1)] == gv)
+            x = batch[col].to_numpy(zero_copy_only=False)
+            m = (
+                ok
+                & act_c[np.minimum(gi, G - 1)]
+                & (x >= lo_c[np.minimum(gi, G - 1)])
+                & (x <= lo_c[np.minimum(gi, G - 1)]
+                   + width_c[np.minimum(gi, G - 1)] * num_buckets - 1)
+            )
+            gi, x = gi[m], x[m]
+            b = np.minimum(
+                (x - lo_c[gi]) // width_c[gi], num_buckets - 1
+            ).astype(np.int64)
+            mat = np.zeros(G * num_buckets, dtype=np.int64)
+            np.add.at(mat, gi * num_buckets + b, 1)
+            return pa.Table.from_pydict(
+                {"h": pa.array([mat], pa.list_(pa.int64()))}
+            )
+
+        total = np.zeros(G * num_buckets, dtype=np.int64)
+        parts = ds.select_columns([group_col, col]).map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        )
+        for t in parts.iter_batches(batch_format="pyarrow"):
+            for row in t["h"].to_pylist():
+                total += np.asarray(row, dtype=np.int64)
+        mat = total.reshape(G, num_buckets)
+
+        for g in range(G):
+            if not active[g]:
+                continue
+            csum = np.cumsum(mat[g])
+            b = int(np.searchsorted(csum, k_rem[g]))
+            if b > 0:
+                k_rem[g] -= int(csum[b - 1])
+            lo[g] = lo[g] + b * int(width[g])
+            hi[g] = min(int(hi[g]), int(lo[g]) + int(width[g]) - 1)
+            if width[g] == 1:
+                active[g] = False
+        active &= lo < hi  # fully narrowed ranges are resolved
+
+    return [
+        (groups[g], int(lo[g]), int(n[g])) for g in range(G)
+    ]
