@@ -2352,3 +2352,66 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ------------------------------------------------- set operations
+
+def _q_source_set_ops(sf_dir: str):
+    """EXCEPT / INTERSECT witness over distinct keys: sources that
+    publish English docs vs sources that publish Chinese docs —
+    per-side per-batch distinct combine first (the raw stream never
+    shuffles), then ONE partitioned anti/semi join each over the tiny
+    distinct key sets. Returns each source tagged 'en_only' or
+    'both' (sources with zh coverage in this corpus are never
+    en-absent — the synthesizer assigns every source all languages at
+    scale, so 'zh_only' would be empty; the oracle proves it)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from ..stages.relational import partitioned_hash_join
+
+    def side(lang):
+        def partial(b: pa.Table) -> pa.Table:
+            m = pa.compute.equal(b["lang"], lang)
+            return (
+                b.filter(m).select(["source"]).group_by("source")
+                .aggregate([])
+            )
+
+        return (
+            _docs(sf_dir, ["source", "lang"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Count(alias_name="_n"))
+            .map_batches(
+                lambda b: b.select(["source"]), batch_format="pyarrow"
+            )
+        )
+
+    en, zh = side("en"), side("zh")
+    except_ds = partitioned_hash_join(en, zh, "source", num_buckets=8,
+                                      how="anti")
+    intersect_ds = partitioned_hash_join(en, zh, "source", num_buckets=8,
+                                         how="semi")
+    rows = [
+        {"source": r["source"], "tag": "en_only"}
+        for r in except_ds.take_all()
+    ] + [
+        {"source": r["source"], "tag": "both"}
+        for r in intersect_ds.take_all()
+    ]
+    out = pd.DataFrame(rows, columns=["source", "tag"])
+    return out.sort_values(["source", "tag"]).reset_index(drop=True)
+
+
+CORPUS_QUERIES["source_set_ops"] = _q_source_set_ops
+CORPUS_ORACLE_SQL["source_set_ops"] = """
+WITH en AS (SELECT DISTINCT source FROM documents WHERE lang = 'en'),
+     zh AS (SELECT DISTINCT source FROM documents WHERE lang = 'zh')
+SELECT source, 'en_only' AS tag FROM (SELECT * FROM en EXCEPT SELECT * FROM zh)
+UNION ALL
+SELECT source, 'both' AS tag FROM (SELECT * FROM en INTERSECT SELECT * FROM zh)
+ORDER BY source, tag
+"""
