@@ -2367,6 +2367,7 @@ def _q_source_set_ops(sf_dir: str):
     scale, so 'zh_only' would be empty; the oracle proves it)."""
     import pandas as pd
     import pyarrow as pa
+    import pyarrow.compute as pc
     import ray.data
     from ray.data.aggregate import Count
 
@@ -2374,7 +2375,7 @@ def _q_source_set_ops(sf_dir: str):
 
     def side(lang):
         def partial(b: pa.Table) -> pa.Table:
-            m = pa.compute.equal(b["lang"], lang)
+            m = pc.equal(b["lang"], lang)
             return (
                 b.filter(m).select(["source"]).group_by("source")
                 .aggregate([])
