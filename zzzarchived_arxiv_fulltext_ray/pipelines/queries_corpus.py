@@ -2231,13 +2231,37 @@ def _q_events_value_quartiles(sf_dir: str):
         )
         return pa.table({"cents": cents})
 
-    cents = ev.map_batches(to_cents, batch_format="pyarrow")
-    q25, n = distributed_quantile_cont(cents, "cents", 0.25)
-    q50, _ = distributed_quantile_cont(cents, "cents", 0.5)
-    q75, _ = distributed_quantile_cont(cents, "cents", 0.75)
-    return pd.DataFrame(
-        {"q25": [q25], "q50": [q50], "q75": [q75], "n": [int(n)]}
-    )
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    from ..stages.selection import distributed_kth_values
+
+    # the projected 8-byte working column is materialized ONCE so the
+    # refinement passes re-read cached blocks, not parquet; and all
+    # six order statistics refine in lockstep (shared scans)
+    cents = ev.map_batches(to_cents, batch_format="pyarrow").materialize()
+    n = int(cents.aggregate(Count("cents"))["count(cents)"])
+    qs = (0.25, 0.5, 0.75)
+    pos = {q: q * (n - 1) for q in qs}
+    ks = set()
+    for p in pos.values():
+        ks.add(int(np.floor(p)) + 1)
+        ks.add(int(np.ceil(p)) + 1)
+    vals = distributed_kth_values(cents, "cents", ks)
+    out = {}
+    for name, q in zip(("q25", "q50", "q75"), qs):
+        p = pos[q]
+        lo_i, hi_i = int(np.floor(p)), int(np.ceil(p))
+        x_lo = vals[lo_i + 1]
+        if hi_i == lo_i:
+            out[name] = [float(x_lo)]
+        else:
+            x_hi = vals[hi_i + 1]
+            out[name] = [
+                float(x_lo) + (float(x_hi) - float(x_lo)) * (p - lo_i)
+            ]
+    out["n"] = [n]
+    return pd.DataFrame(out)
 
 
 CORPUS_QUERIES["events_value_quartiles"] = _q_events_value_quartiles
@@ -2391,17 +2415,31 @@ def _q_source_set_ops(sf_dir: str):
             )
         )
 
-    en, zh = side("en"), side("zh")
-    except_ds = partitioned_hash_join(en, zh, "source", num_buckets=8,
-                                      how="anti")
-    intersect_ds = partitioned_hash_join(en, zh, "source", num_buckets=8,
-                                         how="semi")
+    # ONE left join with a match indicator gives EXCEPT and
+    # INTERSECT together (the textbook set-op plan): unmatched left
+    # keys are the EXCEPT rows, matched ones the INTERSECT rows.
+    def mark(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "zh_flag", pa.array([1] * b.num_rows, pa.int64())
+        )
+
+    # materialize the tiny distinct sides: the join consults each
+    # side's schema() and then consumes it — without this, each
+    # consultation re-executes the distinct plan from the read
+    en = side("en").materialize()
+    zh = (
+        side("zh")
+        .map_batches(mark, batch_format="pyarrow")
+        .materialize()
+    )
+    joined = partitioned_hash_join(en, zh, "source", num_buckets=8,
+                                   how="left")
     rows = [
-        {"source": r["source"], "tag": "en_only"}
-        for r in except_ds.take_all()
-    ] + [
-        {"source": r["source"], "tag": "both"}
-        for r in intersect_ds.take_all()
+        {
+            "source": r["source"],
+            "tag": "both" if r["zh_flag"] is not None else "en_only",
+        }
+        for r in joined.take_all()
     ]
     out = pd.DataFrame(rows, columns=["source", "tag"])
     return out.sort_values(["source", "tag"]).reset_index(drop=True)

@@ -234,3 +234,82 @@ def grouped_quantile_disc(
     return [
         (groups[g], int(lo[g]), int(n[g])) for g in range(G)
     ]
+
+
+def distributed_kth_values(
+    ds, col: str, ks, num_buckets: int = 4096
+) -> "dict[int, int]":
+    """Multi-k selection: all requested order statistics refine in
+    LOCKSTEP, sharing every scan — one (targets x num_buckets) count
+    matrix per pass instead of a separate selection per k (a
+    three-quartile query needs up to six order statistics; this
+    collapses ~6x the scans into the pass count of one). Same
+    per-pass driver-state bound, multiplied by len(ks)."""
+    from ray.data.aggregate import Max, Min
+
+    targets = sorted(set(int(k) for k in ks))
+    if not targets:
+        return {}
+    if targets[0] < 1:
+        raise ValueError(f"k must be >= 1, got {targets[0]}")
+    agg = ds.select_columns([col]).aggregate(Min(col), Max(col))
+    glo, ghi = agg[f"min({col})"], agg[f"max({col})"]
+    if glo is None:
+        raise ValueError("distributed_kth_values: no non-null values")
+    T = len(targets)
+    lo = np.full(T, int(glo), dtype=np.int64)
+    hi = np.full(T, int(ghi), dtype=np.int64)
+    k_rem = np.asarray(targets, dtype=np.int64)
+    active = np.ones(T, dtype=bool)
+    out: dict = {}
+
+    while active.any():
+        span = hi - lo + 1
+        width = np.maximum(1, -(-span // num_buckets))
+        lo_c, width_c, act = lo.copy(), width.copy(), active.copy()
+
+        def partial(batch: pa.Table) -> pa.Table:
+            x = batch[col].to_numpy(zero_copy_only=False)
+            mat = np.zeros((T, num_buckets), dtype=np.int64)
+            for t in range(T):
+                if not act[t]:
+                    continue
+                xt = x[(x >= lo_c[t])
+                       & (x <= lo_c[t] + width_c[t] * num_buckets - 1)]
+                b = np.minimum(
+                    (xt - lo_c[t]) // width_c[t], num_buckets - 1
+                )
+                mat[t] = np.bincount(
+                    b.astype(np.int64), minlength=num_buckets
+                )[:num_buckets]
+            return pa.Table.from_pydict(
+                {"h": pa.array([mat.ravel()], pa.list_(pa.int64()))}
+            )
+
+        total = np.zeros(T * num_buckets, dtype=np.int64)
+        parts = ds.select_columns([col]).map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        )
+        for tb in parts.iter_batches(batch_format="pyarrow"):
+            for row in tb["h"].to_pylist():
+                total += np.asarray(row, dtype=np.int64)
+        mat = total.reshape(T, num_buckets)
+
+        for t in range(T):
+            if not active[t]:
+                continue
+            csum = np.cumsum(mat[t])
+            if k_rem[t] > int(csum[-1]):
+                raise ValueError(
+                    f"k={targets[t]} exceeds the non-null row count"
+                )
+            b = int(np.searchsorted(csum, k_rem[t]))
+            if b > 0:
+                k_rem[t] -= int(csum[b - 1])
+            lo[t] = lo[t] + b * int(width[t])
+            hi[t] = min(int(hi[t]), int(lo[t]) + int(width[t]) - 1)
+            if width[t] == 1 or lo[t] == hi[t]:
+                out[targets[t]] = int(lo[t])
+                active[t] = False
+
+    return out
