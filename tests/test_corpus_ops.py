@@ -1209,3 +1209,36 @@ def test_grouped_quantile_disc_matches_duckdb(ray_session):
         assert [(a, b, c) for a, b, c in got] == [
             (a, int(b), int(c)) for a, b, c in exp
         ]
+
+
+def test_selection_many_passes_tiny_buckets(ray_session):
+    """num_buckets=4 forces ~log_4(domain) refinement passes — stress
+    the loop/termination logic well beyond the 1-2 passes the default
+    4096 takes on realistic domains."""
+    import pandas as pd
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.selection import (
+        distributed_kth_value,
+        distributed_kth_values,
+        grouped_quantile_disc,
+    )
+
+    rng = np.random.default_rng(67)
+    vals = rng.integers(-(10**10), 10**10, size=2000)
+    df = pd.DataFrame({"v": vals, "g": rng.choice(["a", "b"], 2000)})
+    ds = ray.data.from_pandas(df).repartition(3)
+    s = np.sort(vals)
+    assert distributed_kth_value(ds, "v", 1000, num_buckets=4) == s[999]
+    got = distributed_kth_values(ds, "v", [1, 500, 2000], num_buckets=4)
+    assert got == {1: s[0], 500: s[499], 2000: s[-1]}
+    import duckdb
+
+    exp = duckdb.sql(
+        "SELECT g, quantile_disc(v, 0.5), count(*) FROM df "
+        "GROUP BY g ORDER BY g"
+    ).fetchall()
+    got_g = grouped_quantile_disc(ds, "g", "v", 0.5, num_buckets=4)
+    assert [(a, b, c) for a, b, c in got_g] == [
+        (a, int(b), int(c)) for a, b, c in exp
+    ]
