@@ -4,7 +4,7 @@ Runs every ``queries()`` entry at sf0.01 (or argv[1]) through Ray and
 the matching ``oracle_sql()`` through DuckDB, then compares row count,
 column names and an order-insensitive value hash.
 
-Usage: python scripts/check_oracle.py [sf_dir]
+Usage: python scripts/check_oracle.py [sf_dir] [--only q1,q2,...]
 """
 
 import sys
@@ -15,7 +15,13 @@ import pandas as pd
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = None
+_argv = list(sys.argv[1:])
+if "--only" in _argv:
+    i = _argv.index("--only")
+    ONLY = set(_argv[i + 1].split(","))
+    del _argv[i : i + 2]
+SF_DIR = _argv[0] if _argv else "/root/testdata/sf0.01"
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -90,6 +96,8 @@ def main():
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if ONLY is not None and name not in ONLY:
+            continue
         got = to_pandas(fn(SF_DIR))
         if name not in oracles:
             print(f"{name:28s} rows={len(got):6d}  (no oracle: rows-only)")

@@ -81,6 +81,102 @@ def test_canonical_filter_keeps_cluster_minimum(ray_session):
     assert kept == [0, 1, 4, 5, 6, 8, 10]
 
 
+def test_canonical_filter_plans_equal_dense_duplicates(ray_session):
+    """broadcast ≡ partitioned ≡ auto on a corpus where MOST docs are
+    losers (the regime the partitioned plan exists for)."""
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.components import (
+        canonical_filter,
+        neardup_components,
+    )
+
+    # 10 chains of 20 docs each -> 200 clustered docs, 190 losers,
+    # plus 50 unclustered docs
+    pairs = [
+        {"doc_a": c * 100 + i, "doc_b": c * 100 + i + 1, "jaccard": 1.0}
+        for c in range(10)
+        for i in range(19)
+    ]
+    comp = neardup_components(ray.data.from_items(pairs), method="driver")
+    docs = ray.data.from_items(
+        [
+            {"doc_id": d, "lang": f"l{d % 3}"}
+            for c in range(10)
+            for d in range(c * 100, c * 100 + 20)
+        ]
+        + [{"doc_id": 5000 + i, "lang": "x"} for i in range(50)]
+    )
+    expect = sorted([c * 100 for c in range(10)] + list(range(5000, 5050)))
+    got = {}
+    for method in ("broadcast", "partitioned", "auto"):
+        out = (
+            canonical_filter(docs, comp, method=method)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        got[method] = out
+        assert out.doc_id.tolist() == expect, method
+        assert set(out.columns) == {"doc_id", "lang"}, method
+    # full-frame equality across plans (column values, not just keys)
+    assert got["broadcast"].equals(
+        got["partitioned"][got["broadcast"].columns.tolist()]
+    )
+    # tiny loser set -> auto must pick broadcast; forcing the
+    # threshold to 0 must flip it to partitioned with equal output
+    forced = (
+        canonical_filter(
+            docs, comp, method="auto", broadcast_max_losers=0
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert forced.doc_id.tolist() == expect
+
+
+def test_components_auto_executes_pairs_plan_once(ray_session):
+    """method='auto' must not run the (expensive) pair plan twice:
+    once for the count and again for the chosen method."""
+    import ray
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.components import (
+        neardup_components,
+    )
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def inc(self, k):
+            self.n += k
+
+        def get(self):
+            return self.n
+
+    counter = Counter.remote()
+
+    def tap(batch):
+        ray.get(counter.inc.remote(batch.num_rows))
+        return batch
+
+    pairs = ray.data.from_items(_pairs_items()).map_batches(
+        tap, batch_format="pyarrow"
+    )
+    got = (
+        neardup_components(pairs, method="auto")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert dict(zip(got.doc_id, got.component)) == EXPECT
+    # every pair row flowed through the tap exactly once
+    assert ray.get(counter.get.remote()) == len(_pairs_items())
+
+
 def test_components_on_real_neardup_pairs(ray_session):
     """End-to-end: ngram pairs over the corpus -> components match a
     brute-force union-find over the same pairs."""

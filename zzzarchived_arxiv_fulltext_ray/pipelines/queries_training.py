@@ -443,8 +443,10 @@ WHERE len(list_distinct(a.s || b.s)) > 0
 )
 
 # Connected components of the near-dup pair graph as a recursive-CTE
-# transitive closure (component = min reachable doc_id, incl. self)
-_COMPONENTS_SQL = (
+# transitive closure (component = min reachable doc_id, incl. self).
+# Kept as a reusable CTE prefix so downstream oracles
+# (dedup_canonical_docs) can chain onto `comp`.
+_COMPONENTS_CTE = (
     "WITH RECURSIVE " + _SHINGLE_CTE + """,
 pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -461,9 +463,28 @@ reach(a, b) AS (
     SELECT a, b FROM edges
     UNION
     SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+    SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
+    FROM reach GROUP BY a
+)"""
 )
-SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
-FROM reach GROUP BY a ORDER BY doc_id
+
+_COMPONENTS_SQL = (
+    _COMPONENTS_CTE + "\nSELECT doc_id, component FROM comp ORDER BY doc_id"
+)
+
+# Canonical corpus after near-dup clustering: every document that is
+# either in no cluster or IS its cluster's minimum survives.
+_CANONICAL_SQL = (
+    _COMPONENTS_CTE + """
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE NOT EXISTS (
+    SELECT 1 FROM comp c
+    WHERE c.doc_id = d.doc_id AND c.doc_id <> c.component
+)
+ORDER BY d.doc_id
 """
 )
 
@@ -481,6 +502,24 @@ def _q_dedup_components(sf_dir: str):
         _docs(sf_dir, ["doc_id", "text"]), method="ngram", threshold=0.5
     )
     out = neardup_components(pairs, method="distributed").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_dedup_canonical_docs(sf_dir: str):
+    """End-to-end near-dup DEDUPLICATION: ngram pairs -> connected
+    components -> canonical filter on the PARTITIONED (anti-join)
+    plan — the zero-driver-state path a 10^12-doc corpus needs; the
+    broadcast twin is pinned equal in pytest. Oracle chains the
+    components recursive CTE with a NOT EXISTS loser filter."""
+    from ..stages.components import canonical_filter, neardup_components
+    from ..stages.neardup import neardup_pairs
+
+    pairs = neardup_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), method="ngram", threshold=0.5
+    )
+    comp = neardup_components(pairs, method="auto")
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    out = canonical_filter(docs, comp, method="partitioned").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -660,6 +699,7 @@ TRAINING_QUERIES: Dict[str, Callable] = {
     "dedup_ngram": _q_dedup_ngram,
     "dedup_ngram_partitioned": _q_dedup_ngram_partitioned,
     "dedup_components": _q_dedup_components,
+    "dedup_canonical_docs": _q_dedup_canonical_docs,
     "events_asof": _q_events_asof,
     "doc_tfidf": _q_doc_tfidf,
     "lang_sample": _q_lang_sample,
@@ -684,6 +724,7 @@ TRAINING_ORACLE_SQL: Dict[str, str] = {
     "dedup_ngram": _SHINGLE_JACCARD_SQL,
     "dedup_ngram_partitioned": _SHINGLE_JACCARD_SQL,
     "dedup_components": _COMPONENTS_SQL,
+    "dedup_canonical_docs": _CANONICAL_SQL,
     "events_asof": """
     WITH clicks AS (
         SELECT event_id, user_id, ts,

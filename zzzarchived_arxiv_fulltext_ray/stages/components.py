@@ -194,6 +194,10 @@ def neardup_components(
     import ray.data as rd
 
     if method == "auto":
+        # pin ONCE so the count does not execute the (expensive)
+        # candidate+verify plan a first time and the chosen method a
+        # second time — both consumers read the same materialized refs
+        pairs_ds = pin_loop_state(pairs_ds, num_blocks=None)
         n = pairs_ds.count()
         method = "driver" if n <= driver_max_pairs else "distributed"
     if method == "driver":
@@ -203,20 +207,68 @@ def neardup_components(
     raise ValueError(f"unknown components method: {method}")
 
 
-def canonical_filter(docs_ds, components_ds):
+def _losers_ds(components_ds):
+    """(doc_id) of every cluster member that is NOT its cluster's
+    minimum — the rows ``canonical_filter`` removes."""
+    import pyarrow.compute as pc
+
+    def non_min(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.not_equal(batch["doc_id"], batch["component"])
+        ).select(["doc_id"])
+
+    return components_ds.map_batches(non_min, batch_format="pyarrow")
+
+
+def canonical_filter(
+    docs_ds,
+    components_ds,
+    method: str = "auto",
+    broadcast_max_losers: int = 5_000_000,
+    num_buckets: int = 64,
+):
     """Drop near-duplicate losers: keep docs that either appear in no
-    cluster or ARE their cluster's minimum (broadcast the loser set —
-    O(duplicate rate), mirroring the latest-crawl winner filter)."""
+    cluster or ARE their cluster's minimum.
+
+    Two physical plans, mirroring ``latest_crawl``'s crossover:
+
+    * ``broadcast`` — collect the loser ids once (`ray.put`), filter
+      inside ``map_batches``. Driver/actor state is O(loser count);
+      right while the duplicate set fits comfortably in one heap.
+    * ``partitioned`` — bucketed hash ANTI-join of docs against the
+      loser ids (`relational.partitioned_hash_join(how="anti")`). One
+      exchange, zero driver state — the 10^12-doc plan; at a 30-50%
+      duplicate rate the loser set is corpus-scale and must never be
+      collected.
+
+    ``auto`` pins the (small) loser Dataset once, counts it, and picks
+    broadcast below ``broadcast_max_losers``. Both plans are pinned
+    equal in tests and witnessed under the DuckDB oracle
+    (``dedup_canonical_docs``)."""
     import pyarrow.compute as pc
     import ray
 
-    losers = []
-    for b in components_ds.iter_batches(batch_format="pyarrow"):
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        comp = b["component"].to_numpy(zero_copy_only=False)
-        losers.append(ids[ids != comp])
+    from .relational import partitioned_hash_join
+
+    losers = _losers_ds(components_ds)
+    if method == "auto":
+        losers = pin_loop_state(losers, num_blocks=None)
+        n = losers.count()
+        method = "broadcast" if n <= broadcast_max_losers else "partitioned"
+
+    if method == "partitioned":
+        return partitioned_hash_join(
+            docs_ds, losers, key="doc_id", how="anti",
+            num_buckets=num_buckets,
+        )
+    if method != "broadcast":
+        raise ValueError(f"unknown canonical_filter method: {method}")
+
+    chunks = []
+    for b in losers.iter_batches(batch_format="pyarrow"):
+        chunks.append(b["doc_id"].to_numpy(zero_copy_only=False))
     loser_arr = pa.array(
-        np.concatenate(losers) if losers else np.empty(0, np.int64),
+        np.concatenate(chunks) if chunks else np.empty(0, np.int64),
         pa.int64(),
     )
     ref = ray.put(loser_arr)
