@@ -287,3 +287,49 @@ class TestSketches:
         for q, approx in qs.items():
             exact = float(np.quantile(vals, q))
             assert abs(approx - exact) / exact < 0.08
+
+
+def test_sessionize_bucketed_edges(ray_session):
+    """Bucketed sessionize: gap boundary is STRICT (diff == gap stays
+    in-session), single-event users, multi-user buckets — pinned
+    against a brute-force python sessionizer."""
+    import datetime as dt
+
+    import pandas as pd
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.textstage import (
+        sessionize_events,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    mins = {
+        1: [0, 29, 59, 89, 120],  # 29<30 same; 59-29=30 SAME (strict);
+        #                           89-59=30 same; 120-89=31 -> new
+        2: [5],                   # single event
+        3: [0, 31, 62],           # every diff 31 -> all new sessions
+    }
+    rows = [
+        {"user_id": u, "ts": base + dt.timedelta(minutes=m)}
+        for u, ms in mins.items()
+        for m in ms
+    ]
+    out = (
+        sessionize_events(ray.data.from_pandas(pd.DataFrame(rows)))
+        .to_pandas()
+        .sort_values(["user_id", "session_num"])
+        .reset_index(drop=True)
+    )
+    got = [
+        (r.user_id, r.session_num, r.session_start.minute + 60 * r.session_start.hour,
+         r.session_end.minute + 60 * r.session_end.hour, r.n_events)
+        for r in out.itertuples()
+    ]
+    assert got == [
+        (1, 1, 0, 89, 4),
+        (1, 2, 120 % 60 + 60 * 2, 120 % 60 + 60 * 2, 1),
+        (2, 1, 5, 5, 1),
+        (3, 1, 0, 0, 1),
+        (3, 2, 31, 31, 1),
+        (3, 3, 62 % 60 + 60, 62 % 60 + 60, 1),
+    ]

@@ -158,35 +158,73 @@ def windowed_events(events_ds):
     )
 
 
-def sessionize_events(events_ds, gap_minutes: int = 30):
+_TS_UNIT_PER_SEC = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}
+
+
+def sessionize_events(events_ds, gap_minutes: int = 30, n_buckets: int = 128):
     """Session windows per user: a new session starts after a gap of
-    more than ``gap_minutes`` between consecutive events. Stateful
-    within the (user-partitioned, ts-sorted) group — the standard Ray
-    Data shape for streaming-style session semantics; the ordering
-    assumption is per-user ts order inside ``map_groups``."""
-    import pandas as pd
+    more than ``gap_minutes`` between consecutive events.
 
-    gap = pd.Timedelta(minutes=gap_minutes)
+    One hash exchange on a user-id BUCKET (not per-user groups): each
+    of the ``n_buckets`` tasks receives every event of ~1/n_buckets of
+    the users and sessionizes ALL of them in one vectorized numpy pass
+    — lexsort by (user, ts), new-session flags from user-change OR
+    diff > gap, cumsum -> global session ids, per-user rebase via
+    searchsorted. Per-task work scales with rows, not with the number
+    of users; no pandas frames, no Python loop over events."""
+    import numpy as np
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        new_session = (g["ts"].diff() > gap) | g["ts"].diff().isna()
-        g["session_num"] = new_session.cumsum().astype("int64")
-        out = (
-            g.groupby("session_num")
-            .agg(
-                session_start=("ts", "min"),
-                session_end=("ts", "max"),
-                n_events=("ts", "size"),
-            )
-            .reset_index()
+    def bucketize(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].cast(pa.uint64()).to_numpy(
+            zero_copy_only=False
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        out["n_events"] = out["n_events"].astype("int64")
-        return out
+        # Fibonacci multiplicative hash — balanced even for dense ids
+        b = ((uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % (
+            np.uint64(n_buckets)
+        )
+        return batch.append_column("_bucket", pa.array(b.astype(np.int64)))
 
-    return events_ds.groupby("user_id").map_groups(
-        per_user, batch_format="pandas"
+    def per_bucket(group: pa.Table) -> pa.Table:
+        ts_col = group["ts"].combine_chunks()
+        ts_type = ts_col.type
+        gap = gap_minutes * 60 * _TS_UNIT_PER_SEC[ts_type.unit]
+        ts = ts_col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, uid))
+        uid_s, ts_s = uid[order], ts[order]
+        n = len(ts_s)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        np.not_equal(uid_s[1:], uid_s[:-1], out=new_user[1:])
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        np.greater(np.diff(ts_s), gap, out=new[1:])
+        np.logical_or(new, new_user, out=new)
+        sess_global = np.cumsum(new)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n) - 1
+        user_starts = np.flatnonzero(new_user)
+        # rebase: session_num restarts at 1 per user (oracle contract)
+        owner = np.searchsorted(user_starts, starts, side="right") - 1
+        session_num = (
+            sess_global[starts] - sess_global[user_starts][owner] + 1
+        )
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(uid_s[starts], group["user_id"].type),
+                "session_num": pa.array(
+                    session_num.astype(np.int64), pa.int64()
+                ),
+                "session_start": pa.array(ts_s[starts]).cast(ts_type),
+                "session_end": pa.array(ts_s[ends]).cast(ts_type),
+                "n_events": pa.array(ends - starts + 1, pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
