@@ -333,3 +333,20 @@ def test_sessionize_bucketed_edges(ray_session):
         (3, 2, 31, 31, 1),
         (3, 3, 62 % 60 + 60, 62 % 60 + 60, 1),
     ]
+
+
+def test_stable_hash64_matches_duckdb_md5_number_upper():
+    """stable_hash64 is the SQL-oracle contract: bit-identical to
+    DuckDB's md5_number_upper for any unicode string."""
+    import duckdb
+
+    from zzzarchived_arxiv_fulltext_ray.functions.shingles import (
+        stable_hash64,
+    )
+
+    con = duckdb.connect()
+    for s in ["", "a", "hello world", "naïve café", "汉字", "a b c " * 40]:
+        (got,) = con.execute(
+            "SELECT md5_number_upper(?)", [s]
+        ).fetchone()
+        assert int(got) == stable_hash64(s), s

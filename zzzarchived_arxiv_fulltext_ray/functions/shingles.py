@@ -26,9 +26,15 @@ def word_shingles(text: str, k: int = 3) -> List[str]:
 
 
 def stable_hash64(value: str) -> int:
-    """Process-stable 64-bit hash (blake2b; Python's hash() is salted)."""
+    """Process-stable 64-bit hash (Python's hash() is salted).
+
+    First 8 bytes of the md5 digest, little-endian — chosen to be
+    BIT-IDENTICAL to DuckDB's ``md5_number_upper(value)`` so SQL
+    oracles can reconstruct every signature built on this hash
+    (SimHash, token ids); verified in
+    ``tests/test_textstats_multimodal.py``."""
     return int.from_bytes(
-        hashlib.blake2b(value.encode("utf-8"), digest_size=8).digest(), "big"
+        hashlib.md5(value.encode("utf-8")).digest()[:8], "little"
     )
 
 

@@ -105,8 +105,13 @@ _FP_MOD = (1 << 61) - 1
 
 
 def rolling_hashes(text: str, window: int = 16) -> List[int]:
-    """Rabin-Karp rolling hashes of every ``window``-byte span."""
-    data = text.encode("utf-8")
+    """Rabin-Karp rolling hashes of every ``window``-CODEPOINT span.
+
+    Codepoints (not utf-8 bytes) so a SQL oracle can reconstruct the
+    hash exactly via ``unicode(substr(text, i, 1))`` for any input —
+    the ``doc_winnow`` oracle embeds the same base/modulus/power
+    table."""
+    data = [ord(c) for c in text]
     n = len(data)
     if n < window:
         window = max(n, 1)

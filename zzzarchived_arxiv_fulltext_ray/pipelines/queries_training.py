@@ -75,8 +75,10 @@ def _q_dedup_ngram_partitioned(sf_dir: str):
 
 
 def _q_dedup_simhash(sf_dir: str):
-    """SimHash pairs within hamming<=3 (rows-only: the bit mixing is
-    not expressible in SQL)."""
+    """SimHash pairs within hamming<=3. Oracled: ``stable_hash64`` is
+    md5-derived (== DuckDB ``md5_number_upper``), so the oracle
+    rebuilds every 64-bit signature with per-bit majority votes over
+    the shingle hashes and compares ``bit_count(xor(...))``."""
     from ..stages.neardup import simhash_pairs
 
     ds = simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
@@ -139,8 +141,10 @@ def _q_lang_id(sf_dir: str):
 
 
 def _q_doc_winnow(sf_dir: str):
-    """Winnowing fingerprints flattened to (doc_id, hash) rows
-    (rows-only oracle: rolling Rabin-Karp is not SQL-expressible)."""
+    """Winnowing fingerprints flattened to (doc_id, hash) rows.
+    Oracled: the Rabin-Karp rolling hash over CODEPOINTS is rebuilt in
+    SQL as a direct windowed polynomial sum with an embedded
+    base-power table (``_WINNOW_SQL``)."""
     from ..stages.textstage import fingerprint_batch
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -441,6 +445,74 @@ WHERE len(list_distinct(a.s || b.s)) > 0
           / len(list_distinct(a.s || b.s)) >= 0.5
 """
 )
+
+# SimHash signatures rebuilt in SQL: per-shingle 64-bit hash via
+# md5_number_upper (bit-identical to functions.shingles.stable_hash64
+# — pinned in pytest), then per-bit majority vote across each doc's
+# DISTINCT hashes, then all-pairs bit_count(xor) <= 3. Docs with no
+# shingles get signature 0 (matching simhash64([]) == 0).
+_SIMHASH_SIG_EXPR = " + ".join(
+    f"CASE WHEN 2 * count(*) FILTER ((h >> {i}) & 1 = 1) > count(*) "
+    f"THEN {1 << i}::UBIGINT ELSE 0::UBIGINT END"
+    for i in range(64)
+)
+_SIMHASH_SQL = (
+    "WITH " + _SHINGLE_CTE + f""",
+hashes AS (
+    SELECT DISTINCT doc_id, md5_number_upper(unnest(s)) AS h FROM sh
+),
+sig AS (
+    SELECT doc_id, {_SIMHASH_SIG_EXPR} AS sig FROM hashes GROUP BY doc_id
+),
+allsig AS (
+    SELECT d.doc_id, COALESCE(g.sig, 0::UBIGINT) AS sig
+    FROM documents d LEFT JOIN sig g USING (doc_id)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM allsig a JOIN allsig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+)
+
+# Winnowing fingerprints rebuilt in SQL. The Rabin-Karp hash of a
+# w-codepoint window starting at i (1-based) is
+#   sum_j cp(i+j) * BASE^(w-1-j)  mod 2^61-1
+# — identical to functions.textstats.rolling_hashes (codepoint-based
+# by contract). The power table is embedded as a literal HUGEINT list;
+# every term < 2^82 and the 16-term sum < 2^86 fit HUGEINT exactly.
+# Fingerprint = the 8 smallest DISTINCT window hashes per doc; docs
+# shorter than 16 codepoints hash one window of the whole text.
+_FP_BASE, _FP_MOD, _FP_WINDOW, _FP_SELECT = 1_000_003, (1 << 61) - 1, 16, 8
+_FP_POWERS = "[" + ", ".join(
+    f"{pow(_FP_BASE, e, _FP_MOD)}::HUGEINT" for e in range(_FP_WINDOW)
+) + "]"
+_WINNOW_SQL = f"""
+WITH pos AS (
+    SELECT doc_id, text,
+           CASE WHEN length(text) < {_FP_WINDOW}
+                THEN greatest(length(text), 1)
+                ELSE {_FP_WINDOW} END AS w,
+           length(text) AS n
+    FROM documents WHERE length(text) > 0
+),
+spans AS (
+    SELECT doc_id, text, w,
+           unnest(range(1, n - w + 2)) AS i
+    FROM pos
+),
+hashes AS (
+    SELECT DISTINCT doc_id,
+           list_sum(list_transform(range(0, w),
+               j -> unicode(substr(text, CAST(i + j AS INTEGER), 1))::HUGEINT
+                    * ({_FP_POWERS}[CAST(w - j AS INTEGER)])
+           )) % {_FP_MOD} AS h
+    FROM spans
+)
+SELECT doc_id, CAST(h AS UBIGINT) AS fp_hash FROM hashes
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h) <= {_FP_SELECT}
+ORDER BY doc_id, fp_hash
+"""
 
 # Connected components of the near-dup pair graph as a recursive-CTE
 # transitive closure (component = min reachable doc_id, incl. self).
@@ -785,7 +857,8 @@ TRAINING_ORACLE_SQL: Dict[str, str] = {
     ORDER BY lang, doc_id
     """,
     "dedup_minhash": _SHINGLE_JACCARD_SQL,
-    # dedup_simhash, doc_winnow: rows-only (bit-mixing not in SQL)
+    "dedup_simhash": _SIMHASH_SQL,
+    "doc_winnow": _WINNOW_SQL,
     "ann_topk": """
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
     FROM embeddings q, embeddings c
