@@ -1242,3 +1242,86 @@ def test_selection_many_passes_tiny_buckets(ray_session):
     assert [(a, b, c) for a, b, c in got_g] == [
         (a, int(b), int(c)) for a, b, c in exp
     ]
+
+
+def test_grouped_rank_sorted_equals_histogram(ray_session):
+    """Sort-based rank plan pinned against the histogram plan (and a
+    pandas brute force) on BOTH regimes: heavy ties (groups span the
+    sorted block boundaries) and near-unique keys (the regime the
+    sorted plan exists for); with_pct included; auto crossover flips
+    with max_hist_pairs=0."""
+    import pandas as pd
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.window import (
+        grouped_rank_dense,
+    )
+
+    rng = np.random.default_rng(7)
+    corpora = {
+        "ties": pd.DataFrame(
+            {
+                "id": np.arange(600),
+                "part": rng.choice(["a", "b", "c"], size=600),
+                "key": rng.integers(0, 5, size=600),  # huge tie groups
+            }
+        ),
+        "unique": pd.DataFrame(
+            {
+                "id": np.arange(600),
+                "part": rng.choice(["a", "b"], size=600),
+                "key": rng.permutation(600),  # fully unique
+            }
+        ),
+        "single_part": pd.DataFrame(
+            {"id": np.arange(64), "part": ["p"] * 64,
+             "key": [1] * 40 + [2] * 24}  # one part, 2 giant groups
+        ),
+    }
+    for name, df in corpora.items():
+        # many small input blocks -> many sorted blocks -> boundary
+        # stitching is actually exercised
+        ds = ray.data.from_pandas(df).repartition(8)
+        for desc in (True, False):
+            outs = {}
+            for method in ("histogram", "sorted"):
+                outs[method] = (
+                    grouped_rank_dense(
+                        ds, "part", "key", descending=desc,
+                        with_pct=True, method=method,
+                    )
+                    .to_pandas()
+                    .sort_values("id")
+                    .reset_index(drop=True)
+                )
+            for col in ("rnk", "drnk"):
+                assert (
+                    outs["sorted"][col].to_numpy()
+                    == outs["histogram"][col].to_numpy()
+                ).all(), (name, desc, col)
+            for col in ("pct_rank", "cume_dist"):
+                assert np.allclose(
+                    outs["sorted"][col].to_numpy(),
+                    outs["histogram"][col].to_numpy(),
+                ), (name, desc, col)
+            g = df.groupby("part")["key"]
+            want_rnk = g.rank(method="min", ascending=not desc).astype(int)
+            assert (
+                outs["sorted"].sort_values("id")["rnk"].to_numpy()
+                == want_rnk.to_numpy()
+            ).all(), (name, desc)
+    # forced crossover: auto with a zero budget must take the sorted
+    # path and still produce identical values
+    df = corpora["ties"]
+    ds = ray.data.from_pandas(df).repartition(8)
+    forced = (
+        grouped_rank_dense(ds, "part", "key", method="auto",
+                           max_hist_pairs=0)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = g = df.groupby("part")["key"].rank(
+        method="min", ascending=False
+    ).astype(int)
+    assert (forced["rnk"].to_numpy() == want.to_numpy()).all()

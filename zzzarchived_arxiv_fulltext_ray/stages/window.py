@@ -332,8 +332,232 @@ def shard_assign(
     out = cum.map_batches(to_shard, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
+def grouped_rank_sorted(ds, part_col: str, key_col: str,
+                        descending: bool = True, with_pct: bool = False):
+    """Exact ``rank()`` / ``dense_rank()`` (and optionally
+    ``percent_rank`` / ``cume_dist``) via Ray's distributed SORT — the
+    scale-general sibling of :func:`grouped_rank_dense` for
+    NEAR-UNIQUE keys, where the histogram plan's driver state would
+    degenerate to row count.
+
+    Plan: ``ds.sort([part, key])`` range-partitions into globally
+    ordered blocks; one tiny summary task per block reports its
+    per-part (rows, distinct keys) and its head/tail tie groups; the
+    driver stitches block boundaries with a forward pass (base rows /
+    base distinct / ties carried into each block) plus a reverse pass
+    (ties extending past each block) — O(blocks + parts-appearances)
+    driver state, never rows; each block then annotates itself
+    independently (raw Ray tasks over the materialized sorted refs —
+    the documented last-resort case, same as
+    :func:`global_row_number_sorted`). Pinned equal to the histogram
+    plan on heavy-tie AND near-unique corpora in pytest."""
+    import ray
+    import ray.data as rd
+
+    sorted_ds = ds.sort(
+        [part_col, key_col], descending=[False, descending]
+    ).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _summary(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        if t[part_col].null_count or t[key_col].null_count:
+            return "null"
+        parts = np.asarray(t[part_col].to_pylist(), dtype=object)
+        keys = np.asarray(t[key_col].to_pylist(), dtype=object)
+        n = len(parts)
+        new_part = np.empty(n, dtype=bool)
+        new_part[0] = True
+        np.not_equal(parts[1:], parts[:-1], out=new_part[1:])
+        new_group = np.empty(n, dtype=bool)
+        new_group[0] = True
+        np.not_equal(keys[1:], keys[:-1], out=new_group[1:])
+        np.logical_or(new_group, new_part, out=new_group)
+        gstarts = np.flatnonzero(new_group)
+        gsizes = np.diff(np.append(gstarts, n))
+        pstarts = np.flatnonzero(new_part)
+        pends = np.append(pstarts[1:], n)
+        per_part = [
+            (
+                parts[s],
+                int(e - s),  # rows of this part in this block
+                int(np.searchsorted(gstarts, e)
+                    - np.searchsorted(gstarts, s)),  # distinct keys
+            )
+            for s, e in zip(pstarts, pends)
+        ]
+        return {
+            "per_part": per_part,
+            "head_key": keys[0],
+            "tail_key": keys[-1],
+            "head_size": int(gsizes[0]),
+            "tail_size": int(gsizes[-1]),
+            "n_groups": len(gstarts),
+        }
+
+    summaries = ray.get([_summary.remote(r) for r in refs])
+    if any(s == "null" for s in summaries):
+        raise ValueError(
+            "grouped_rank_sorted: null partition/order keys are not "
+            "supported (SQL NULL ordering is dialect-dependent; filter "
+            "or fill them first)"
+        )
+
+    _NONE = object()
+    # forward pass: what each block inherits from the blocks before it
+    fwd = []  # (base_rows, base_distinct, prev_ties) per block
+    cur_part, rows_b, dist_b = _NONE, 0, 0
+    tail_key, tail_ties = _NONE, 0
+    part_totals: Dict[object, int] = {}
+    for s in summaries:
+        if s is None:
+            fwd.append((0, 0, 0))
+            continue
+        continuing = cur_part is not _NONE and cur_part == s["per_part"][0][0]
+        spanning = continuing and tail_key == s["head_key"]
+        prev_ties = tail_ties if spanning else 0
+        fwd.append(
+            (
+                rows_b if continuing else 0,
+                (dist_b - 1 if spanning else dist_b) if continuing else 0,
+                prev_ties,
+            )
+        )
+        for part, n_rows, n_dist in s["per_part"]:
+            if cur_part is not _NONE and part == cur_part:
+                rows_b += n_rows
+                dist_b += n_dist - (1 if spanning else 0)
+            else:
+                cur_part, rows_b, dist_b = part, n_rows, n_dist
+            part_totals[part] = part_totals.get(part, 0) + n_rows
+        single = s["n_groups"] == 1
+        tail_ties = s["tail_size"] + (tail_ties if single and spanning else 0)
+        tail_key = s["tail_key"]
+
+    # reverse pass: ties extending past each block's tail group
+    after = [0] * len(summaries)
+    a_part, a_key, a_cum = _NONE, _NONE, 0
+    for i in range(len(summaries) - 1, -1, -1):
+        s = summaries[i]
+        if s is None:
+            continue
+        tail_part = s["per_part"][-1][0]
+        ext = (
+            a_cum
+            if a_part is not _NONE
+            and a_part == tail_part
+            and a_key == s["tail_key"]
+            else 0
+        )
+        after[i] = ext
+        single = s["n_groups"] == 1
+        a_part = s["per_part"][0][0]
+        a_key = s["head_key"]
+        a_cum = s["head_size"] + (ext if single else 0)
+
+    @ray.remote
+    def _annotate(
+        t: pa.Table, base_rows, base_dist, prev_ties, head_total,
+        tail_total, totals
+    ):
+        parts = np.asarray(t[part_col].to_pylist(), dtype=object)
+        keys = np.asarray(t[key_col].to_pylist(), dtype=object)
+        n = len(parts)
+        new_part = np.empty(n, dtype=bool)
+        new_part[0] = True
+        np.not_equal(parts[1:], parts[:-1], out=new_part[1:])
+        new_group = np.empty(n, dtype=bool)
+        new_group[0] = True
+        np.not_equal(keys[1:], keys[:-1], out=new_group[1:])
+        np.logical_or(new_group, new_part, out=new_group)
+        gstarts = np.flatnonzero(new_group)
+        gsizes = np.diff(np.append(gstarts, n))
+        n_groups = len(gstarts)
+        # per-group part-start row index + group index within its part
+        pstarts = np.flatnonzero(new_part)
+        g_pstart = pstarts[
+            np.searchsorted(pstarts, gstarts, side="right") - 1
+        ]
+        g_first_of_part = np.searchsorted(gstarts, g_pstart)
+        g_in_part = np.arange(n_groups) - g_first_of_part
+        head_part = g_pstart == 0  # groups belonging to the block's head part
+        local_rank = gstarts - g_pstart + 1
+        g_rank = local_rank + np.where(head_part, base_rows, 0)
+        if prev_ties:
+            g_rank[0] -= prev_ties
+        g_dense = g_in_part + 1 + np.where(head_part, base_dist, 0)
+        g_total = gsizes.astype(np.int64).copy()
+        g_total[0] = head_total
+        g_total[-1] = tail_total
+        rnk = np.repeat(g_rank, gsizes).astype(np.int64)
+        drnk = np.repeat(g_dense, gsizes).astype(np.int64)
+        out = t.append_column(
+            "rnk", pa.array(rnk, pa.int64())
+        ).append_column("drnk", pa.array(drnk, pa.int64()))
+        if with_pct:
+            n_part = np.array(
+                [totals[p] for p in parts], dtype=np.int64
+            )
+            at_or_before = np.repeat(
+                g_rank + g_total, gsizes
+            ).astype(np.int64) - 1
+            pct = np.where(
+                n_part > 1, (rnk - 1) / np.maximum(n_part - 1, 1), 0.0
+            )
+            out = out.append_column(
+                "pct_rank", pa.array(pct, pa.float64())
+            ).append_column(
+                "cume_dist", pa.array(at_or_before / n_part, pa.float64())
+            )
+        return out
+
+    out_refs = []
+    for i, (r, s) in enumerate(zip(refs, summaries)):
+        if s is None:
+            continue
+        base_rows, base_dist, prev_ties = fwd[i]
+        single = s["n_groups"] == 1
+        head_total = (
+            prev_ties + s["head_size"] + (after[i] if single else 0)
+        )
+        tail_total = (
+            (prev_ties if single else 0) + s["tail_size"] + after[i]
+        )
+        totals = (
+            {p: part_totals[p] for p, _, _ in s["per_part"]}
+            if with_pct
+            else None
+        )
+        out_refs.append(
+            _annotate.remote(
+                r, int(base_rows), int(base_dist), int(prev_ties),
+                int(head_total), int(tail_total), totals,
+            )
+        )
+    if not out_refs:
+        base = (
+            ray.get(refs[0])
+            if refs
+            else pa.Table.from_pydict({part_col: [], key_col: []})
+        )
+        empty = base.slice(0, 0)
+        empty = empty.append_column(
+            "rnk", pa.array([], pa.int64())
+        ).append_column("drnk", pa.array([], pa.int64()))
+        if with_pct:
+            empty = empty.append_column(
+                "pct_rank", pa.array([], pa.float64())
+            ).append_column("cume_dist", pa.array([], pa.float64()))
+        return rd.from_arrow(empty)
+    return rd.from_arrow_refs(out_refs)
+
+
 def grouped_rank_dense(ds, part_col: str, key_col: str,
-                       descending: bool = True, with_pct: bool = False):
+                       descending: bool = True, with_pct: bool = False,
+                       method: str = "auto",
+                       max_hist_pairs: int = 2_000_000):
     """Exact ``rank()`` and ``dense_rank()`` ``OVER (PARTITION BY part
     ORDER BY key [DESC])`` — the tie-AWARE siblings of
     :func:`grouped_row_number`.
@@ -355,12 +579,12 @@ def grouped_rank_dense(ds, part_col: str, key_col: str,
 
     Bound honesty: "bounded by distinct (part, key) pairs" degenerates
     to row count when the key is near-unique (continuous scores, raw
-    ids) — the same bounded-distinct assumption every histogram plan
-    in this repo makes (`global_row_number`, `lang_length_median`).
-    This operator is for REPEATING keys, where ties make
-    rank/dense_rank differ from row_number in the first place; for
-    near-unique keys bucketize/quantize first, or use a sort-based
-    ranking."""
+    ids). ``method="auto"`` (default) guards that: it pins the
+    pre-aggregated histogram Dataset once, counts it, and falls back
+    to :func:`grouped_rank_sorted` (one distributed sort, O(blocks)
+    driver state) above ``max_hist_pairs`` distinct pairs — the
+    ``latest_crawl``-style crossover. ``method="histogram"`` /
+    ``"sorted"`` force a plan; both are pinned equal in pytest."""
     from ray.data.aggregate import Sum
 
     def count_partial(batch: pa.Table) -> pa.Table:
@@ -371,12 +595,28 @@ def grouped_rank_dense(ds, part_col: str, key_col: str,
             .rename_columns([part_col, key_col, "n"])
         )
 
-    hist = (
+    if method == "sorted":
+        return grouped_rank_sorted(
+            ds, part_col, key_col, descending=descending, with_pct=with_pct
+        )
+    if method not in ("auto", "histogram"):
+        raise ValueError(f"unknown grouped_rank_dense method: {method}")
+
+    hist_ds = (
         ds.map_batches(count_partial, batch_format="pyarrow")
         .groupby([part_col, key_col])
         .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
     )
+    if method == "auto":
+        from .components import pin_loop_state
+
+        hist_ds = pin_loop_state(hist_ds, num_blocks=None)
+        if hist_ds.count() > max_hist_pairs:
+            return grouped_rank_sorted(
+                ds, part_col, key_col,
+                descending=descending, with_pct=with_pct,
+            )
+    hist = hist_ds.to_pandas()
     if hist[key_col].isna().any() or hist[part_col].isna().any():
         raise ValueError(
             "grouped_rank_dense: null partition/order keys are not "
