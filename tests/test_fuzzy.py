@@ -212,3 +212,37 @@ def test_fuzzy_byte_level_contract_on_unicode():
     # "cafe" vs "café": é is 2 UTF-8 bytes -> byte distance 2 -> not.
     assert ("café", "cafés") in got
     assert ("cafe", "café") not in got
+
+
+def test_fuzzy_self_join_unicode_matches_duckdb(ray_session):
+    """End-to-end unicode parity: fuzzy_self_join over multibyte keys
+    produces EXACTLY the pairs DuckDB's levenshtein (byte-level for
+    non-ASCII too) reports at distance 1."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.fuzzy import fuzzy_self_join
+
+    names = [
+        f"Çustomér№{i:04d}" for i in range(40)
+    ] + ["汉字abc", "汉字abd", "汉字ab", "naïve", "naive", "nai̇ve"]
+    df = pd.DataFrame({"k": names})
+    got = (
+        fuzzy_self_join(ray.data.from_pandas(df), col="k")
+        .to_pandas()
+        .sort_values(["name_a", "name_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        """
+        SELECT a.k AS name_a, b.k AS name_b,
+               CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+        FROM t a JOIN t b ON a.k < b.k
+        WHERE levenshtein(a.k, b.k) = 1
+        ORDER BY name_a, name_b
+        """
+    ).fetchdf()
+    assert got.values.tolist() == want.values.tolist()

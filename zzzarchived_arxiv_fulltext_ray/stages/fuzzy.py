@@ -35,9 +35,12 @@ Contracts:
 * keys are SHORT strings (<= ``max_len`` bytes, default 64); longer
   rows are excluded from fuzzy matching and counted in the drop log —
   edit distance on long texts is the ngram/minhash stages' job.
-* distance is byte-level Levenshtein over UTF-8, which equals
-  character-level for ASCII keys (what DuckDB ``levenshtein`` computes
-  there); the oracle contract covers ASCII keys.
+* distance is byte-level Levenshtein over UTF-8 — which is ALSO what
+  DuckDB ``levenshtein`` computes for non-ASCII input (measured:
+  ``levenshtein('é','e') = 2``), so oracle parity holds for arbitrary
+  unicode keys (witnessed by ``customer_fuzzy_unicode``). Note this
+  deliberately differs from CHARACTER-level edit distance on
+  non-ASCII ('é'->'e' is 1 char edit but 2 byte edits).
 * distance <= 2 extends by emitting 2-deletion variants (O(L^2) keys
   per string) — not built, the volume trade-off changes.
 
