@@ -1675,6 +1675,55 @@ ORDER BY name_a, name_b
 """
 
 
+def _q_customer_fuzzy_unicode(sf_dir: str):
+    """Unicode-key witness for the fuzzy join's distance contract:
+    keys get a MULTIBYTE prefix ('Customer#' -> 'Çustomér№', utf-8
+    bytes 2+5+2+1+3) before the same self-join. Distance is byte-level
+    Levenshtein over utf-8 — which is exactly what DuckDB's
+    ``levenshtein`` computes for non-ASCII too (measured: 'é' vs 'e'
+    is 2), so the oracle replays the identical metric on identical
+    transformed keys."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from ..stages.fuzzy import fuzzy_self_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_name"]
+    )
+
+    def accent(batch):
+        return pa.Table.from_pydict(
+            {
+                "c_name": pc.replace_substring(
+                    batch["c_name"], "Customer#", "Çustomér№"
+                )
+            }
+        )
+
+    out = fuzzy_self_join(
+        cust.map_batches(accent, batch_format="pyarrow"), col="c_name"
+    ).to_pandas()
+    out["dist"] = out["dist"].astype("int64")
+    return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+
+
+CORPUS_QUERIES["customer_fuzzy_unicode"] = _q_customer_fuzzy_unicode
+CORPUS_ORACLE_SQL["customer_fuzzy_unicode"] = """
+WITH c AS (
+    SELECT replace(c_name, 'Customer#', 'Çustomér№') AS name
+    FROM customer
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM c a JOIN c b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 1
+ORDER BY name_a, name_b
+"""
+
+
 def _q_lang_rank_dense(sf_dir: str):
     """Tie-aware per-language length ranking: RANK, DENSE_RANK,
     PERCENT_RANK and CUME_DIST over n_chars DESC (ties are real —
@@ -1703,6 +1752,67 @@ SELECT doc_id, lang, n_chars,
                          ORDER BY n_chars DESC) AS cume_dist
 FROM documents
 ORDER BY doc_id
+"""
+
+
+def _q_event_value_rank(sf_dir: str):
+    """Near-unique-key ranking: RANK/DENSE_RANK (+pct/cume) of every
+    event's integer-cents value within its event type, value DESC.
+    Cents are near-unique, so the histogram plan's driver state would
+    approach row count — this query forces the SORT-based plan
+    (``stages.window.grouped_rank_sorted``: one distributed sort,
+    O(blocks) boundary stitching on the driver), the path ``auto``
+    takes above ``max_hist_pairs``; both plans pinned equal in
+    pytest."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from ..stages.window import grouped_rank_dense
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def to_cents(batch):
+        cents = pc.cast(
+            pc.round_to_multiple(
+                pc.multiply(batch["value"], 100.0), 1.0, "half_towards_infinity"
+            ),
+            pa.int64(),
+        )
+        return pa.Table.from_pydict(
+            {
+                "event_id": batch["event_id"].combine_chunks(),
+                "event_type": batch["event_type"].combine_chunks(),
+                "cents": cents,
+            }
+        )
+
+    ranked = grouped_rank_dense(
+        ev.map_batches(to_cents, batch_format="pyarrow"),
+        "event_type", "cents",
+        descending=True, with_pct=True, method="sorted",
+    )
+    return ranked.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+CORPUS_QUERIES["event_value_rank"] = _q_event_value_rank
+CORPUS_ORACLE_SQL["event_value_rank"] = """
+WITH e AS (
+    SELECT event_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+)
+SELECT event_id, event_type, cents,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume_dist
+FROM e
+WINDOW w AS (PARTITION BY event_type ORDER BY cents DESC)
+ORDER BY event_id
 """
 
 
