@@ -75,40 +75,60 @@ class ImageDecodeStage:
         self.n_decoded = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        payloads = batch["payload"].to_pylist()
-        widths: list = []
-        heights: list = []
-        channels: list = []
-        status: list = []
-        errors: list = []
-        for payload in payloads:
-            try:
-                w, h, c = decode_header(payload or b"")
-                widths.append(w)
-                heights.append(h)
-                channels.append(c)
-                status.append("succeeded")
-                errors.append(None)
-                self.n_decoded += 1
-            except ValueError as exc:
-                widths.append(None)
-                heights.append(None)
-                channels.append(None)
-                status.append("failed")
-                errors.append(str(exc))
+        import numpy as np
+
+        # header parse without copying payload bodies: operate on the
+        # Arrow binary column's offset/data buffers directly — only
+        # the 9 header bytes of each row are ever gathered
+        col = batch["payload"].combine_chunks()
+        if isinstance(col, pa.ChunkedArray):  # single-chunk after combine
+            col = col.chunk(0)
+        n = len(col)
+        off_dtype = (
+            np.int64 if pa.types.is_large_binary(col.type) else np.int32
+        )
+        offs = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+            col.offset : col.offset + n + 1
+        ].astype(np.int64)
+        lengths = np.diff(offs)
+        if col.null_count:
+            nulls = np.asarray(col.is_null())
+            lengths = np.where(nulls, 0, lengths)
+        data = (
+            np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            if col.buffers()[2] is not None
+            else np.empty(0, np.uint8)
+        )
+        long_enough = lengths >= 9
+        # gather each candidate row's 9 header bytes in one fancy index
+        safe_starts = np.where(long_enough, offs[:-1], 0)
+        hdr = (
+            data[safe_starts[:, None] + np.arange(9)]
+            if n and data.size >= 9
+            else np.zeros((n, 9), np.uint8)
+        )
+        magic = np.frombuffer(MAGIC, dtype=np.uint8)
+        ok = long_enough & (hdr[:, :4] == magic).all(axis=1)
+        w = (hdr[:, 4].astype(np.int32) << 8) | hdr[:, 5]
+        h = (hdr[:, 6].astype(np.int32) << 8) | hdr[:, 7]
+        c = hdr[:, 8].astype(np.int32)
+        self.n_decoded += int(ok.sum())
+        bad = ~ok
         return pa.Table.from_pydict(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "width": pa.array(widths, pa.int32()),
-                "height": pa.array(heights, pa.int32()),
-                "channels": pa.array(channels, pa.int32()),
-                "n_bytes": pa.array(
-                    [len(p) if p is not None else 0 for p in payloads],
-                    pa.int64(),
+                "doc_id": batch["doc_id"].combine_chunks(),
+                "width": pa.array(w, pa.int32(), mask=bad),
+                "height": pa.array(h, pa.int32(), mask=bad),
+                "channels": pa.array(c, pa.int32(), mask=bad),
+                "n_bytes": pa.array(lengths, pa.int64()),
+                "status": pa.array(
+                    np.where(ok, "succeeded", "failed").tolist(),
+                    pa.string(),
                 ),
-                "status": pa.array(status, pa.string()),
-                "error": pa.array(errors, pa.string()),
+                "error": pa.array(
+                    [None if o else "not a FIMG payload" for o in ok],
+                    pa.string(),
+                ),
             }
         )
 
