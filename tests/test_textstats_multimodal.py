@@ -350,3 +350,39 @@ def test_stable_hash64_matches_duckdb_md5_number_upper():
             "SELECT md5_number_upper(?)", [s]
         ).fetchone()
         assert int(got) == stable_hash64(s), s
+
+
+def test_splitmix64_sql_expression_parity():
+    """The SQL splitmix64 used by sketch oracles (32-bit-split wrapping
+    multiply in HUGEINT) is bit-identical to the numpy implementation
+    on random uint64 inputs and the wraparound edge cases."""
+    import duckdb
+    import pandas as pd
+
+    from zzzarchived_arxiv_fulltext_ray.functions.shingles import (
+        _splitmix64,
+    )
+    from zzzarchived_arxiv_fulltext_ray.pipelines.queries_training import (
+        _splitmix64_sql,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    vals = np.concatenate(
+        [
+            rng.integers(0, np.iinfo(np.uint64).max, 500, dtype=np.uint64),
+            np.array(
+                [0, 1, (1 << 64) - 1, (1 << 63), (1 << 32) - 1],
+                dtype=np.uint64,
+            ),
+        ]
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": vals}))
+    got = (
+        con.execute(f"SELECT {_splitmix64_sql('v')} AS r FROM t")
+        .fetchnumpy()["r"]
+        .astype(np.uint64)
+    )
+    assert (got == _splitmix64(vals)).all()

@@ -514,6 +514,80 @@ QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h) <= {_FP_SELECT}
 ORDER BY doc_id, fp_hash
 """
 
+# splitmix64 rebuilt as a SQL expression (for sketch oracles). The
+# wrapping uint64 multiply is spelled with a 32-bit split so every
+# intermediate fits HUGEINT:
+#   (a*b) mod 2^64 = (lo32(a)*b + (hi32(a)*lo32(b) mod 2^32) << 32) mod 2^64
+# xor/shift stay in UBIGINT. Parity with functions.shingles._splitmix64
+# is pinned in tests/test_textstats_multimodal.py.
+_U64 = "18446744073709551616::HUGEINT"
+
+
+def _mulmod64_sql(a: str, const: int) -> str:
+    lo = const % (1 << 32)
+    return (
+        f"CAST(((CAST(({a}) % 4294967296 AS HUGEINT) * {const}::HUGEINT"
+        f" + ((CAST(({a}) // 4294967296 AS HUGEINT) * {lo}::HUGEINT)"
+        f" % 4294967296) * 4294967296) % {_U64}) AS UBIGINT)"
+    )
+
+
+def _splitmix64_sql(z: str) -> str:
+    s1 = (
+        f"CAST((CAST(({z}) AS HUGEINT) + 11400714819323198485)"
+        f" % {_U64} AS UBIGINT)"
+    )
+    x1 = f"xor({s1}, {s1} >> 30)"
+    m1 = _mulmod64_sql(x1, 0xBF58476D1CE4E5B9)
+    x2 = f"xor({m1}, {m1} >> 27)"
+    m2 = _mulmod64_sql(x2, 0x94D049BB133111EB)
+    return f"xor({m2}, {m2} >> 31)"
+
+
+# Count-Min heavy hitters rebuilt in SQL: exact token counts, then the
+# sketch's 4 bucket rows via splitmix64(xor(md5_hash, seed_d)) % width
+# (seeds are the deterministic default_rng(8675309) draw, embedded as
+# literals), per-(row, bucket) count sums, estimate = min over rows.
+# The CM estimate is BATCH-INVARIANT (the sketch is additive), so the
+# oracle needs no knowledge of Ray's batching; the candidate-union
+# recall (the only batch-dependent part) is pinned separately in
+# pytest and covers this corpus's skew.
+def _cms_seeds():
+    import numpy as np
+
+    rng = np.random.default_rng(8675309)
+    return rng.integers(
+        0, np.iinfo(np.uint64).max, size=4, dtype=np.uint64
+    ).tolist()
+
+
+_CMS_SEED_VALUES = ", ".join(
+    f"({d}, {s}::UBIGINT)" for d, s in enumerate(_cms_seeds())
+)
+_CMS_SQL = f"""
+WITH tc AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    t -> t <> '')) AS tok
+          FROM documents)
+    GROUP BY tok
+), hashed AS (
+    SELECT tok, n, md5_number_upper(tok) AS h FROM tc
+), buck AS (
+    SELECT s.d, hashed.tok, hashed.n,
+           CAST({_splitmix64_sql("xor(h, s.seed)")} % 16384 AS BIGINT) AS b
+    FROM hashed CROSS JOIN (VALUES {_CMS_SEED_VALUES}) s(d, seed)
+), sums AS (
+    SELECT d, b, CAST(sum(n) AS BIGINT) AS bs FROM buck GROUP BY d, b
+), est AS (
+    SELECT buck.tok, min(sums.bs) AS est_count
+    FROM buck JOIN sums ON buck.d = sums.d AND buck.b = sums.b
+    GROUP BY buck.tok
+)
+SELECT tok AS token, CAST(est_count AS BIGINT) AS est_count
+FROM est ORDER BY est_count DESC, token ASC LIMIT 20
+"""
+
 # Connected components of the near-dup pair graph as a recursive-CTE
 # transitive closure (component = min reachable doc_id, incl. self).
 # Kept as a reusable CTE prefix so downstream oracles
@@ -1608,16 +1682,19 @@ TRAINING_ORACLE_SQL["ann_topk_ivf"] = TRAINING_ORACLE_SQL["ann_topk"]
 
 
 def _q_token_heavy_hitters(sf_dir: str):
-    """Top-20 corpus tokens by Count-Min estimate (rows-only: CM
-    estimates overcount within ~2N/width; accuracy + recall vs the
-    exact counts are pinned in pytest). The shuffle-free scale path
-    next to the exact token_frequencies groupby."""
+    """Top-20 corpus tokens by Count-Min estimate — the shuffle-free
+    scale path next to the exact token_frequencies groupby. Oracled:
+    the CM estimate is a batch-invariant function of the corpus
+    (additive sketch, md5-derived hashes, splitmix64 bucket mixing all
+    rebuilt in SQL — ``_CMS_SQL``); the candidate-union recall, the
+    only batch-dependent part, is pinned separately in pytest."""
     from ..stages.textstage import heavy_hitter_tokens
 
     return heavy_hitter_tokens(_docs(sf_dir, ["text"]), k=20)
 
 
 TRAINING_QUERIES["token_heavy_hitters"] = _q_token_heavy_hitters
+TRAINING_ORACLE_SQL["token_heavy_hitters"] = _CMS_SQL
 
 
 def _q_corpus_sketch_stats(sf_dir: str):
