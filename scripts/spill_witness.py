@@ -64,12 +64,17 @@ def run_pass(tag: str, object_store_memory=None) -> dict:
             "rows": len(df),
             "hash": value_hash(df),
         }
-    from ray._private.internal_api import memory_summary
-
-    s = memory_summary(stats_only=True)
-    m = re.search(r"Spilled (\d+) MiB, (\d+) objects", s)
-    out["spilled_mib"] = int(m.group(1)) if m else 0
-    out["spilled_objects"] = int(m.group(2)) if m else 0
+    # cumulative spill counters from raylet.out (the grpc-backed
+    # memory_summary API is unavailable in this container)
+    sess = ray._private.worker._global_node.get_session_dir_path()
+    out["spilled_mib"], out["spilled_objects"] = 0, 0
+    try:
+        text = (Path(sess) / "logs" / "raylet.out").read_text()
+        hits = re.findall(r"Spilled (\d+) MiB, (\d+) objects", text)
+        if hits:
+            out["spilled_mib"], out["spilled_objects"] = map(int, hits[-1])
+    except OSError:
+        pass
     ray.shutdown()
     return out
 

@@ -46,19 +46,12 @@ class HyperLogLog:
         np.maximum.at(self.registers, idx, ranks)
 
     def add_values(self, values: Iterable[str]):
-        import hashlib
+        from .shingles import stable_hash64
 
+        # md5-derived stable_hash64 (== DuckDB md5_number_upper) so a
+        # SQL oracle can rebuild the registers exactly
         hashes = np.array(
-            [
-                int.from_bytes(
-                    hashlib.blake2b(
-                        str(v).encode("utf-8"), digest_size=8
-                    ).digest(),
-                    "big",
-                )
-                for v in values
-            ],
-            dtype=np.uint64,
+            [stable_hash64(str(v)) for v in values], dtype=np.uint64
         )
         self.add_hashes(hashes)
 
@@ -71,7 +64,16 @@ class HyperLogLog:
     def estimate(self) -> float:
         m = float(self.m)
         alpha = 0.7213 / (1.0 + 1.079 / m)
-        est = alpha * m * m / np.power(2.0, -self.registers.astype(np.float64)).sum()
+        # Exact-integer harmonic denominator: sum(2^-r) == S / 2^K
+        # with K = max rank = 64-p+1 and S = sum(2^(K-r)) an exact
+        # Python int — the estimate is a deterministic function of the
+        # registers, independent of float summation ORDER (numpy's
+        # pairwise sum is not), so a SQL oracle can replay it
+        # bit-for-bit (one HUGEINT sum + the same scalar float ops).
+        K = 64 - self.p + 1
+        counts = np.bincount(self.registers, minlength=K + 1)
+        S = sum(int(c) << (K - r) for r, c in enumerate(counts) if c)
+        est = alpha * m * m * float(1 << K) / S
         if est <= 2.5 * m:
             zeros = int((self.registers == 0).sum())
             if zeros:
@@ -102,17 +104,41 @@ class QuantileHistogram:
         self.n_bins = resolution * max_decades + 2
         self.counts = np.zeros(self.n_bins, dtype=np.int64)
 
+    @staticmethod
+    def bin_boundaries(resolution: int, n_bins: int) -> np.ndarray:
+        """Integer-exact bin lower bounds: ``B[k] = ceil(10^(k/res))``
+        computed with pure-integer arithmetic (smallest v with
+        ``v**res >= 10**k``) — no transcendental call whose last-ulp
+        rounding could differ between numpy and a SQL engine. Binning
+        is defined BY these boundaries (bin = #boundaries <= v), which
+        equals ``floor(log10(v)*res)+1`` exactly for integer-valued
+        inputs; for non-integers the boundary is rounded up to the
+        next integer (documented contract — one-bin accuracy holds
+        either way). All boundaries < 2^53 are exact as float64."""
+        bounds = []
+        for k in range(n_bins - 1):
+            target = 10**k
+            v = int(round(10 ** (k / resolution)))  # float seed
+            while v**resolution >= target:
+                v -= 1
+            while (v + 1) ** resolution < target:
+                v += 1
+            bounds.append(v + 1)
+        return np.array(bounds, dtype=np.float64)
+
+    _bounds_cache: dict = {}
+
     def _bin_of(self, values: np.ndarray) -> np.ndarray:
+        key = (self.resolution, self.n_bins)
+        bounds = self._bounds_cache.get(key)
+        if bounds is None:
+            bounds = self.bin_boundaries(self.resolution, self.n_bins)
+            self._bounds_cache[key] = bounds
         v = np.asarray(values, dtype=np.float64)
         out = np.zeros(len(v), dtype=np.int64)
         pos = v > 0
-        out[pos] = (
-            np.clip(
-                np.floor(np.log10(v[pos]) * self.resolution).astype(np.int64)
-                + 1,
-                1,
-                self.n_bins - 1,
-            )
+        out[pos] = np.clip(
+            np.searchsorted(bounds, v[pos], side="right"), 1, self.n_bins - 1
         )
         return out
 

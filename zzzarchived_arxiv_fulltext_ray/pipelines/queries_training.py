@@ -588,6 +588,88 @@ SELECT tok AS token, CAST(est_count AS BIGINT) AS est_count
 FROM est ORDER BY est_count DESC, token ASC LIMIT 20
 """
 
+# HLL + log-histogram corpus stats rebuilt in SQL. Every piece of the
+# Python sketch was made an exact-arithmetic function so this is
+# possible: value hash = md5-derived stable_hash64, register mixing =
+# splitmix64 (above), the harmonic denominator an exact HUGEINT sum
+# S = sum(2^(53-r)) (estimate = one deterministic float expression of
+# S), and histogram bins defined by integer-exact boundaries
+# B[k] = ceil(10^(k/64)) (computed by integer root-finding, embedded
+# as literals). bit-length via a 6-step smear + bit_count.
+def _bitlen_smear_sql(col: str) -> str:
+    s = col
+    for sh in (1, 2, 4, 8, 16, 32):
+        s = f"({s} | ({s} >> {sh}))"
+    return f"bit_count({s})"
+
+
+def _hist_bounds_sql() -> str:
+    from ..functions.sketches import QuantileHistogram
+
+    b = QuantileHistogram.bin_boundaries(64, 770)
+    return "[" + ", ".join(str(int(v)) for v in b) + "]"
+
+
+_SKETCH_STATS_SQL = f"""
+WITH hh AS (
+    SELECT DISTINCT md5_number_upper(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+), mixed AS (
+    SELECT {_splitmix64_sql("h")} AS x FROM hh
+), pr AS (
+    SELECT CAST(x >> 52 AS BIGINT) AS idx,
+           CAST((CAST(x AS HUGEINT) % 4503599627370496) * 4096
+                AS UBIGINT) AS rem
+    FROM mixed
+), rk AS (
+    SELECT idx,
+           CASE WHEN rem = 0::UBIGINT THEN 53
+                ELSE least(65 - {_bitlen_smear_sql("rem")}, 53) END AS r
+    FROM pr
+), regs AS (
+    SELECT idx, max(r) AS r FROM rk GROUP BY idx
+), hll AS (
+    SELECT CAST(sum(1::BIGINT << CAST(53 - r AS INTEGER)) AS HUGEINT)
+               + (4096 - count(*)) * 9007199254740992::HUGEINT AS s,
+           4096 - count(*) AS zeros
+    FROM regs
+), hll_est AS (
+    SELECT CASE
+        WHEN (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+             * 9007199254740992.0 / CAST(s AS DOUBLE) <= 10240.0
+             AND zeros > 0
+        THEN 4096.0 * ln(4096.0 / CAST(zeros AS DOUBLE))
+        ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+             * 9007199254740992.0 / CAST(s AS DOUBLE)
+        END AS est
+    FROM hll
+), q_bins AS (
+    SELECT CASE WHEN n_chars <= 0 THEN 0
+           ELSE least(len(list_filter({_hist_bounds_sql()},
+                                      b -> n_chars >= b)), 769) END AS bin
+    FROM documents
+), hist AS (
+    SELECT bin, count(*) AS c FROM q_bins GROUP BY bin
+), cum AS (
+    SELECT bin, sum(c) OVER (ORDER BY bin) AS cum,
+           (SELECT count(*) FROM q_bins) AS total
+    FROM hist
+), qv AS (
+    SELECT qs.label,
+           (SELECT min(bin) FROM cum
+            WHERE CAST(cum AS DOUBLE) >= qs.q * cum.total) AS b
+    FROM (VALUES (0.5, 'n_chars_p50'), (0.9, 'n_chars_p90'),
+                 (0.99, 'n_chars_p99')) qs(q, label)
+)
+SELECT 'distinct_doc_ids_hll' AS metric, est AS value FROM hll_est
+UNION ALL
+SELECT label AS metric,
+       CASE WHEN b = 0 THEN 0.0
+            ELSE power(10, (b - 1) / 64.0) END AS value
+FROM qv
+ORDER BY metric
+"""
+
 # Connected components of the near-dup pair graph as a recursive-CTE
 # transitive closure (component = min reachable doc_id, incl. self).
 # Kept as a reusable CTE prefix so downstream oracles
@@ -1699,8 +1781,12 @@ TRAINING_ORACLE_SQL["token_heavy_hitters"] = _CMS_SQL
 
 def _q_corpus_sketch_stats(sf_dir: str):
     """Mergeable-sketch corpus stats (HLL distinct count + log-scale
-    quantile histogram). Rows-only: estimates are within ~2-5% of the
-    exact values (accuracy pinned in pytest), not hash-equal to SQL."""
+    quantile histogram). Oracled bit-for-bit: both sketches are
+    batch-invariant (register max / additive counts) and every
+    arithmetic step is exact — md5-derived hashes, splitmix64 mixing,
+    integer-exact bin boundaries, and an exact-HUGEINT harmonic
+    denominator — so ``_SKETCH_STATS_SQL`` replays the estimates
+    IEEE-identically."""
     import pandas as pd
 
     from ..stages.textstage import distinct_count_hll, quantiles_sketch
@@ -1715,6 +1801,7 @@ def _q_corpus_sketch_stats(sf_dir: str):
 
 
 TRAINING_QUERIES["corpus_sketch_stats"] = _q_corpus_sketch_stats
+TRAINING_ORACLE_SQL["corpus_sketch_stats"] = _SKETCH_STATS_SQL
 
 
 def _q_events_sliding(sf_dir: str):
