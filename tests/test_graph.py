@@ -1,0 +1,128 @@
+"""Triangle counting / clustering coefficient (stages/graph.py)."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from zzzarchived_arxiv_fulltext_ray.stages.graph import (
+    cooccurrence_edges,
+    triangle_stats,
+)
+
+
+def _brute(edges):
+    """Brute-force stats from a list of (u, v) tuples."""
+    es = set()
+    for u, v in edges:
+        if u != v:
+            es.add((min(u, v), max(u, v)))
+    nodes = sorted({x for e in es for x in e})
+    deg = {n: 0 for n in nodes}
+    for u, v in es:
+        deg[u] += 1
+        deg[v] += 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    tri = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in es and (a, c) in es and (b, c) in es
+    )
+    return {
+        "n_nodes": len(nodes),
+        "n_edges": len(es),
+        "n_wedges": wedges,
+        "n_triangles": tri,
+        "global_clustering": 3.0 * tri / wedges if wedges else 0.0,
+    }
+
+
+def _check(ray_session, edges, **kwargs):
+    import ray.data
+
+    df = pd.DataFrame(edges, columns=["u", "v"]).astype("int64")
+    got = triangle_stats(
+        ray.data.from_pandas(df).repartition(4), **kwargs
+    )
+    want = _brute(edges)
+    row = got.iloc[0]
+    for k, v in want.items():
+        assert row[k] == v, (k, row[k], v)
+
+
+def test_triangles_k5_complete(ray_session):
+    edges = list(itertools.combinations(range(5), 2))
+    _check(ray_session, edges, assume_canonical=True)
+
+
+def test_triangles_no_triangles_path(ray_session):
+    _check(ray_session, [(0, 1), (1, 2), (2, 3)], assume_canonical=True)
+
+
+def test_triangles_random_vs_brute(ray_session):
+    rng = np.random.default_rng(5)
+    n = 40
+    edges = [
+        (int(u), int(v))
+        for u, v in itertools.combinations(range(n), 2)
+        if rng.random() < 0.25
+    ]
+    _check(ray_session, edges, assume_canonical=True)
+
+
+def test_triangles_canonicalize_dups_loops_reversed(ray_session):
+    # duplicates, reversed duplicates and self-loops must collapse
+    raw = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (4, 4), (1, 2)]
+    _check(ray_session, raw, assume_canonical=False)
+
+
+def test_triangles_skewed_hub(ray_session):
+    # star + a few closing edges: degree orientation must not blow up
+    # the hub's wedge list (hub has max degree -> zero out-degree)
+    edges = [(0, i) for i in range(1, 60)] + [(1, 2), (3, 4), (5, 6)]
+    _check(ray_session, edges, assume_canonical=True)
+
+
+def test_cooccurrence_edges_threshold(ray_session):
+    import ray.data
+
+    # items 1,2 share groups g0,g1; items 1,3 share only g0
+    df = pd.DataFrame(
+        {
+            "g": ["g0", "g0", "g0", "g1", "g1"],
+            "item": [1, 2, 3, 1, 2],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    got = (
+        cooccurrence_edges(ds, "g", "item", min_count=2)
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == [[1, 2]]
+    got_all = (
+        cooccurrence_edges(ds, "g", "item", min_count=1)
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    assert got_all.values.tolist() == [[1, 2], [1, 3], [2, 3]]
+
+
+def test_cooccurrence_hot_group_dropped(ray_session):
+    import ray.data
+
+    df = pd.DataFrame(
+        {"g": ["big"] * 10 + ["ok"] * 2, "item": list(range(10)) + [100, 101]}
+    )
+    got = (
+        cooccurrence_edges(
+            ray.data.from_pandas(df), "g", "item", max_group=5
+        )
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == [[100, 101]]

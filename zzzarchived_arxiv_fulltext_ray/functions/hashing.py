@@ -56,6 +56,24 @@ def hash64_column(col) -> np.ndarray:
     )
 
 
+def stable_hash64_column(col) -> np.ndarray:
+    """md5-derived ``stable_hash64`` per element (bit-identical to
+    DuckDB ``md5_number_upper``) — the ORACLE-REPLAYABLE alternative
+    to :func:`hash64_column` for sketches whose contents a SQL oracle
+    must rebuild (Bloom witness). Per-row hashlib, so noticeably
+    slower than the polars path: use only where replayability is the
+    point."""
+    from .shingles import stable_hash64
+
+    return np.array(
+        [
+            stable_hash64(v if isinstance(v, str) else str(v))
+            for v in col.to_pylist()
+        ],
+        dtype=np.uint64,
+    )
+
+
 def bucket_of_column(col, num_buckets: int) -> np.ndarray:
     """int64 bucket id in [0, num_buckets) per element of an Arrow
     (chunked) array — the engine's standard exchange partitioner."""

@@ -1284,6 +1284,60 @@ SELECT node, r AS pr FROM r3 ORDER BY node
 )
 
 
+def _q_supplier_triangles(sf_dir: str):
+    """Exact triangle count + global clustering coefficient of the
+    supplier co-supply graph (edge = supplier pair sharing >= 24
+    distinct orders) via the degree-ordered wedge-closure plan
+    (``stages.graph.triangle_stats``): orientation bounds every
+    out-degree at O(sqrt(m)), wedges are numpy pair generation per
+    source group, closure is ONE bucketed semi-join of wedges against
+    the oriented edge set. All statistics are exact integers; the
+    clustering coefficient is one float expression of them, so the
+    3-way-join SQL oracle matches bit-for-bit."""
+    import ray.data
+
+    from ..stages.graph import cooccurrence_edges, triangle_stats
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    edges = cooccurrence_edges(
+        li, "l_orderkey", "l_suppkey", min_count=24
+    )
+    return triangle_stats(edges, assume_canonical=True)
+
+
+CORPUS_QUERIES["supplier_triangles"] = _q_supplier_triangles
+CORPUS_ORACLE_SQL["supplier_triangles"] = """
+WITH co AS (
+    SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+           count(DISTINCT a.l_orderkey) AS n
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+), e AS (
+    SELECT u, v FROM co WHERE n >= 24
+), deg AS (
+    SELECT node, count(*) AS d
+    FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+    GROUP BY node
+), tri AS (
+    SELECT count(*) AS t FROM e e1
+    JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+    JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+), wg AS (
+    SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS w FROM deg
+)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       wg.w AS n_wedges,
+       CAST(tri.t AS BIGINT) AS n_triangles,
+       CASE WHEN wg.w > 0 THEN 3.0 * tri.t / wg.w
+            ELSE 0.0 END AS global_clustering
+FROM wg, tri
+"""
+
+
 # ------------------------------------------------ funnel analysis
 
 def _q_events_funnel(sf_dir: str):

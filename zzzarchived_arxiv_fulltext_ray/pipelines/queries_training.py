@@ -398,6 +398,86 @@ def _q_events_user_stats(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_events_hour_corr(sf_dir: str):
+    """Pearson correlation of hour-of-day vs spend (integer cents) per
+    event type — the scalar-SUFFICIENT-STATISTICS pattern for
+    second-moment analytics at scale: one streaming pass computes six
+    exact integer sums (n, Σx, Σy, Σxy, Σx², Σy²) with batch-level
+    combine, and the correlation is ONE closed-form float expression
+    of those ints (sqrt is IEEE-correctly-rounded, so the SQL oracle
+    replays it bit-for-bit). No second pass, no float accumulation
+    drift, no per-group state beyond six int64s."""
+    import math
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(batch["value"], 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        us = pc.cast(batch["ts"].combine_chunks(), pa.int64())
+        hour = pc.mod(pc.divide(us, 3_600_000_000), 24)
+        t = pa.Table.from_arrays(
+            [
+                batch["event_type"].combine_chunks(),
+                hour,
+                cents,
+                pc.multiply(hour, cents),
+                pc.multiply(hour, hour),
+                pc.multiply(cents, cents),
+                pa.array([1] * batch.num_rows, pa.int64()),
+            ],
+            names=["event_type", "x", "y", "xy", "xx", "yy", "one"],
+        )
+        g = t.group_by("event_type").aggregate(
+            [("x", "sum"), ("y", "sum"), ("xy", "sum"),
+             ("xx", "sum"), ("yy", "sum"), ("one", "sum")]
+        )
+        return g.rename_columns(
+            ["event_type", "sx", "sy", "sxy", "sxx", "syy", "n"]
+        )
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+            Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    corrs = []
+    for _, r in agg.iterrows():
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxy, sxx, syy = int(r["sxy"]), int(r["sxx"]), int(r["syy"])
+        den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(
+            float(n * syy - sy * sy)
+        )
+        corrs.append(
+            float(n * sxy - sx * sy) / den if den > 0.0 else 0.0
+        )
+    agg["corr_hour_cents"] = corrs
+    out = agg[
+        ["event_type", "n", "sx", "sy", "corr_hour_cents"]
+    ].rename(columns={"sx": "sum_hour", "sy": "sum_cents"})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def _q_events_windowed(sf_dir: str):
     """Tumbling 1-hour event windows: per-(user, window) count + integer-cent sum."""
     import ray.data
@@ -946,6 +1026,7 @@ TRAINING_QUERIES: Dict[str, Callable] = {
     "events_windowed": _q_events_windowed,
     "events_lag": _q_events_lag,
     "events_user_stats": _q_events_user_stats,
+    "events_hour_corr": _q_events_hour_corr,
 }
 
 TRAINING_ORACLE_SQL: Dict[str, str] = {
@@ -1150,6 +1231,30 @@ TRAINING_ORACLE_SQL: Dict[str, str] = {
                AS sum_cents_sq,
            count(*) AS n_events
     FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "events_hour_corr": """
+    WITH s AS (
+        SELECT event_type,
+               CAST(sum(h) AS HUGEINT) AS sx,
+               CAST(sum(c) AS HUGEINT) AS sy,
+               CAST(sum(h * c) AS HUGEINT) AS sxy,
+               CAST(sum(h * h) AS HUGEINT) AS sxx,
+               CAST(sum(c * c) AS HUGEINT) AS syy,
+               CAST(count(*) AS HUGEINT) AS n
+        FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events)
+        GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(sx AS BIGINT) AS sum_hour,
+           CAST(sy AS BIGINT) AS sum_cents,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                ELSE 0.0 END AS corr_hour_cents
+    FROM s ORDER BY event_type
     """,
     "events_lag": """
     SELECT user_id, ts,

@@ -742,9 +742,12 @@ def _q_bloom_dedup_guard(sf_dir: str):
     """Memory-bounded exists-already guard: a Bloom filter built from
     the 'prior run' urls (even doc_ids) screens the incoming stream.
     No false negatives by construction (every even doc is skipped);
-    false positives skip ~FP-rate of the genuinely new odd docs. Not
-    SQL-expressible (bit-mixing) -> rows-only; properties pinned in
-    pytest (test_webtext.py)."""
+    false positives skip ~FP-rate of the genuinely new odd docs.
+    Oracled via ``stable_hash=True`` (md5-derived key hashes): the SQL
+    oracle rebuilds every probe position as
+    ``(h1 + i*(splitmix64(h1)|1)) mod n_bits`` and replays the
+    all-k-bits-hit test exactly; the no-false-negative property stays
+    pinned in pytest (test_webtext.py) for BOTH hash modes."""
     import ray
 
     from ..stages.dedup import bloom_guard_filter, build_key_bloom
@@ -768,9 +771,13 @@ def _q_bloom_dedup_guard(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    bloom = build_key_bloom(seen, col="url", n_bits=1 << 20, k=4)
+    bloom = build_key_bloom(
+        seen, col="url", n_bits=1 << 20, k=4, stable_hash=True
+    )
     ref = ray.put(bloom)
-    passed = bloom_guard_filter(urls, ref, col="url").to_pandas()
+    passed = bloom_guard_filter(
+        urls, ref, col="url", stable_hash=True
+    ).to_pandas()
     n_in = len(urls.to_pandas())
     n_passed = len(passed)
     n_false_neg = int((passed["doc_id"] % 2 == 0).sum())
@@ -786,7 +793,44 @@ def _q_bloom_dedup_guard(sf_dir: str):
 
 
 WEBTEXT_QUERIES["bloom_dedup_guard"] = _q_bloom_dedup_guard
-# bit-mixing, not SQL-expressible: rows-only by declaration
+
+
+def _bloom_guard_sql() -> str:
+    # lazy build: splitmix64-as-SQL lives next to the other sketch
+    # oracles in queries_training
+    from .queries_training import _splitmix64_sql
+
+    return f"""
+WITH urls AS (
+    SELECT doc_id, 'https://x/' || CAST(doc_id AS VARCHAR) AS url
+    FROM documents
+), h AS (
+    SELECT doc_id, md5_number_upper(url) AS h1 FROM urls
+), hh AS (
+    SELECT doc_id, h1, {_splitmix64_sql("h1")} | 1::UBIGINT AS h2 FROM h
+), pos AS (
+    SELECT doc_id, s.i,
+           CAST((CAST(h1 AS HUGEINT) + s.i * CAST(h2 AS HUGEINT))
+                % 1048576 AS BIGINT) AS p
+    FROM hh CROSS JOIN (VALUES (0), (1), (2), (3)) s(i)
+), ins AS (
+    SELECT DISTINCT p FROM pos WHERE doc_id % 2 = 0
+), hits AS (
+    SELECT pos.doc_id, count(DISTINCT pos.i) AS k_hit
+    FROM pos JOIN ins USING (p) GROUP BY pos.doc_id
+), pass AS (
+    SELECT u.doc_id FROM urls u
+    LEFT JOIN hits ON u.doc_id = hits.doc_id
+    WHERE COALESCE(hits.k_hit, 0) < 4
+)
+SELECT CAST((SELECT count(*) FROM urls) AS BIGINT) AS n_in,
+       CAST((SELECT count(*) FROM pass) AS BIGINT) AS n_passed,
+       CAST((SELECT count(*) FROM pass WHERE doc_id % 2 = 0) AS BIGINT)
+           AS n_seen_leaked
+"""
+
+
+WEBTEXT_ORACLE_SQL["bloom_dedup_guard"] = _bloom_guard_sql()
 
 
 # --------------------------------------------------- bigram PMI

@@ -295,7 +295,7 @@ def partition_pages_by_url(ds, out_dir: str, num_buckets: int = 64):
 
 def build_key_bloom(
     ds, col: str = "url", n_bits: int = 1 << 27, k: int = 4,
-    tree_width: int = 8,
+    tree_width: int = 8, stable_hash: bool = False,
 ):
     """Build a Bloom filter over ``col`` with a merge TREE: one Bloom
     partial per input block (vectorized inserts of the 64-bit key
@@ -310,16 +310,24 @@ def build_key_bloom(
     keys — the right trade for crawl-scale "probably already done"
     pre-filters where the exact url set no longer fits anywhere.
     Returns the merged :class:`BloomFilter`.
+
+    ``stable_hash=True`` keys the filter on the md5-derived
+    ``stable_hash64`` instead of the polars hash — slower, but every
+    bit becomes SQL-reconstructable (the ``bloom_dedup_guard`` oracle
+    replays positions as ``(h1 + i*(splitmix64(h1)|1)) mod n_bits``).
+    Build and probe must agree on the flag.
     """
     import numpy as np
     import ray
 
-    from ..functions.hashing import hash64_column
+    from ..functions.hashing import hash64_column, stable_hash64_column
     from ..functions.sketches import BloomFilter
+
+    key_hash = stable_hash64_column if stable_hash else hash64_column
 
     def partial(batch: pa.Table) -> pa.Table:
         bf = BloomFilter(n_bits, k)
-        bf.add_hashes(hash64_column(batch[col]))
+        bf.add_hashes(key_hash(batch[col]))
         return pa.Table.from_pydict(
             {"blob": pa.array([bf.serialize()], pa.large_binary())}
         )
@@ -350,17 +358,21 @@ def build_key_bloom(
     return out
 
 
-def bloom_guard_filter(ds, bloom_ref, col: str = "url"):
+def bloom_guard_filter(ds, bloom_ref, col: str = "url",
+                       stable_hash: bool = False):
     """Drop rows whose ``col`` probes positive in the broadcast Bloom
     (probably-seen keys); vectorized probe per batch. ``bloom_ref`` is
-    a ``ray.put`` of a :class:`BloomFilter`."""
+    a ``ray.put`` of a :class:`BloomFilter`; ``stable_hash`` must
+    match the build."""
     import ray
 
-    from ..functions.hashing import hash64_column
+    from ..functions.hashing import hash64_column, stable_hash64_column
+
+    key_hash = stable_hash64_column if stable_hash else hash64_column
 
     def keep_new(batch: pa.Table) -> pa.Table:
         bf = ray.get(bloom_ref)
-        seen = bf.contains_hashes(hash64_column(batch[col]))
+        seen = bf.contains_hashes(key_hash(batch[col]))
         return batch.filter(pa.array(~seen))
 
     return ds.map_batches(keep_new, batch_format="pyarrow")
