@@ -39,11 +39,18 @@ def _brute(edges):
 
 
 def _check(ray_session, edges, **kwargs):
+    import pyarrow as pa
     import ray.data
 
+    # Arrow-backed blocks: repartition of a tiny pandas-backed dataset
+    # produces EMPTY UNTYPED pandas blocks which Ray's map_batches
+    # passes through without calling the UDF — the documented
+    # schema-less-input limitation of the whole join family. Arrow
+    # blocks keep their schema at zero rows.
     df = pd.DataFrame(edges, columns=["u", "v"]).astype("int64")
     got = triangle_stats(
-        ray.data.from_pandas(df).repartition(4), **kwargs
+        ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(4),
+        **kwargs,
     )
     want = _brute(edges)
     row = got.iloc[0]

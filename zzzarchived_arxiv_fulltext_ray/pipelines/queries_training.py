@@ -426,17 +426,23 @@ def _q_events_hour_corr(sf_dir: str):
             ),
             pa.int64(),
         )
-        us = pc.cast(batch["ts"].combine_chunks(), pa.int64())
-        hour = pc.mod(pc.divide(us, 3_600_000_000), 24)
+        import numpy as np
+
+        us = (
+            pc.cast(batch["ts"].combine_chunks(), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        hour = (us // 3_600_000_000) % 24
+        cents_np = cents.to_numpy(zero_copy_only=False)
         t = pa.Table.from_arrays(
             [
                 batch["event_type"].combine_chunks(),
-                hour,
+                pa.array(hour, pa.int64()),
                 cents,
-                pc.multiply(hour, cents),
-                pc.multiply(hour, hour),
-                pc.multiply(cents, cents),
-                pa.array([1] * batch.num_rows, pa.int64()),
+                pa.array(hour * cents_np, pa.int64()),
+                pa.array(hour * hour, pa.int64()),
+                pa.array(cents_np * cents_np, pa.int64()),
+                pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
             ],
             names=["event_type", "x", "y", "xy", "xx", "yy", "one"],
         )

@@ -80,6 +80,25 @@ def triangle_stats(
 
     from .relational import partitioned_hash_join
 
+    # normalize first: empty input blocks (pandas-backed repartition
+    # leftovers) carry no column types and would poison the joins'
+    # schema inference — force every block to a typed (u, v) table
+    def as_typed(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return pa.Table.from_pydict(
+                {"u": pa.array([], pa.int64()),
+                 "v": pa.array([], pa.int64())}
+            )
+        import pyarrow.compute as pc
+
+        return pa.Table.from_pydict(
+            {
+                "u": pc.cast(batch["u"].combine_chunks(), pa.int64()),
+                "v": pc.cast(batch["v"].combine_chunks(), pa.int64()),
+            }
+        )
+
+    edges_ds = edges_ds.map_batches(as_typed, batch_format="pyarrow")
     edges = edges_ds if assume_canonical else _canonicalize(edges_ds)
     edges = edges.materialize()  # reused by degrees + 2 joins + count
 
