@@ -949,6 +949,71 @@ ORDER BY event_id
 """
 
 
+def _q_events_trailing_15min(sf_dir: str):
+    """Time-based RANGE-frame window (the ROWS-frame twin above
+    counts rows; this one bounds the frame by TIME): per user the
+    trailing 15-minute sum/count of integer cents over ts order. Same
+    one-exchange plan — per-user sorted arrays, frame ends via two
+    vectorized searchsorteds (cutoff = ts - 15 min inclusive, peers
+    at the current ts included, exactly SQL RANGE semantics) over a
+    prefix-sum. Exact integer cents, no float tolerance."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    window_us = 15 * 60 * 1_000_000
+
+    def frame(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts = ts[order]
+        v = g["value"].to_numpy(zero_copy_only=False)[order]
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(cents)])
+        lo = np.searchsorted(ts, ts - window_us, side="left")
+        hi = np.searchsorted(ts, ts, side="right")  # peers included
+        return pa.Table.from_pydict(
+            {
+                "event_id": pa.array(eid[order], pa.int64()),
+                "user_id": g["user_id"].take(
+                    pa.array(order, pa.int64())
+                ).combine_chunks(),
+                "w15_sum_cents": pa.array(cum[hi] - cum[lo], pa.int64()),
+                "w15_n": pa.array(hi - lo, pa.int64()),
+            }
+        )
+
+    out = (
+        ev.groupby("user_id")
+        .map_groups(frame, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+CORPUS_QUERIES["events_trailing_15min"] = _q_events_trailing_15min
+CORPUS_ORACLE_SQL["events_trailing_15min"] = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 15 MINUTES PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS w15_sum_cents,
+       CAST(count(*) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 15 MINUTES PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS w15_n
+FROM events
+ORDER BY event_id
+"""
+
+
 # ----------------------------------------- global ranking (window #2)
 
 def _q_doc_rank(sf_dir: str):
