@@ -133,3 +133,43 @@ def test_cooccurrence_hot_group_dropped(ray_session):
         .reset_index(drop=True)
     )
     assert got.values.tolist() == [[100, 101]]
+
+
+def test_triangles_empty_graph(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    empty = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+        )
+    )
+    got = triangle_stats(empty, assume_canonical=True)
+    assert got.iloc[0].tolist() == [0, 0, 0, 0, 0.0]
+
+
+def test_triangles_broadcast_equals_partitioned(ray_session):
+    import itertools
+
+    import pyarrow as pa
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    n = 30
+    edges = [
+        (int(u), int(v))
+        for u, v in itertools.combinations(range(n), 2)
+        if rng.random() < 0.3
+    ]
+    df = pd.DataFrame(edges, columns=["u", "v"]).astype("int64")
+    outs = {}
+    for method in ("broadcast", "partitioned"):
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+        outs[method] = triangle_stats(
+            ds, assume_canonical=True, method=method
+        )
+    pd.testing.assert_frame_equal(
+        outs["broadcast"], outs["partitioned"]
+    )
+    want = _brute(edges)
+    assert outs["broadcast"].iloc[0]["n_triangles"] == want["n_triangles"]

@@ -1351,14 +1351,17 @@ SELECT node, r AS pr FROM r3 ORDER BY node
 
 def _q_supplier_triangles(sf_dir: str):
     """Exact triangle count + global clustering coefficient of the
-    supplier co-supply graph (edge = supplier pair sharing >= 24
-    distinct orders) via the degree-ordered wedge-closure plan
-    (``stages.graph.triangle_stats``): orientation bounds every
+    supplier co-supply graph (orders with key % 10 == 0; edge =
+    supplier pair sharing >= 2 of them — dense at sf0.01, sparse at
+    sf0.1, nontrivial at both) via the degree-ordered wedge-closure
+    plan (``stages.graph.triangle_stats``): orientation bounds every
     out-degree at O(sqrt(m)), wedges are numpy pair generation per
     source group, closure is ONE bucketed semi-join of wedges against
     the oriented edge set. All statistics are exact integers; the
     clustering coefficient is one float expression of them, so the
     3-way-join SQL oracle matches bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
     import ray.data
 
     from ..stages.graph import cooccurrence_edges, triangle_stats
@@ -1366,22 +1369,30 @@ def _q_supplier_triangles(sf_dir: str):
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
     )
+
+    def sample_orders(batch: pa.Table) -> pa.Table:
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(keys % 10 == 0))
+
     edges = cooccurrence_edges(
-        li, "l_orderkey", "l_suppkey", min_count=24
+        li.map_batches(sample_orders, batch_format="pyarrow"),
+        "l_orderkey", "l_suppkey", min_count=2,
     )
     return triangle_stats(edges, assume_canonical=True)
 
 
 CORPUS_QUERIES["supplier_triangles"] = _q_supplier_triangles
 CORPUS_ORACLE_SQL["supplier_triangles"] = """
-WITH co AS (
+WITH li AS (
+    SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_orderkey % 10 = 0
+), co AS (
     SELECT a.l_suppkey AS u, b.l_suppkey AS v,
            count(DISTINCT a.l_orderkey) AS n
-    FROM lineitem a JOIN lineitem b
+    FROM li a JOIN li b
       ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
     GROUP BY 1, 2
 ), e AS (
-    SELECT u, v FROM co WHERE n >= 24
+    SELECT u, v FROM co WHERE n >= 2
 ), deg AS (
     SELECT node, count(*) AS d
     FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)

@@ -36,8 +36,9 @@ logger = logging.getLogger(__name__)
 
 
 def _canonicalize(edges_ds):
-    """Force u < v, drop self-loops, global distinct (one pair-key
-    exchange)."""
+    """Force u < v, drop self-loops, global distinct. The distinct is
+    a plain count aggregate (vectorized exchange) — never a per-pair
+    ``map_groups`` dispatch."""
 
     def canon(batch: pa.Table) -> pa.Table:
         u = batch["u"].to_numpy(zero_copy_only=False)
@@ -45,17 +46,20 @@ def _canonicalize(edges_ds):
         lo = np.minimum(u, v)
         hi = np.maximum(u, v)
         keep = lo != hi
-        return pa.Table.from_pydict(
+        t = pa.Table.from_pydict(
             {
                 "u": pa.array(lo[keep], pa.int64()),
                 "v": pa.array(hi[keep], pa.int64()),
             }
         )
+        # local distinct shrinks the exchange
+        return t.group_by(["u", "v"]).aggregate([])
 
-    return edges_ds.map_batches(canon, batch_format="pyarrow").groupby(
-        ["u", "v"]
-    ).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    return (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .count()
+        .select_columns(["u", "v"])
     )
 
 
@@ -63,6 +67,8 @@ def triangle_stats(
     edges_ds,
     num_buckets: int = 64,
     assume_canonical: bool = False,
+    method: str = "auto",
+    broadcast_limit: int = 2_000_000,
 ):
     """Exact triangle count + global clustering coefficient of the
     undirected graph given as an edge list (columns ``u``, ``v``,
@@ -73,6 +79,20 @@ def triangle_stats(
     wedge-free graph) — a single float expression of exact ints, so a
     SQL oracle reproduces it bit-for-bit.
 
+    Two physical plans, ``latest_crawl``-style auto crossover on the
+    canonical edge count:
+
+    * ``"broadcast"`` (<= ``broadcast_limit`` edges): degrees and the
+      oriented edge set (packed into int64 via compact node indices)
+      ship once via ``ray.put``; orientation is a lookup map stage and
+      closure is probed INSIDE the wedge UDF (searchsorted against
+      the broadcast packed set) — TWO exchanges total (degree groupby
+      + wedge bucket groupby), O(n_nodes + n_edges) driver state.
+    * ``"partitioned"``: no driver state — two bucketed degree joins
+      + a bucketed semi-join of wedges against oriented edges. The
+      100x-scale path.
+
+    Both plans are pinned equal in pytest.
     ``assume_canonical=True`` skips the dedup exchange when the input
     is already u<v, loop-free and distinct (e.g. built by an upstream
     groupby)."""
@@ -98,9 +118,32 @@ def triangle_stats(
             }
         )
 
+    import pandas as pd
+
     edges_ds = edges_ds.map_batches(as_typed, batch_format="pyarrow")
     edges = edges_ds if assume_canonical else _canonicalize(edges_ds)
     edges = edges.materialize()  # reused by degrees + 2 joins + count
+
+    n_edges = edges.count()
+    if n_edges == 0:
+        # an empty materialized Dataset reports schema None, which the
+        # join path can't use — and the answer is known anyway
+        return pd.DataFrame(
+            {
+                "n_nodes": [np.int64(0)],
+                "n_edges": [np.int64(0)],
+                "n_wedges": [np.int64(0)],
+                "n_triangles": [np.int64(0)],
+                "global_clustering": [0.0],
+            }
+        )
+
+    if method not in ("auto", "broadcast", "partitioned"):
+        raise ValueError(f"unknown triangle_stats method: {method}")
+    if method == "auto":
+        method = (
+            "broadcast" if n_edges <= broadcast_limit else "partitioned"
+        )
 
     # -- degrees: batch-local partial counts -> one small groupby
     def deg_partial(batch: pa.Table) -> pa.Table:
@@ -118,15 +161,19 @@ def triangle_stats(
             }
         )
 
-    degrees = (
+    degrees_ds = (
         edges.map_batches(deg_partial, batch_format="pyarrow")
         .groupby("node")
         .aggregate(Sum("d", alias_name="d"))
-        .materialize()
     )
 
+    if method == "broadcast":
+        return _triangles_broadcast(
+            edges, degrees_ds, n_edges, num_buckets
+        )
+
+    degrees = degrees_ds.materialize()
     n_nodes = degrees.count()
-    n_edges = edges.count()
 
     # wedge total = sum C(d, 2) — tiny partial-sum tree
     def wedge_partial(batch: pa.Table) -> pa.Table:
@@ -179,28 +226,56 @@ def triangle_stats(
         orient, batch_format="pyarrow"
     ).materialize()  # reused: wedge gen + closure probe
 
-    # -- wedges per source, out-neighbors ordered by (deg, id)
-    def wedges_of_group(group: pa.Table) -> pa.Table:
+    # -- wedges per source, out-neighbors ordered by (deg, id).
+    # COALESCED exchange: bucket src by hash into ``num_buckets``
+    # groups so the per-group UDF dispatch count is num_buckets, not
+    # n_nodes (measured: per-node map_groups cost 30+ s on a 1k-node
+    # graph purely in dispatch overhead); inside a bucket, all
+    # sources are processed with one lexsort + per-source triu loops.
+    from ..functions.hashing import bucket_of_column
+
+    def tag_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__b",
+            pa.array(
+                bucket_of_column(batch["src"], num_buckets), pa.int64()
+            ),
+        )
+
+    def wedges_of_bucket(group: pa.Table) -> pa.Table:
+        src = group["src"].to_numpy(zero_copy_only=False)
         dst = group["dst"].to_numpy(zero_copy_only=False)
         dd = group["dst_deg"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((dst, dd))
-        dst = dst[order]
-        n = dst.size
-        if n < 2:
+        order = np.lexsort((dst, dd, src))
+        src, dst = src[order], dst[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], src[1:] != src[:-1]])
+        )
+        ends = np.append(starts[1:], src.size)
+        out_v, out_w = [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            ii, jj = np.triu_indices(n, k=1)
+            out_v.append(dst[s:e][ii])
+            out_w.append(dst[s:e][jj])
+        if not out_v:
             return pa.Table.from_pydict(
                 {"src": pa.array([], pa.int64()),
                  "dst": pa.array([], pa.int64())}
             )
-        ii, jj = np.triu_indices(n, k=1)
         return pa.Table.from_pydict(
             {
-                "src": pa.array(dst[ii], pa.int64()),
-                "dst": pa.array(dst[jj], pa.int64()),
+                "src": pa.array(np.concatenate(out_v), pa.int64()),
+                "dst": pa.array(np.concatenate(out_w), pa.int64()),
             }
         )
 
-    wedges = oriented.groupby("src").map_groups(
-        wedges_of_group, batch_format="pyarrow"
+    wedges = (
+        oriented.map_batches(tag_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(wedges_of_bucket, batch_format="pyarrow")
     )
 
     closed = partitioned_hash_join(
@@ -214,8 +289,119 @@ def triangle_stats(
     )
     n_triangles = closed.count()
 
-    import pandas as pd
+    clustering = 3.0 * n_triangles / n_wedges if n_wedges > 0 else 0.0
+    return pd.DataFrame(
+        {
+            "n_nodes": [np.int64(n_nodes)],
+            "n_edges": [np.int64(n_edges)],
+            "n_wedges": [np.int64(n_wedges)],
+            "n_triangles": [np.int64(n_triangles)],
+            "global_clustering": [clustering],
+        }
+    )
 
+
+def _triangles_broadcast(edges, degrees_ds, n_edges, num_buckets):
+    """Small-graph plan: degrees + the oriented edge set (packed to
+    int64 via compact node indices) broadcast once; closure probed
+    inside the wedge UDF. Two exchanges, zero joins."""
+    import pandas as pd
+    import ray
+
+    from ..functions.hashing import bucket_of_column
+
+    deg_df = degrees_ds.to_pandas()
+    nodes = deg_df["node"].to_numpy().astype(np.int64)
+    degs = deg_df["d"].to_numpy().astype(np.int64)
+    order = np.argsort(nodes)
+    nodes, degs = nodes[order], degs[order]
+    n_nodes = nodes.size
+    n_wedges = int((degs * (degs - 1) // 2).sum())
+
+    # oriented packed edge set: compact index of lower-(deg, id)
+    # endpoint in the high 32 bits (n_nodes <= 2 * broadcast_limit
+    # always fits int32)
+    def pack(u, v):
+        iu = np.searchsorted(nodes, u)
+        iv = np.searchsorted(nodes, v)
+        du, dv = degs[iu], degs[iv]
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        isrc = np.where(u_first, iu, iv)
+        idst = np.where(u_first, iv, iu)
+        return (isrc.astype(np.int64) << 32) | idst.astype(np.int64)
+
+    packed_parts = [
+        pack(
+            b["u"].to_numpy(zero_copy_only=False),
+            b["v"].to_numpy(zero_copy_only=False),
+        )
+        for b in edges.iter_batches(batch_format="pyarrow")
+    ]
+    packed_sorted = np.sort(
+        np.concatenate(packed_parts) if packed_parts
+        else np.empty(0, np.int64)
+    )
+    state_ref = ray.put((nodes, degs, packed_sorted))
+
+    # one map stage: orient via broadcast lookup + bucket tag
+    def orient_tag(batch: pa.Table) -> pa.Table:
+        nd, dg, _ = ray.get(state_ref)
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        iu = np.searchsorted(nd, u)
+        iv = np.searchsorted(nd, v)
+        du, dv = dg[iu], dg[iv]
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        isrc = np.where(u_first, iu, iv).astype(np.int64)
+        idst = np.where(u_first, iv, iu).astype(np.int64)
+        ddst = np.where(u_first, dv, du).astype(np.int64)
+        t = pa.Table.from_pydict(
+            {
+                "isrc": pa.array(isrc, pa.int64()),
+                "idst": pa.array(idst, pa.int64()),
+                "dst_deg": pa.array(ddst, pa.int64()),
+            }
+        )
+        return t.append_column(
+            "__b",
+            pa.array(
+                bucket_of_column(t["isrc"], num_buckets), pa.int64()
+            ),
+        )
+
+    # wedge gen + closure probe fused in the bucket UDF
+    def count_of_bucket(group: pa.Table) -> pa.Table:
+        _, _, pk = ray.get(state_ref)
+        src = group["isrc"].to_numpy(zero_copy_only=False)
+        dst = group["idst"].to_numpy(zero_copy_only=False)
+        dd = group["dst_deg"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dst, dd, src))
+        src, dst = src[order], dst[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], src[1:] != src[:-1]])
+        ) if src.size else np.empty(0, np.int64)
+        ends = np.append(starts[1:], src.size)
+        total = 0
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            ii, jj = np.triu_indices(n, k=1)
+            w = (dst[s:e][ii] << 32) | dst[s:e][jj]
+            pos = np.searchsorted(pk, w)
+            pos[pos >= pk.size] = 0
+            total += int((pk[pos] == w).sum()) if pk.size else 0
+        return pa.Table.from_pydict(
+            {"t": pa.array([total], pa.int64())}
+        )
+
+    trow = (
+        edges.map_batches(orient_tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(count_of_bucket, batch_format="pyarrow")
+        .sum("t")
+    )
+    n_triangles = int(trow) if trow is not None else 0
     clustering = 3.0 * n_triangles / n_wedges if n_wedges > 0 else 0.0
     return pd.DataFrame(
         {
@@ -237,38 +423,82 @@ def cooccurrence_edges(
 ) -> "object":
     """Undirected co-occurrence edge list: items sharing a group form
     a pair; an edge survives if the pair co-occurs in >= ``min_count``
-    distinct groups. One exchange on the group key (pair generation is
-    numpy per group, items deduplicated within a group), one exchange
-    on the pair key (the count aggregate). Groups larger than
-    ``max_group`` items are dropped AND logged — the hot-key contract
-    shared with the neardup bucket pair generator."""
+    distinct groups. One COALESCED exchange on the hashed group key
+    (a fixed 64 UDF dispatches, each handling all its groups with one
+    lexsort + per-group numpy pair generation — never a per-group
+    map_groups dispatch, which costs tens of seconds in pure overhead
+    on 10k+ small groups), one exchange on the pair key (the count
+    aggregate). Groups larger than ``max_group`` items are dropped
+    AND logged — the hot-key contract shared with the neardup bucket
+    pair generator."""
     from ray.data.aggregate import Sum
 
-    def pairs_of_group(group: pa.Table) -> pa.Table:
-        items = np.unique(
-            group[item_col].to_numpy(zero_copy_only=False)
+    from ..functions.hashing import bucket_of_column
+
+    num_buckets = 64
+
+    def tag_bucket(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "g": batch[group_col].combine_chunks(),
+                "item": batch[item_col].combine_chunks(),
+                "__b": pa.array(
+                    bucket_of_column(batch[group_col], num_buckets),
+                    pa.int64(),
+                ),
+            }
         )
-        if items.size < 2 or items.size > max_group:
-            if items.size > max_group:
-                logger.warning(
-                    "cooccurrence_edges: dropping hot group key=%s "
-                    "with %d items (max_group=%d)",
-                    group[group_col][0].as_py(), items.size, max_group,
-                )
+
+    def pairs_of_bucket(group: pa.Table) -> pa.Table:
+        g = group["g"].to_numpy(zero_copy_only=False)
+        items = group["item"].to_numpy(zero_copy_only=False)
+        if g.size == 0:
             return pa.Table.from_pydict(
                 {"u": pa.array([], pa.int64()),
                  "v": pa.array([], pa.int64())}
             )
-        ii, jj = np.triu_indices(items.size, k=1)
+        order = np.lexsort((items, g))
+        g, items = g[order], items[order]
+        # drop duplicate (group, item) rows after the sort
+        keep = np.concatenate(
+            [[True], (g[1:] != g[:-1]) | (items[1:] != items[:-1])]
+        )
+        g, items = g[keep], items[keep]
+        starts = np.flatnonzero(
+            np.concatenate([[True], g[1:] != g[:-1]])
+        )
+        ends = np.append(starts[1:], g.size)
+        out_u, out_v = [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n > max_group:
+                logger.warning(
+                    "cooccurrence_edges: dropping hot group key=%s "
+                    "with %d items (max_group=%d)",
+                    g[s], n, max_group,
+                )
+                continue
+            if n < 2:
+                continue
+            ii, jj = np.triu_indices(n, k=1)
+            out_u.append(items[s:e][ii])
+            out_v.append(items[s:e][jj])
+        if not out_u:
+            return pa.Table.from_pydict(
+                {"u": pa.array([], pa.int64()),
+                 "v": pa.array([], pa.int64())}
+            )
         return pa.Table.from_pydict(
             {
-                "u": pa.array(items[ii], pa.int64()),
-                "v": pa.array(items[jj], pa.int64()),
+                "u": pa.array(np.concatenate(out_u), pa.int64()),
+                "v": pa.array(np.concatenate(out_v), pa.int64()),
             }
         )
 
-    pairs = ds.groupby(group_col).map_groups(
-        pairs_of_group, batch_format="pyarrow"
+    pairs = (
+        ds.map_batches(tag_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(pairs_of_bucket, batch_format="pyarrow")
     )
 
     def local_count(batch: pa.Table) -> pa.Table:
