@@ -428,6 +428,61 @@ def test_bloom_guard_no_false_negatives_and_bounded_fp(ray_session):
     assert fp < 0.01, fp
 
 
+def test_bloom_guard_stable_hash_mode(ray_session):
+    """stable_hash=True (the oracle-replayable md5 keying) keeps the
+    guard contract: zero false negatives, bounded FP — and its bit
+    positions match a pure-Python replay of the documented formula
+    (h1 + i*(splitmix64(h1)|1)) mod n_bits."""
+    import ray
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.functions.shingles import (
+        _splitmix64,
+        stable_hash64,
+    )
+    from zzzarchived_arxiv_fulltext_ray.stages.dedup import (
+        bloom_guard_filter,
+        build_key_bloom,
+    )
+
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "url": [f"https://h/{i}" for i in range(n)],
+            "doc_id": np.arange(n, dtype=np.int64),
+        }
+    )
+    seen = rd.from_pandas(df[df.doc_id % 2 == 0]).repartition(4)
+    bloom = build_key_bloom(
+        seen, col="url", n_bits=1 << 16, k=4, stable_hash=True
+    )
+    ref = ray.put(bloom)
+    passed = bloom_guard_filter(
+        rd.from_pandas(df), ref, col="url", stable_hash=True
+    ).to_pandas()
+    assert (passed["doc_id"] % 2 == 1).all()
+    fp = (n // 2 - len(passed)) / (n // 2)
+    assert fp < 0.02, fp
+    # formula replay: which odd urls probe positive
+    mask = (1 << 16) - 1
+    ins = set()
+    for i in range(0, n, 2):
+        h1 = stable_hash64(f"https://h/{i}")
+        h2 = int(_splitmix64(np.array([h1], dtype=np.uint64))[0]) | 1
+        for j in range(4):
+            ins.add((h1 + j * h2) & mask)
+    expect_skip = set()
+    for i in range(1, n, 2):
+        h1 = stable_hash64(f"https://h/{i}")
+        h2 = int(_splitmix64(np.array([h1], dtype=np.uint64))[0]) | 1
+        if all((h1 + j * h2) & mask in ins for j in range(4)):
+            expect_skip.add(i)
+    got_pass = set(passed["doc_id"].tolist())
+    assert got_pass == {
+        i for i in range(1, n, 2) if i not in expect_skip
+    }
+
+
 def test_bloom_tree_merge_equals_single_build(ray_session):
     import ray.data as rd
 

@@ -1014,6 +1014,115 @@ ORDER BY event_id
 """
 
 
+def _q_events_rolling_wau(sf_dir: str):
+    """Rolling DISTINCT count — trailing-7-day active users per event
+    day (the WAU curve). Exact distinct over a sliding window can't
+    use prefix sums; the scalable spelling is
+    replicate-to-window -> distinct -> count: each (user, day)
+    activity row fans out to the <=7 window-end days it supports
+    (vectorized), one (window, user) distinct exchange, then a tiny
+    per-window count. Window-end days with no events of their own are
+    dropped via a broadcast of the (bounded, ~days-of-data) active
+    day set. Days travel as 'YYYY-MM-DD' strings so both engines hash
+    identically."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def user_days(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = (
+            pc.cast(batch["ts"].combine_chunks(), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        day = us // 86_400_000_000
+        t = pa.Table.from_pydict(
+            {
+                "user_id": batch["user_id"].combine_chunks(),
+                "day": pa.array(day, pa.int64()),
+            }
+        )
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    ud = ev.map_batches(user_days, batch_format="pyarrow")
+
+    # bounded driver state: the set of distinct event days (~one int
+    # per day of data), used to drop windows without own-day events
+    days = set()
+    for b in ud.iter_batches(batch_format="pyarrow"):
+        days.update(np.unique(b["day"].to_numpy(zero_copy_only=False)))
+    import ray
+
+    days_ref = ray.put(np.array(sorted(days), dtype=np.int64))
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        active = ray.get(days_ref)
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        d = batch["day"].to_numpy(zero_copy_only=False)
+        us, ws = [], []
+        for off in range(7):
+            w = d + off
+            keep = np.isin(w, active)
+            us.append(u[keep])
+            ws.append(w[keep])
+        t = pa.Table.from_pydict(
+            {
+                "w": pa.array(np.concatenate(ws), pa.int64()),
+                "user_id": pa.array(np.concatenate(us), pa.int64()),
+            }
+        )
+        return t.group_by(["w", "user_id"]).aggregate([])
+
+    distinct = (
+        ud.map_batches(fan_out, batch_format="pyarrow")
+        .groupby(["w", "user_id"])
+        .count()
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["w"])
+            .group_by("w")
+            .aggregate([([], "count_all")])
+            .rename_columns(["w", "n"])
+        )
+
+    wau = (
+        distinct.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("n", alias_name="wau"))
+        .to_pandas()
+    )
+    day_str = (
+        np.array(wau["w"], dtype="datetime64[D]").astype(str)
+    )
+    out = wau.assign(day=day_str)[["day", "wau"]]
+    out["wau"] = out["wau"].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
+
+
+CORPUS_QUERIES["events_rolling_wau"] = _q_events_rolling_wau
+CORPUS_ORACLE_SQL["events_rolling_wau"] = """
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+    FROM events
+), days AS (
+    SELECT DISTINCT day FROM ud
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day ORDER BY 1
+"""
+
+
 # ----------------------------------------- global ranking (window #2)
 
 def _q_doc_rank(sf_dir: str):
