@@ -173,3 +173,53 @@ def test_triangles_broadcast_equals_partitioned(ray_session):
     )
     want = _brute(edges)
     assert outs["broadcast"].iloc[0]["n_triangles"] == want["n_triangles"]
+
+
+def test_local_clustering_both_plans_vs_brute(ray_session):
+    import itertools
+
+    import pyarrow as pa
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.graph import (
+        local_clustering,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 25
+    edges = [
+        (int(u), int(v))
+        for u, v in itertools.combinations(range(n), 2)
+        if rng.random() < 0.3
+    ]
+    es = set(edges)
+    nodes = sorted({x for e in edges for x in e})
+    deg = {x: 0 for x in nodes}
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    tri = {x: 0 for x in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in es and (a, c) in es and (b, c) in es:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    df = pd.DataFrame(edges, columns=["u", "v"]).astype("int64")
+    outs = {}
+    for method in ("broadcast", "partitioned"):
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+        outs[method] = (
+            local_clustering(ds, assume_canonical=True, method=method)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["partitioned"])
+    got = outs["broadcast"]
+    assert got["node"].tolist() == nodes
+    assert got["degree"].tolist() == [deg[x] for x in nodes]
+    assert got["n_triangles"].tolist() == [tri[x] for x in nodes]
+    for _, r in got.iterrows():
+        d, t = int(r["degree"]), int(r["n_triangles"])
+        want = 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0
+        assert r["local_clustering"] == want

@@ -1490,6 +1490,76 @@ def _q_supplier_triangles(sf_dir: str):
     return triangle_stats(edges, assume_canonical=True)
 
 
+def _q_supplier_local_clustering(sf_dir: str):
+    """Per-node triangle counts + LOCAL clustering coefficient over
+    the same co-supply graph — the per-node sibling of
+    ``supplier_triangles`` (``stages.graph.local_clustering``): each
+    closed wedge is attributed to its three corners (inside the wedge
+    UDF on the broadcast plan; via a fan-out-to-(node,1) aggregate
+    after the closure join on the partitioned plan, both pinned
+    equal). c(v) = 2.0 * tri(v) / (d(v)*(d(v)-1)) is one float
+    expression of exact ints — bit-equal to the 3-way-join oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ..stages.graph import cooccurrence_edges, local_clustering
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+
+    def sample_orders(batch: pa.Table) -> pa.Table:
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(keys % 10 == 0))
+
+    edges = cooccurrence_edges(
+        li.map_batches(sample_orders, batch_format="pyarrow"),
+        "l_orderkey", "l_suppkey", min_count=2,
+    )
+    out = local_clustering(edges, assume_canonical=True).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+CORPUS_QUERIES["supplier_local_clustering"] = _q_supplier_local_clustering
+CORPUS_ORACLE_SQL["supplier_local_clustering"] = """
+WITH li AS (
+    SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_orderkey % 10 = 0
+), co AS (
+    SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+           count(DISTINCT a.l_orderkey) AS n
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+), e AS (
+    SELECT u, v FROM co WHERE n >= 2
+), deg AS (
+    SELECT node, count(*) AS d
+    FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+    GROUP BY node
+), tri AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM e e1
+    JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+    JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+), tcnt AS (
+    SELECT node, count(*) AS t
+    FROM (SELECT a AS node FROM tri UNION ALL
+          SELECT b AS node FROM tri UNION ALL
+          SELECT c AS node FROM tri)
+    GROUP BY node
+)
+SELECT deg.node,
+       CAST(deg.d AS BIGINT) AS degree,
+       CAST(COALESCE(tcnt.t, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.d >= 2
+            THEN 2.0 * COALESCE(tcnt.t, 0) / (deg.d * (deg.d - 1))
+            ELSE 0.0 END AS local_clustering
+FROM deg LEFT JOIN tcnt USING (node)
+ORDER BY deg.node
+"""
+
+
 CORPUS_QUERIES["supplier_triangles"] = _q_supplier_triangles
 CORPUS_ORACLE_SQL["supplier_triangles"] = """
 WITH li AS (

@@ -518,3 +518,343 @@ def cooccurrence_edges(
             expr=f"n >= {min_count}"
         )
     return counted.select_columns(["u", "v"])
+
+
+def local_clustering(
+    edges_ds,
+    num_buckets: int = 64,
+    assume_canonical: bool = False,
+    method: str = "auto",
+    broadcast_limit: int = 2_000_000,
+):
+    """Per-node triangle counts + local clustering coefficient
+    ``c(v) = 2.0 * tri(v) / (d(v) * (d(v) - 1))`` (0.0 below degree
+    2). Returns a Ray Dataset ``(node, degree, n_triangles,
+    local_clustering)`` — one row per node, so the result itself
+    stays distributed on the scale path.
+
+    Same two physical plans as :func:`triangle_stats` (auto crossover
+    on edge count): the broadcast plan attributes each closed wedge to
+    its three corners inside the wedge UDF (numpy ``add.at`` on a
+    per-bucket count vector); the partitioned plan keeps the wedge
+    CENTER through the closure join, fans each closed wedge out to
+    three (node, 1) rows, and aggregates — no driver state. Pinned
+    equal in pytest and against a 3-way-join SQL oracle."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import bucket_of_column
+    from .relational import partitioned_hash_join
+
+    def as_typed(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return pa.Table.from_pydict(
+                {"u": pa.array([], pa.int64()),
+                 "v": pa.array([], pa.int64())}
+            )
+        import pyarrow.compute as pc
+
+        return pa.Table.from_pydict(
+            {
+                "u": pc.cast(batch["u"].combine_chunks(), pa.int64()),
+                "v": pc.cast(batch["v"].combine_chunks(), pa.int64()),
+            }
+        )
+
+    edges_ds = edges_ds.map_batches(as_typed, batch_format="pyarrow")
+    edges = edges_ds if assume_canonical else _canonicalize(edges_ds)
+    edges = edges.materialize()
+    n_edges = edges.count()
+    empty = pa.Table.from_pydict(
+        {
+            "node": pa.array([], pa.int64()),
+            "degree": pa.array([], pa.int64()),
+            "n_triangles": pa.array([], pa.int64()),
+            "local_clustering": pa.array([], pa.float64()),
+        }
+    )
+    if n_edges == 0:
+        return rd.from_arrow(empty)
+
+    if method not in ("auto", "broadcast", "partitioned"):
+        raise ValueError(f"unknown local_clustering method: {method}")
+    if method == "auto":
+        method = (
+            "broadcast" if n_edges <= broadcast_limit else "partitioned"
+        )
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                batch["u"].to_numpy(zero_copy_only=False),
+                batch["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        nodes, counts = np.unique(both, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "d": pa.array(counts, pa.int64()),
+            }
+        )
+
+    degrees_ds = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="d"))
+    )
+
+    if method == "broadcast":
+        deg_df = degrees_ds.to_pandas()
+        nodes = deg_df["node"].to_numpy().astype(np.int64)
+        degs = deg_df["d"].to_numpy().astype(np.int64)
+        order = np.argsort(nodes)
+        nodes, degs = nodes[order], degs[order]
+
+        def pack(u, v):
+            iu = np.searchsorted(nodes, u)
+            iv = np.searchsorted(nodes, v)
+            du, dv = degs[iu], degs[iv]
+            u_first = (du < dv) | ((du == dv) & (u < v))
+            isrc = np.where(u_first, iu, iv)
+            idst = np.where(u_first, iv, iu)
+            return (isrc.astype(np.int64) << 32) | idst.astype(np.int64)
+
+        packed = [
+            pack(
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False),
+            )
+            for b in edges.iter_batches(batch_format="pyarrow")
+        ]
+        packed_sorted = np.sort(
+            np.concatenate(packed) if packed else np.empty(0, np.int64)
+        )
+        state_ref = ray.put((nodes, degs, packed_sorted))
+
+        def orient_tag(batch: pa.Table) -> pa.Table:
+            nd, dg, _ = ray.get(state_ref)
+            u = batch["u"].to_numpy(zero_copy_only=False)
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            iu = np.searchsorted(nd, u)
+            iv = np.searchsorted(nd, v)
+            du, dv = dg[iu], dg[iv]
+            u_first = (du < dv) | ((du == dv) & (u < v))
+            isrc = np.where(u_first, iu, iv).astype(np.int64)
+            idst = np.where(u_first, iv, iu).astype(np.int64)
+            ddst = np.where(u_first, dv, du).astype(np.int64)
+            t = pa.Table.from_pydict(
+                {
+                    "isrc": pa.array(isrc, pa.int64()),
+                    "idst": pa.array(idst, pa.int64()),
+                    "dst_deg": pa.array(ddst, pa.int64()),
+                }
+            )
+            return t.append_column(
+                "__b",
+                pa.array(
+                    bucket_of_column(t["isrc"], num_buckets), pa.int64()
+                ),
+            )
+
+        def tri_of_bucket(group: pa.Table) -> pa.Table:
+            nd, _, pk = ray.get(state_ref)
+            src = group["isrc"].to_numpy(zero_copy_only=False)
+            dst = group["idst"].to_numpy(zero_copy_only=False)
+            dd = group["dst_deg"].to_numpy(zero_copy_only=False)
+            cnt = np.zeros(nd.size, dtype=np.int64)
+            order = np.lexsort((dst, dd, src))
+            src, dst = src[order], dst[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], src[1:] != src[:-1]])
+            ) if src.size else np.empty(0, np.int64)
+            ends = np.append(starts[1:], src.size)
+            for s, e in zip(starts, ends):
+                n = e - s
+                if n < 2:
+                    continue
+                ii, jj = np.triu_indices(n, k=1)
+                vs = dst[s:e][ii]
+                ws = dst[s:e][jj]
+                w = (vs << 32) | ws
+                pos = np.searchsorted(pk, w)
+                pos[pos >= pk.size] = 0
+                hit = (pk[pos] == w) if pk.size else np.zeros(
+                    w.size, bool
+                )
+                cnt[src[s]] += int(hit.sum())
+                np.add.at(cnt, vs[hit], 1)
+                np.add.at(cnt, ws[hit], 1)
+            nz = np.flatnonzero(cnt)
+            return pa.Table.from_pydict(
+                {
+                    "inode": pa.array(nz, pa.int64()),
+                    "t": pa.array(cnt[nz], pa.int64()),
+                }
+            )
+
+        tri_df = (
+            edges.map_batches(orient_tag, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(tri_of_bucket, batch_format="pyarrow")
+            .groupby("inode")
+            .aggregate(Sum("t", alias_name="t"))
+            .to_pandas()
+        )
+        tri = np.zeros(nodes.size, dtype=np.int64)
+        if len(tri_df):
+            tri[tri_df["inode"].to_numpy()] = tri_df["t"].to_numpy()
+        denom = degs * (degs - 1)
+        lc = np.where(degs >= 2, 2.0 * tri / np.maximum(denom, 1), 0.0)
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "node": pa.array(nodes, pa.int64()),
+                    "degree": pa.array(degs, pa.int64()),
+                    "n_triangles": pa.array(tri, pa.int64()),
+                    "local_clustering": pa.array(lc, pa.float64()),
+                }
+            )
+        )
+
+    # ---- partitioned plan: no driver state
+    degrees = degrees_ds.materialize()
+
+    def rename(cols):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(cols)
+
+        return fn
+
+    deg_u = degrees.map_batches(rename(["u", "deg_u"]),
+                                batch_format="pyarrow")
+    deg_v = degrees.map_batches(rename(["v", "deg_v"]),
+                                batch_format="pyarrow")
+    with_du = partitioned_hash_join(edges, deg_u, "u",
+                                    num_buckets=num_buckets)
+    with_dv = partitioned_hash_join(with_du, deg_v, "v",
+                                    num_buckets=num_buckets)
+
+    def orient(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        du = batch["deg_u"].to_numpy(zero_copy_only=False)
+        dv = batch["deg_v"].to_numpy(zero_copy_only=False)
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        t = pa.Table.from_pydict(
+            {
+                "src": pa.array(np.where(u_first, u, v), pa.int64()),
+                "dst": pa.array(np.where(u_first, v, u), pa.int64()),
+                "dst_deg": pa.array(
+                    np.where(u_first, dv, du), pa.int64()
+                ),
+            }
+        )
+        return t
+
+    oriented = with_dv.map_batches(
+        orient, batch_format="pyarrow"
+    ).materialize()
+
+    def tag_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__b",
+            pa.array(
+                bucket_of_column(batch["src"], num_buckets), pa.int64()
+            ),
+        )
+
+    def wedges_of_bucket(group: pa.Table) -> pa.Table:
+        src = group["src"].to_numpy(zero_copy_only=False)
+        dst = group["dst"].to_numpy(zero_copy_only=False)
+        dd = group["dst_deg"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dst, dd, src))
+        src, dst = src[order], dst[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], src[1:] != src[:-1]])
+        ) if src.size else np.empty(0, np.int64)
+        ends = np.append(starts[1:], src.size)
+        o_c, o_v, o_w = [], [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            ii, jj = np.triu_indices(n, k=1)
+            o_c.append(np.full(ii.size, src[s], np.int64))
+            o_v.append(dst[s:e][ii])
+            o_w.append(dst[s:e][jj])
+        if not o_c:
+            return pa.Table.from_pydict(
+                {"center": pa.array([], pa.int64()),
+                 "src": pa.array([], pa.int64()),
+                 "dst": pa.array([], pa.int64())}
+            )
+        return pa.Table.from_pydict(
+            {
+                "center": pa.array(np.concatenate(o_c), pa.int64()),
+                "src": pa.array(np.concatenate(o_v), pa.int64()),
+                "dst": pa.array(np.concatenate(o_w), pa.int64()),
+            }
+        )
+
+    wedges = (
+        oriented.map_batches(tag_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(wedges_of_bucket, batch_format="pyarrow")
+    )
+    closed = partitioned_hash_join(
+        wedges,
+        oriented.map_batches(
+            lambda b: b.select(["src", "dst"]), batch_format="pyarrow"
+        ),
+        ["src", "dst"],
+        num_buckets=num_buckets,
+        how="semi",
+    )
+
+    def corners(batch: pa.Table) -> pa.Table:
+        trip = np.concatenate(
+            [
+                batch["center"].to_numpy(zero_copy_only=False),
+                batch["src"].to_numpy(zero_copy_only=False),
+                batch["dst"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        nodes_, counts = np.unique(trip, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array(nodes_, pa.int64()),
+                "t": pa.array(counts, pa.int64()),
+            }
+        )
+
+    tri_counts = (
+        closed.map_batches(corners, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("t", alias_name="t"))
+    )
+    joined = partitioned_hash_join(
+        degrees, tri_counts, "node",
+        num_buckets=num_buckets, how="left",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch["t"].to_numpy(zero_copy_only=False)
+        t = np.where(np.isnan(t.astype(np.float64)), 0, t).astype(
+            np.int64
+        ) if t.dtype != np.int64 else t
+        denom = d * (d - 1)
+        lc = np.where(d >= 2, 2.0 * t / np.maximum(denom, 1), 0.0)
+        return pa.Table.from_pydict(
+            {
+                "node": batch["node"].combine_chunks(),
+                "degree": pa.array(d, pa.int64()),
+                "n_triangles": pa.array(t, pa.int64()),
+                "local_clustering": pa.array(lc, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
