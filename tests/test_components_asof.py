@@ -346,3 +346,60 @@ def test_asof_join_edge_cases(ray_session):
     assert got.k.tolist() == [1, 2, 3, 4]
     assert got.rv.fillna(-1).tolist() == [500, -1, 700, -1]
     assert got.matched_t.fillna(-1).tolist() == [50, -1, 100, -1]
+
+
+def test_asof_forward_direction(ray_session):
+    """Forward as-of: smallest right ts >= left ts, ties inclusive,
+    null past the last right row; pinned against a pandas
+    merge_asof(direction='forward') brute force."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.asof import asof_join
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 200),
+            "ts": rng.integers(0, 1000, 200),
+            "lv": np.arange(200),
+        }
+    ).astype("int64")
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 120),
+            "ts": rng.integers(0, 1000, 120),
+            "rv": np.arange(120) * 10,
+        }
+    ).astype("int64")
+    # make one exact-tie pair to pin inclusivity
+    right.loc[0, ["k", "ts"]] = left.loc[0, ["k", "ts"]].values
+    got = (
+        asof_join(
+            rd.from_arrow(pa.Table.from_pandas(left)).repartition(3),
+            rd.from_arrow(pa.Table.from_pandas(right)).repartition(2),
+            key="k", on="ts", direction="forward",
+        )
+        .to_pandas()
+        .sort_values("lv")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts").rename(columns={"ts": "matched_ts"}),
+        left_on="ts", right_on="matched_ts", by="k",
+        direction="forward", allow_exact_matches=True,
+    ).sort_values("lv").reset_index(drop=True)
+    assert got["lv"].tolist() == want["lv"].tolist()
+    assert (
+        got["rv"].fillna(-1).tolist() == want["rv"].fillna(-1).tolist()
+    )
+    assert (
+        got["matched_ts"].fillna(-1).tolist()
+        == want["matched_ts"].fillna(-1).tolist()
+    )
+    # the planted tie matched AT the equal timestamp
+    row0 = got[got["lv"] == 0].iloc[0]
+    assert row0["matched_ts"] == left.loc[0, "ts"]

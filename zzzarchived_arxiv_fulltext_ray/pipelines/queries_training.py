@@ -883,6 +883,54 @@ def _q_events_asof(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_events_asof_forward(sf_dir: str):
+    """FORWARD as-of join — each click enriched with the user's next
+    view AT-OR-AFTER it (``asof_join(direction="forward")``; DuckDB
+    spells it with ``c.ts <= v.ts`` in the ASOF condition). Same
+    single-exchange sorted-searchsorted plan as the backward twin."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..stages.asof import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+    def prep(kind: str, cents_name: str, keep_event_id: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["event_type"], kind))
+            cents = pc.cast(
+                pc.round(
+                    pc.multiply(t["value"], 100.0),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+            cols = {}
+            if keep_event_id:
+                cols["event_id"] = t["event_id"]
+            cols["user_id"] = t["user_id"]
+            cols["ts"] = t["ts"]
+            cols[cents_name] = cents
+            return pa.Table.from_pydict(cols)
+
+        return fn
+
+    left = ev.map_batches(
+        prep("click", "cents", True), batch_format="pyarrow"
+    )
+    right = ev.map_batches(
+        prep("view", "next_view_cents", False), batch_format="pyarrow"
+    )
+    out = asof_join(
+        left, right, key="user_id", on="ts", direction="forward"
+    ).to_pandas()
+    out["next_view_cents"] = out["next_view_cents"].astype("float64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def _sample_per_lang_partial(batch: pa.Table, k: int = 10) -> pa.Table:
     """Vectorized per-batch partial of the fixed-size per-language
     sample: keep each language's k docs with the smallest Knuth-mix
@@ -1015,6 +1063,7 @@ TRAINING_QUERIES: Dict[str, Callable] = {
     "dedup_components": _q_dedup_components,
     "dedup_canonical_docs": _q_dedup_canonical_docs,
     "events_asof": _q_events_asof,
+    "events_asof_forward": _q_events_asof_forward,
     "doc_tfidf": _q_doc_tfidf,
     "lang_sample": _q_lang_sample,
     "dedup_minhash": _q_dedup_minhash,
@@ -1056,6 +1105,24 @@ TRAINING_ORACLE_SQL: Dict[str, str] = {
            v.ts AS matched_ts
     FROM clicks c ASOF LEFT JOIN views v
       ON c.user_id = v.user_id AND c.ts >= v.ts
+    ORDER BY c.event_id
+    """,
+    "events_asof_forward": """
+    WITH clicks AS (
+        SELECT event_id, user_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+        SELECT user_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS next_view_cents
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT c.event_id, c.user_id, c.ts, c.cents,
+           CAST(v.next_view_cents AS DOUBLE) AS next_view_cents,
+           v.ts AS matched_ts
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts <= v.ts
     ORDER BY c.event_id
     """,
     "doc_tfidf": """

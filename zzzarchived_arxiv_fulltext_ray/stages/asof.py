@@ -21,15 +21,20 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def asof_join(left_ds, right_ds, key: str, on: str, how: str = "left"):
+def asof_join(left_ds, right_ds, key: str, on: str, how: str = "left",
+              direction: str = "backward"):
     """For every left row, the right row with the greatest ``on`` <=
-    left's ``on`` for the same ``key`` (ties on equal ``on`` match).
+    left's ``on`` (``direction="backward"``, the default) or the
+    SMALLEST ``on`` >= left's ``on`` (``direction="forward"``) for
+    the same ``key`` (ties on equal ``on`` match in both directions).
 
     Output: all left columns, the right side's non-key/``on`` columns
     (null when unmatched), and ``matched_{on}`` — the matching right
     timestamp. Non-key/``on`` column names must be disjoint.
     ``how``: "left" keeps unmatched lefts; "inner" drops them.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown asof direction: {direction}")
     left_fields = list(zip(left_ds.schema().names, left_ds.schema().types))
     right_fields = list(zip(right_ds.schema().names, right_ds.schema().types))
     left_cols = [n for n, _ in left_fields]
@@ -93,9 +98,15 @@ def asof_join(left_ds, right_ds, key: str, on: str, how: str = "left"):
         # stays float) — no int64 cast that would truncate float keys
         lo = lt[on].to_numpy(zero_copy_only=False)
         ro = rt[on].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(ro, lo, side="right") - 1
-        matched = idx >= 0
-        safe = pa.array(np.maximum(idx, 0), pa.int64())
+        if direction == "backward":
+            idx = np.searchsorted(ro, lo, side="right") - 1
+            matched = idx >= 0
+        else:  # forward: smallest right on >= left on (inclusive)
+            idx = np.searchsorted(ro, lo, side="left")
+            matched = idx < ro.size
+        safe = pa.array(
+            np.clip(idx, 0, ro.size - 1), pa.int64()
+        )
         matched_pa = pa.array(matched, pa.bool_())
 
         cols = {name: lt[name] for name in left_cols}
