@@ -2797,6 +2797,93 @@ ORDER BY event_type
 """
 
 
+def _q_event_type_value_mad(sf_dir: str):
+    """Median absolute deviation per event type — the robust-spread
+    statistic, composed from TWO grouped selections: p50 of cents,
+    then (tiny per-group medians broadcast) p50 of |cents - p50|.
+    Both passes are the shared-scan bucket-refinement selection with
+    DuckDB quantile_disc rank convention, so the composition is
+    integer-exact end-to-end."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from ..stages.selection import grouped_quantile_disc
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(b["value"], 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table(
+            {"event_type": b["event_type"].combine_chunks(),
+             "cents": cents}
+        )
+
+    cents = ev.map_batches(
+        to_cents, batch_format="pyarrow"
+    ).materialize()  # scanned by both selection passes
+    med_rows = grouped_quantile_disc(cents, "event_type", "cents", 0.5)
+    med_ref = ray.put({g: int(v) for g, v, _ in med_rows})
+
+    def abs_dev(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        med = ray.get(med_ref)
+        types = b["event_type"].to_numpy(zero_copy_only=False)
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        m = np.array([med[t] for t in types], dtype=np.int64)
+        return pa.table(
+            {
+                "event_type": b["event_type"].combine_chunks(),
+                "dev": pa.array(np.abs(c - m), pa.int64()),
+            }
+        )
+
+    devs = cents.map_batches(abs_dev, batch_format="pyarrow")
+    mad_rows = grouped_quantile_disc(devs, "event_type", "dev", 0.5)
+    med_map = {g: (int(v), int(n)) for g, v, n in med_rows}
+    return pd.DataFrame(
+        {
+            "event_type": [g for g, _, _ in mad_rows],
+            "n": [med_map[g][1] for g, _, _ in mad_rows],
+            "median_cents": [med_map[g][0] for g, _, _ in mad_rows],
+            "mad_cents": [int(v) for _, v, _ in mad_rows],
+        }
+    )
+
+
+CORPUS_QUERIES["event_type_value_mad"] = _q_event_type_value_mad
+CORPUS_ORACLE_SQL["event_type_value_mad"] = """
+WITH c AS (
+    SELECT event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+), m AS (
+    SELECT event_type, quantile_disc(cents, 0.5) AS med,
+           count(*) AS n
+    FROM c GROUP BY event_type
+), d AS (
+    SELECT c.event_type, abs(c.cents - m.med) AS dev
+    FROM c JOIN m USING (event_type)
+), md AS (
+    SELECT event_type, quantile_disc(dev, 0.5) AS mad
+    FROM d GROUP BY event_type
+)
+SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
+       CAST(m.med AS BIGINT) AS median_cents,
+       CAST(md.mad AS BIGINT) AS mad_cents
+FROM m JOIN md USING (event_type)
+ORDER BY m.event_type
+"""
+
+
 # ------------------------------------------------- set operations
 
 def _q_source_set_ops(sf_dir: str):
