@@ -223,3 +223,82 @@ def test_local_clustering_both_plans_vs_brute(ray_session):
         d, t = int(r["degree"]), int(r["n_triangles"])
         want = 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0
         assert r["local_clustering"] == want
+
+
+# ----------------------------------------------------- BFS hop counts
+
+def _brute_bfs(edges, seeds, max_hops):
+    adj = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    hops = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in hops:
+                    hops[m] = h
+                    nxt.add(m)
+        frontier = nxt
+    return dict(sorted(hops.items()))
+
+
+def _bfs_df(ray_session, edges, seeds, max_hops, method):
+    import pyarrow as pa
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.graph import bfs_hops
+
+    df = pd.DataFrame(edges, columns=["u", "v"]).astype("int64")
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+    out = bfs_hops(ds, seeds, max_hops=max_hops, method=method).to_pandas()
+    if len(out) == 0:
+        return out
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def test_bfs_path_graph_truncation(ray_session):
+    # path 0-1-2-3-4-5, seed {0}: hop = node index, truncated at 3
+    edges = [(i, i + 1) for i in range(5)]
+    for method in ("broadcast", "partitioned"):
+        got = _bfs_df(ray_session, edges, [0], 3, method)
+        assert got["node"].tolist() == [0, 1, 2, 3]
+        assert got["hops"].tolist() == [0, 1, 2, 3]
+
+
+def test_bfs_multi_seed_min_and_isolated_seed(ray_session):
+    # two seeds, one of them NOT in the graph (still reported, hop 0);
+    # node 2 reachable from both — min hop wins
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (9, 2)]
+    want = _brute_bfs(edges, [0, 9, 77], 4)
+    for method in ("broadcast", "partitioned"):
+        got = _bfs_df(ray_session, edges, [0, 9, 77], 4, method)
+        assert dict(zip(got["node"], got["hops"])) == want
+
+
+def test_bfs_random_plans_equal_vs_brute(ray_session):
+    rng = np.random.RandomState(7)
+    edges = [
+        (int(rng.randint(0, 60)), int(rng.randint(0, 60)))
+        for _ in range(150)
+    ]
+    seeds = [1, 7, 42]
+    want = _brute_bfs(edges, seeds, 3)
+    outs = {}
+    for method in ("broadcast", "partitioned"):
+        outs[method] = _bfs_df(ray_session, edges, seeds, 3, method)
+        assert dict(zip(outs[method]["node"], outs[method]["hops"])) == want
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["partitioned"])
+
+
+def test_bfs_empty_seeds_and_no_edges(ray_session):
+    got = _bfs_df(ray_session, [(1, 2)], [], 3, "auto")
+    assert len(got) == 0
+    # seeds with an edgeless graph: hop-0 rows only
+    got = _bfs_df(ray_session, [(5, 5)], [3], 2, "partitioned")
+    assert got["node"].tolist() == [3]
+    assert got["hops"].tolist() == [0]

@@ -1560,6 +1560,78 @@ ORDER BY deg.node
 """
 
 
+def _q_supplier_bfs(sf_dir: str):
+    """Multi-source BFS hop counts over the supplier co-supply graph
+    (``stages.graph.bfs_hops``): seeds = suppliers with key % 97 == 1,
+    levels truncated at 3. Each level of the scale plan is a bucketed
+    SEMI-join of the symmetric adjacency against the frontier + a
+    distinct + a bucketed ANTI-join against the visited set — O(1)
+    driver state per level, frontier/visited re-pinned Datasets (the
+    iterative contract shared with components/pagerank). The hop
+    truncation is what makes a recursive-CTE oracle finite on a
+    cyclic graph; min(hop) == first-visit level."""
+    import pyarrow as pa
+    import ray.data
+
+    from ..stages.graph import bfs_hops, cooccurrence_edges
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+
+    def sample_orders(batch: pa.Table) -> pa.Table:
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(keys % 10 == 0))
+
+    edges = cooccurrence_edges(
+        li.map_batches(sample_orders, batch_format="pyarrow"),
+        "l_orderkey", "l_suppkey", min_count=2,
+    )
+    def seed_filter(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = batch["s_suppkey"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(keys % 97 == 1)).rename_columns(
+            ["node"]
+        )
+
+    seeds = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]
+    ).map_batches(seed_filter, batch_format="pyarrow")
+    out = bfs_hops(
+        edges, seeds, max_hops=3, assume_canonical=True
+    ).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+CORPUS_QUERIES["supplier_bfs"] = _q_supplier_bfs
+CORPUS_ORACLE_SQL["supplier_bfs"] = """
+WITH RECURSIVE li AS (
+    SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_orderkey % 10 = 0
+), co AS (
+    SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+           count(DISTINCT a.l_orderkey) AS n
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+), e AS (
+    SELECT u, v FROM co WHERE n >= 2
+), bi AS (
+    SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+), seeds AS (
+    SELECT s_suppkey AS node FROM supplier WHERE s_suppkey % 97 = 1
+), walk(node, hop) AS (
+    SELECT node, 0 FROM seeds
+    UNION
+    SELECT bi.dst, walk.hop + 1
+    FROM walk JOIN bi ON bi.src = walk.node
+    WHERE walk.hop < 3
+)
+SELECT node, CAST(min(hop) AS BIGINT) AS hops
+FROM walk GROUP BY node ORDER BY node
+"""
+
+
 CORPUS_QUERIES["supplier_triangles"] = _q_supplier_triangles
 CORPUS_ORACLE_SQL["supplier_triangles"] = """
 WITH li AS (

@@ -414,6 +414,249 @@ def _triangles_broadcast(edges, degrees_ds, n_edges, num_buckets):
     )
 
 
+def bfs_hops(
+    edges_ds,
+    seeds,
+    max_hops: int = 4,
+    num_buckets: int = 64,
+    assume_canonical: bool = False,
+    method: str = "auto",
+    broadcast_limit: int = 2_000_000,
+):
+    """Multi-source BFS over the undirected edge list: minimum hop
+    count from any seed, truncated at ``max_hops``. Returns a Ray
+    Dataset ``(node, hops)`` — seeds at hop 0 (whether or not they
+    have edges), every other reached node at its first-visit level.
+
+    Two physical plans (auto crossover on canonical edge count):
+
+    * ``"broadcast"`` (<= ``broadcast_limit`` edges): the symmetric
+      adjacency is pulled once into a driver CSR (sorted src array +
+      offsets) and levels expand via numpy ``unique``/membership —
+      zero exchanges after the canonicalize.
+    * ``"partitioned"``: the frontier stays a Dataset. Each level is
+      (a) a bucketed SEMI-join of the symmetric adjacency against the
+      frontier on ``src`` (only adjacency rows leaving the frontier
+      move), (b) a distinct on the neighbor set (partial per-batch
+      ``np.unique`` shrinks the exchange), (c) a bucketed ANTI-join
+      against the visited set. Driver state per level is O(1) (one
+      count); frontier/visited are re-pinned each round
+      (:func:`components.pin_loop_state` — constant block count +
+      severed lineage, the iterative-Dataset contract).
+
+    The truncation makes the operator SQL-expressible: a recursive
+    CTE bounded by ``hop < max_hops`` enumerates finitely many
+    (node, hop) pairs even on cyclic graphs, and ``min(hop)`` matches
+    first-visit levels exactly. Plans pinned equal in pytest."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from .components import pin_loop_state
+    from .relational import partitioned_hash_join
+
+    def as_typed(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return pa.Table.from_pydict(
+                {"u": pa.array([], pa.int64()),
+                 "v": pa.array([], pa.int64())}
+            )
+        import pyarrow.compute as pc
+
+        return pa.Table.from_pydict(
+            {
+                "u": pc.cast(batch["u"].combine_chunks(), pa.int64()),
+                "v": pc.cast(batch["v"].combine_chunks(), pa.int64()),
+            }
+        )
+
+    edges_ds = edges_ds.map_batches(as_typed, batch_format="pyarrow")
+    edges = edges_ds if assume_canonical else _canonicalize(edges_ds)
+    edges = edges.materialize()
+    n_edges = edges.count()
+
+    # seeds: a Dataset with a `node` column, or a python iterable
+    if hasattr(seeds, "map_batches"):
+        seed_arr = np.unique(
+            np.concatenate(
+                [
+                    b["node"].to_numpy(zero_copy_only=False)
+                    for b in seeds.iter_batches(batch_format="pyarrow")
+                    if b.num_rows
+                ]
+                or [np.empty(0, np.int64)]
+            ).astype(np.int64)
+        )
+    else:
+        seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    if seed_arr.size == 0:
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {"node": pa.array([], pa.int64()),
+                 "hops": pa.array([], pa.int64())}
+            )
+        )
+
+    if method not in ("auto", "broadcast", "partitioned"):
+        raise ValueError(f"unknown bfs_hops method: {method}")
+    if method == "auto":
+        method = (
+            "broadcast" if n_edges <= broadcast_limit else "partitioned"
+        )
+
+    if n_edges == 0:
+        # an empty materialized edge set reports schema None, which
+        # the join family can't consume — and the answer is the seeds
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "node": pa.array(seed_arr, pa.int64()),
+                    "hops": pa.array(
+                        np.zeros(seed_arr.size, np.int64)
+                    ),
+                }
+            )
+        )
+
+    if method == "broadcast":
+        # driver CSR: symmetric edges sorted by src
+        parts = [
+            (
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False),
+            )
+            for b in edges.iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+        if parts:
+            us = np.concatenate([p[0] for p in parts] + [p[1] for p in parts])
+            vs = np.concatenate([p[1] for p in parts] + [p[0] for p in parts])
+            order = np.argsort(us, kind="stable")
+            us, vs = us[order], vs[order]
+        else:
+            us = vs = np.empty(0, np.int64)
+        visited_nodes = seed_arr
+        visited_hops = np.zeros(seed_arr.size, np.int64)
+        frontier = seed_arr
+        for hop in range(1, max_hops + 1):
+            if frontier.size == 0 or us.size == 0:
+                break
+            lo = np.searchsorted(us, frontier, side="left")
+            hi = np.searchsorted(us, frontier, side="right")
+            spans = [vs[s:e] for s, e in zip(lo, hi) if e > s]
+            if not spans:
+                break
+            nbrs = np.unique(np.concatenate(spans))
+            new = nbrs[~np.isin(nbrs, visited_nodes)]
+            if new.size == 0:
+                break
+            visited_nodes = np.concatenate([visited_nodes, new])
+            visited_hops = np.concatenate(
+                [visited_hops, np.full(new.size, hop, np.int64)]
+            )
+            frontier = new
+        order = np.argsort(visited_nodes)
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "node": pa.array(visited_nodes[order], pa.int64()),
+                    "hops": pa.array(visited_hops[order], pa.int64()),
+                }
+            )
+        )
+
+    # ---- partitioned plan: frontier/visited stay Datasets
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "src": pa.array(np.concatenate([u, v]), pa.int64()),
+                "dst": pa.array(np.concatenate([v, u]), pa.int64()),
+            }
+        )
+
+    adj = edges.map_batches(
+        symmetrize, batch_format="pyarrow"
+    ).materialize()  # reused every level
+
+    def distinct_nodes(ds, col):
+        # partial per-batch unique shrinks the exchange; the groupby
+        # Min is just "any representative" over an 8-byte grain
+        def partial(batch: pa.Table) -> pa.Table:
+            arr = np.unique(
+                batch[col].to_numpy(zero_copy_only=False)
+            )
+            return pa.Table.from_pydict(
+                {"node": pa.array(arr, pa.int64()),
+                 "one": pa.array(np.ones(arr.size, np.int64))}
+            )
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("one", alias_name="one"))
+            .select_columns(["node"])
+        )
+
+    seed_tbl = pa.Table.from_pydict(
+        {
+            "node": pa.array(seed_arr, pa.int64()),
+            "hops": pa.array(np.zeros(seed_arr.size, np.int64)),
+        }
+    )
+    visited = pin_loop_state(rd.from_arrow(seed_tbl), num_blocks=None)
+    frontier = visited.select_columns(["node"])
+    for hop in range(1, max_hops + 1):
+        reached = partitioned_hash_join(
+            adj,
+            frontier.map_batches(
+                lambda b: b.rename_columns(["src"]),
+                batch_format="pyarrow",
+            ),
+            "src",
+            num_buckets=num_buckets,
+            how="semi",
+        ).map_batches(
+            lambda b: b.select(["dst"]).rename_columns(["node"]),
+            batch_format="pyarrow",
+        )
+        # pin ONCE per level, count the pinned refs, reuse — never
+        # re-execute the semi-join plan (and an all-empty neighbor
+        # set must not reach the anti-join: schema-less inputs raise)
+        nbrs = pin_loop_state(
+            distinct_nodes(reached, "node"), num_blocks=None
+        )
+        if nbrs.count() == 0:
+            break
+        new = pin_loop_state(
+            partitioned_hash_join(
+                nbrs,
+                visited.select_columns(["node"]),
+                "node",
+                num_buckets=num_buckets,
+                how="anti",
+            ),
+            num_blocks=None,
+        )
+        if new.count() == 0:
+            break
+
+        def with_hop(batch: pa.Table, h=hop) -> pa.Table:
+            return pa.Table.from_pydict(
+                {
+                    "node": batch["node"].combine_chunks(),
+                    "hops": pa.array(
+                        np.full(batch.num_rows, h, np.int64)
+                    ),
+                }
+            )
+
+        tagged = new.map_batches(with_hop, batch_format="pyarrow")
+        visited = pin_loop_state(visited.union(tagged), num_blocks=8)
+        frontier = new
+    return visited
+
+
 def cooccurrence_edges(
     ds,
     group_col: str,
