@@ -236,6 +236,39 @@ class TestSketches:
         rt = HyperLogLog.deserialize(s.serialize())
         assert rt.estimate() == s.estimate()
 
+    def test_kmv_accuracy_merge_order_invariance(self):
+        import numpy as np
+
+        from zzzarchived_arxiv_fulltext_ray.functions.sketches import (
+            KMVSketch,
+        )
+
+        a, b = KMVSketch(256), KMVSketch(256)
+        a.add_values(f"user-{i}" for i in range(30000))
+        b.add_values(f"user-{i}" for i in range(20000, 60000))
+        merged = a.merge(b)
+        est = merged.estimate()
+        assert abs(est - 60000) / 60000 < 0.15  # ~1/sqrt(256) band
+        # merge is order/batching invariant: one-shot union identical
+        c = KMVSketch(256)
+        c.add_values(f"user-{i}" for i in range(60000))
+        assert np.array_equal(merged.values, c.values)
+        assert merged.estimate() == c.estimate()
+        assert b.merge(a).kth() == merged.kth()
+
+    def test_kmv_exact_under_k_and_roundtrip(self):
+        from zzzarchived_arxiv_fulltext_ray.functions.sketches import (
+            KMVSketch,
+        )
+
+        s = KMVSketch(256)
+        s.add_values(str(i) for i in range(100))
+        s.add_values(str(i) for i in range(50, 100))  # dups ignored
+        assert s.kth() == 0
+        assert s.estimate() == 100.0  # exact while under k
+        rt = KMVSketch.deserialize(s.serialize())
+        assert rt.k == s.k and rt.estimate() == s.estimate()
+
     def test_quantile_histogram(self):
         import numpy as np
 

@@ -90,6 +90,69 @@ class HyperLogLog:
         return out
 
 
+class KMVSketch:
+    """k-minimum-values distinct-count sketch (Bar-Yossef et al.):
+    keep the ``k`` smallest distinct 64-bit hashes seen; merge = union
+    + re-truncate. Estimate = ``(k - 1) * 2^64 / kth_smallest`` once
+    full (exact count while under ``k`` values) — one float expression
+    of the exact integer ``kth``, so it is order-independent and a SQL
+    oracle replays it bit-for-bit from ``md5_number_upper`` hashes.
+    Relative error ~1/sqrt(k). State is a bounded sorted uint64 array
+    (``8k`` bytes), mergeable in any tree shape."""
+
+    def __init__(self, k: int = 256):
+        self.k = k
+        self.values = np.empty(0, dtype=np.uint64)  # sorted, distinct
+
+    def add_hashes(self, hashes: np.ndarray):
+        if hashes.size == 0:
+            return
+        merged = np.union1d(self.values, hashes.astype(np.uint64))
+        self.values = merged[: self.k]
+
+    def add_values(self, values: Iterable[str]):
+        from .shingles import stable_hash64
+
+        hashes = np.array(
+            [stable_hash64(str(v)) for v in values], dtype=np.uint64
+        )
+        self.add_hashes(hashes)
+
+    def merge(self, other: "KMVSketch") -> "KMVSketch":
+        assert self.k == other.k
+        out = KMVSketch(self.k)
+        out.values = np.union1d(self.values, other.values)[: self.k]
+        return out
+
+    def kth(self) -> int:
+        """The k-th smallest hash (0 while the sketch is not full)."""
+        return (
+            int(self.values[self.k - 1])
+            if self.values.size >= self.k
+            else 0
+        )
+
+    def estimate(self) -> float:
+        if self.values.size < self.k:
+            return float(self.values.size)  # exact under k distinct
+        # float of exact ints: (k-1) * 2^64 / kth
+        return float(self.k - 1) * 18446744073709551616.0 / float(
+            self.kth()
+        )
+
+    def serialize(self) -> bytes:
+        return bytes([0]) + np.uint32(self.k).tobytes() + (
+            self.values.tobytes()
+        )
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "KMVSketch":
+        k = int(np.frombuffer(blob[1:5], dtype=np.uint32)[0])
+        out = cls(k)
+        out.values = np.frombuffer(blob[5:], dtype=np.uint64).copy()
+        return out
+
+
 # -- mergeable quantile histogram --------------------------------------------
 
 

@@ -1982,6 +1982,51 @@ TRAINING_QUERIES["corpus_sketch_stats"] = _q_corpus_sketch_stats
 TRAINING_ORACLE_SQL["corpus_sketch_stats"] = _SKETCH_STATS_SQL
 
 
+def _q_kmv_distinct_shingles(sf_dir: str):
+    """Distinct word-3-shingle count estimated by the KMV
+    (k-minimum-values) sketch, k=256: per-batch bounded partials
+    merged in a tiny driver reduce (``stages.textstage.
+    distinct_shingles_kmv``) — the mergeable-sketch alternative to a
+    full shingle-grain exchange. Oracled bit-for-bit: the k-th
+    smallest distinct ``md5_number_upper`` hash is order-independent
+    and the estimate ``(k-1) * 2^64 / kth`` is one float expression
+    of exact integers on both sides."""
+    import pandas as pd
+
+    from ..stages.textstage import distinct_shingles_kmv
+
+    k, kth, est = distinct_shingles_kmv(_docs(sf_dir, ["text"]))
+    return pd.DataFrame(
+        {
+            "k": pd.Series([k], dtype="int64"),
+            "kth_hash": pd.Series([kth], dtype="uint64"),
+            "est_distinct": pd.Series([est], dtype="float64"),
+        }
+    )
+
+
+TRAINING_QUERIES["kmv_distinct_shingles"] = _q_kmv_distinct_shingles
+TRAINING_ORACLE_SQL["kmv_distinct_shingles"] = (
+    "WITH " + _SHINGLE_CTE + """,
+h AS (
+    SELECT DISTINCT md5_number_upper(g) AS h
+    FROM (SELECT unnest(s) AS g FROM sh)
+), kth AS (
+    SELECT h FROM h ORDER BY h LIMIT 1 OFFSET 255
+), n AS (
+    SELECT count(*) AS c FROM h
+)
+SELECT CAST(256 AS BIGINT) AS k,
+       CAST(COALESCE((SELECT h FROM kth), 0) AS UBIGINT) AS kth_hash,
+       CASE WHEN n.c >= 256
+            THEN 255.0 * 18446744073709551616.0
+                 / CAST((SELECT h FROM kth) AS DOUBLE)
+            ELSE CAST(n.c AS DOUBLE) END AS est_distinct
+FROM n
+"""
+)
+
+
 def _q_events_sliding(sf_dir: str):
     """Sliding-window aggregate (1 h windows every 15 min): each event
     is fanned out to the <=4 windows containing it inside map_batches

@@ -250,6 +250,37 @@ def distinct_count_hll(ds, column: str, p: int = 12) -> float:
     return merged.estimate()
 
 
+def distinct_shingles_kmv(
+    ds, text_column: str = "text", k: int = 256, shingle_k: int = 3
+):
+    """Approximate distinct word-``shingle_k``-gram count via the KMV
+    (k-minimum-values) sketch: each batch emits one bounded sorted
+    hash array (8k bytes), merged in a tiny driver reduce — the same
+    shuffle-free shape as :func:`distinct_count_hll`, but with an
+    estimator a SQL oracle replays EXACTLY (the k-th smallest
+    ``md5_number_upper`` hash is order-independent, unlike HLL's
+    register semantics which need the splitmix reconstruction).
+    Returns ``(k, kth_hash, estimate)``."""
+    from ..functions.shingles import shingle_hashes
+    from ..functions.sketches import KMVSketch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = KMVSketch(k)
+        for text in batch[text_column].to_pylist():
+            sk.add_hashes(shingle_hashes(text or "", shingle_k))
+        return pa.Table.from_pydict(
+            {"sketch": pa.array([sk.serialize()], pa.large_binary())}
+        )
+
+    merged = KMVSketch(k)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for blob in b["sketch"].to_pylist():
+            merged = merged.merge(KMVSketch.deserialize(blob))
+    return merged.k, merged.kth(), merged.estimate()
+
+
 def quantiles_sketch(ds, column: str, qs=(0.5, 0.9, 0.99)) -> dict:
     """Approximate quantiles of a positive numeric column via a
     mergeable log-scale histogram (one per batch, merged tiny)."""
