@@ -2466,6 +2466,342 @@ def _q_urgent_revenue_by_month(sf_dir: str):
     return out.sort_values("month").reset_index(drop=True)
 
 
+def _q_customer_order_dist(sf_dir: str):
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    INCLUDING zero-order customers — the canonical left-outer-join +
+    double aggregate. Plan: per-batch partial counts on o_custkey
+    (the big side never moves raw), one small groupby, a bucketed
+    LEFT join of the customer keys against the counts
+    (``partitioned_hash_join``), then the count-of-counts histogram
+    again as batch partials + a tiny groupby. No driver state; both
+    exchanges are on already-aggregated grains."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.relational import partitioned_hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+    )
+
+    def o_partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.not_equal(batch["o_orderpriority"], "1-URGENT")
+        )
+        g = (
+            b.select(["o_custkey"])
+            .group_by("o_custkey")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["custkey", "n"])
+
+    counts = (
+        orders.map_batches(o_partial, batch_format="pyarrow")
+        .groupby("custkey")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(
+        lambda b: b.rename_columns(["custkey"]), batch_format="pyarrow"
+    )
+    joined = partitioned_hash_join(
+        cust, counts, "custkey", num_buckets=32, how="left"
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        n = pc.fill_null(
+            pc.cast(batch["n"], pa.int64()), 0
+        )
+        g = (
+            pa.Table.from_arrays([n], names=["c_count"])
+            .group_by("c_count")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["c_count", "m"])
+
+    out = (
+        joined.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("m", alias_name="custdist"))
+        .to_pandas()
+    )
+    out["custdist"] = out["custdist"].astype("int64")
+    return out.sort_values(
+        ["custdist", "c_count"], ascending=[False, False]
+    ).reset_index(drop=True)
+
+
+CORPUS_QUERIES["customer_order_dist"] = _q_customer_order_dist
+CORPUS_ORACLE_SQL["customer_order_dist"] = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey,
+           CAST(COALESCE(cnt.n, 0) AS BIGINT) AS c_count
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, count(*) AS n FROM orders
+        WHERE o_orderpriority <> '1-URGENT'
+        GROUP BY o_custkey
+    ) cnt ON c.c_custkey = cnt.o_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def _q_top_revenue_supplier(sf_dir: str):
+    """TPC-H Q15 shape: the supplier(s) with MAXIMUM revenue over a
+    3-month shipdate window — global argmax WITHOUT a global sort.
+    Plan: per-batch partial revenue sums (integer cents) on
+    l_suppkey, one small groupby, ``Dataset.max`` for the scalar
+    ceiling, filter to the winners (ties kept, per the spec), then a
+    bucketed join against supplier for the name. The only exchange
+    over lineitem-scale data is the pre-aggregated (suppkey, cents)
+    grain."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.relational import partitioned_hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+        ],
+    )
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1996-04-01")
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array((ship >= lo) & (ship < hi)))
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        b["l_extendedprice"],
+                        pc.subtract(1.0, b["l_discount"]),
+                    ),
+                    100.0,
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        t = pa.Table.from_arrays(
+            [b["l_suppkey"].combine_chunks(), cents],
+            names=["s_suppkey", "cents"],
+        )
+        return (
+            t.group_by("s_suppkey")
+            .aggregate([("cents", "sum")])
+            .rename_columns(["s_suppkey", "cents"])
+        )
+
+    rev = (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("cents", alias_name="total_revenue_cents"))
+        .materialize()  # reused: max scan + winner filter
+    )
+    top = int(rev.max("total_revenue_cents"))
+    winners = rev.filter(
+        expr=f"total_revenue_cents == {top}"
+    )
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    out = partitioned_hash_join(
+        winners, sup, "s_suppkey", num_buckets=8
+    ).to_pandas()
+    out["total_revenue_cents"] = out["total_revenue_cents"].astype(
+        "int64"
+    )
+    return (
+        out[["s_suppkey", "s_name", "total_revenue_cents"]]
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+
+
+CORPUS_QUERIES["top_revenue_supplier"] = _q_top_revenue_supplier
+CORPUS_ORACLE_SQL["top_revenue_supplier"] = """
+WITH rev AS (
+    SELECT l_suppkey AS s_suppkey,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                               * 100) AS BIGINT)) AS BIGINT)
+               AS total_revenue_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY 1
+)
+SELECT rev.s_suppkey, s.s_name, rev.total_revenue_cents
+FROM rev JOIN supplier s USING (s_suppkey)
+WHERE rev.total_revenue_cents = (
+    SELECT max(total_revenue_cents) FROM rev
+)
+ORDER BY rev.s_suppkey
+"""
+
+
+def _q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: revenue from below-a-fifth-of-average-quantity
+    line items of one brand's parts. The correlated-subquery is
+    decorrelated into two column-pruned lineitem scans with a
+    BROADCAST per-part stats map in between (bounded by the brand's
+    part count — the decontaminate 'benchmark side bounded by
+    definition' contract): pass 1 aggregates (sum_qty, cnt) per
+    brand part, pass 2 filters ``5 * qty * cnt < sum_qty`` — the
+    average-fifth threshold in EXACT integer arithmetic (quantities
+    are integral) — and sums cents partials. Zero exchanges beyond
+    two tiny groupbys."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    import pandas as pd
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    pk = np.sort(
+        np.concatenate(
+            [
+                b.filter(pc.equal(b["p_brand"], "Brand#4"))[
+                    "p_partkey"
+                ].to_numpy(zero_copy_only=False)
+                for b in parts.iter_batches(batch_format="pyarrow")
+            ]
+        ).astype(np.int64)
+    )
+    pk_ref = ray.put(pk)
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        part = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, part)
+        pos[pos >= keys.size] = 0
+        mask = keys[pos] == part if keys.size else np.zeros(
+            part.size, bool
+        )
+        t = pa.Table.from_pydict(
+            {
+                "partkey": pa.array(part[mask], pa.int64()),
+                "qty": pa.array(
+                    batch["l_quantity"]
+                    .to_numpy(zero_copy_only=False)[mask]
+                    .astype(np.int64)
+                ),
+                "one": pa.array(np.ones(int(mask.sum()), np.int64)),
+            }
+        )
+        return (
+            t.group_by("partkey")
+            .aggregate([("qty", "sum"), ("one", "sum")])
+            .rename_columns(["partkey", "sq", "cnt"])
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=li_cols
+    )
+    stats = (
+        li.map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("partkey")
+        .aggregate(Sum("sq", alias_name="sq"), Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    skeys = np.sort(stats["partkey"].to_numpy().astype(np.int64))
+    order = np.argsort(stats["partkey"].to_numpy())
+    ssq = stats["sq"].to_numpy().astype(np.int64)[order]
+    scnt = stats["cnt"].to_numpy().astype(np.int64)[order]
+    st_ref = ray.put((skeys, ssq, scnt))
+
+    def select_partial(batch: pa.Table) -> pa.Table:
+        keys, sq, cnt = ray.get(st_ref)
+        part = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, part)
+        pos[pos >= keys.size] = 0
+        hit = keys[pos] == part if keys.size else np.zeros(
+            part.size, bool
+        )
+        qty = (
+            batch["l_quantity"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        mask = hit & (5 * qty * cnt[pos] < sq[pos])
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(
+                    batch["l_extendedprice"].combine_chunks(), 100.0
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "c": pa.array([int(cents[mask].sum())], pa.int64()),
+                "n": pa.array([int(mask.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        li.map_batches(select_partial, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("c", alias_name="c"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    total = int(agg["c"][0]) if len(agg) else 0
+    nrows = int(agg["n"][0]) if len(agg) else 0
+    return pd.DataFrame(
+        {
+            "total_cents": pd.Series([total], dtype="int64"),
+            "n_rows": pd.Series([nrows], dtype="int64"),
+            "avg_yearly_cents": pd.Series(
+                [total / 7.0], dtype="float64"
+            ),
+        }
+    )
+
+
+CORPUS_QUERIES["small_qty_revenue"] = _q_small_qty_revenue
+CORPUS_ORACLE_SQL["small_qty_revenue"] = """
+WITH pk AS (
+    SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'
+), st AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem JOIN pk ON l_partkey = p_partkey
+    GROUP BY 1
+), sel AS (
+    SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem l JOIN st ON l.l_partkey = st.l_partkey
+    WHERE 5 * CAST(l.l_quantity AS BIGINT) * st.cnt < st.sq
+)
+SELECT CAST(COALESCE(sum(cents), 0) AS BIGINT) AS total_cents,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       COALESCE(sum(cents), 0) / 7.0 AS avg_yearly_cents
+FROM sel
+"""
+
+
 CORPUS_QUERIES["urgent_revenue_by_month"] = _q_urgent_revenue_by_month
 CORPUS_ORACLE_SQL["urgent_revenue_by_month"] = """
 SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
