@@ -1737,6 +1737,116 @@ def _q_events_funnel(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_events_first_last(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE per user — each user's earliest and
+    latest event (type + integer cents), ordered by (ts, event_id)
+    so ties are deterministic. Plan: per-batch candidate reduction
+    first (one lexsort per batch, keep only each user's boundary
+    rows — <= 2 rows per user per batch ever reach the exchange),
+    then ONE hash exchange on a user-id BUCKET with a vectorized
+    per-bucket final pass (the sessionize shape: work scales with
+    rows, never a per-user dispatch)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    n_buckets = 64
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(batch["value"], 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        typ = batch["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s = uid[order]
+        nb = np.concatenate([[True], uid_s[1:] != uid_s[:-1]])
+        starts = np.flatnonzero(nb)
+        ends = np.append(starts[1:], uid_s.size) - 1
+        keep = order[np.unique(np.concatenate([starts, ends]))]
+        b = ((uid[keep].astype(np.uint64)
+              * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % (
+            np.uint64(n_buckets)
+        )
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(uid[keep], pa.int64()),
+                "ts": pa.array(ts[keep], pa.int64()),
+                "event_id": pa.array(eid[keep], pa.int64()),
+                "event_type": pa.array(typ[keep], pa.string()),
+                "cents": pa.array(cents[keep], pa.int64()),
+                "_bucket": pa.array(b.astype(np.int64)),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        typ = group["event_type"].to_numpy(zero_copy_only=False)
+        cents = group["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s = uid[order]
+        nb = np.concatenate([[True], uid_s[1:] != uid_s[:-1]])
+        starts = np.flatnonzero(nb)
+        ends = np.append(starts[1:], uid_s.size) - 1
+        fi, la = order[starts], order[ends]
+        tt = pa.timestamp("us")
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(uid[fi], pa.int64()),
+                "first_ts": pa.array(ts[fi]).cast(tt),
+                "first_type": pa.array(typ[fi], pa.string()),
+                "first_cents": pa.array(cents[fi], pa.int64()),
+                "last_ts": pa.array(ts[la]).cast(tt),
+                "last_type": pa.array(typ[la], pa.string()),
+                "last_cents": pa.array(cents[la], pa.int64()),
+            }
+        )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    out = (
+        ev.map_batches(candidates, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+CORPUS_QUERIES["events_first_last"] = _q_events_first_last
+CORPUS_ORACLE_SQL["events_first_last"] = """
+WITH w AS (
+    SELECT user_id, ts, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM events
+)
+SELECT a.user_id,
+       a.ts AS first_ts, a.event_type AS first_type,
+       a.cents AS first_cents,
+       b.ts AS last_ts, b.event_type AS last_type,
+       b.cents AS last_cents
+FROM w a JOIN w b ON a.user_id = b.user_id AND b.rn = b.n
+WHERE a.rn = 1
+ORDER BY a.user_id
+"""
+
+
 CORPUS_QUERIES["events_funnel"] = _q_events_funnel
 CORPUS_ORACLE_SQL["events_funnel"] = """
 WITH funnel_users AS (
