@@ -2646,6 +2646,309 @@ def _q_customer_order_dist(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_idle_customer_balance(sf_dir: str):
+    """TPC-H Q22 shape: per-nation count + balance of ABOVE-AVERAGE
+    customers with no RECENT order (none since 1999 — this corpus's
+    orders cover every customer, so the date bound is what keeps the
+    anti-join non-degenerate at every sf). Three classic distributed
+    pieces in one plan: a global scalar aggregate (avg positive
+    balance) from batch partials, threshold compare in EXACT integers
+    (``cents * cnt > total`` instead of ``cents > total/cnt`` — no
+    float average crosses the wire), and a bucketed ANTI-join of the
+    qualifying customers against the date-pruned order custkeys. The
+    final groupby runs on the tiny surviving grain."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.relational import partitioned_hash_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def with_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(batch["c_acctbal"], 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": batch["c_custkey"].combine_chunks(),
+                "c_nationkey": pc.cast(
+                    batch["c_nationkey"].combine_chunks(), pa.int64()
+                ),
+                "cents": cents,
+            }
+        )
+
+    cust_c = cust.map_batches(
+        with_cents, batch_format="pyarrow"
+    ).materialize()  # reused: avg partials + threshold filter
+
+    def avg_partial(batch: pa.Table) -> pa.Table:
+        cents = batch["cents"].to_numpy(zero_copy_only=False)
+        pos = cents > 0
+        return pa.Table.from_pydict(
+            {
+                "s": pa.array([int(cents[pos].sum())], pa.int64()),
+                "c": pa.array([int(pos.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        cust_c.map_batches(avg_partial, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    total, cnt = int(agg["s"][0]), int(agg["c"][0])
+
+    def above_avg(batch: pa.Table) -> pa.Table:
+        cents = batch["cents"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(cents * cnt > total))
+
+    rich = cust_c.map_batches(above_avg, batch_format="pyarrow")
+
+    cutoff = np.datetime64("1999-01-01")
+
+    def recent_custkeys(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array(od >= cutoff))
+        return b.select(["o_custkey"]).rename_columns(["c_custkey"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+    ).map_batches(recent_custkeys, batch_format="pyarrow")
+    idle = partitioned_hash_join(
+        rich, orders, "c_custkey", num_buckets=32, how="anti"
+    )
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["c_nationkey", "cents"])
+            .group_by("c_nationkey")
+            .aggregate([("cents", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["c_nationkey", "bal_cents", "numcust"])
+
+    out = (
+        idle.map_batches(nation_partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(
+            Sum("bal_cents", alias_name="total_bal_cents"),
+            Sum("numcust", alias_name="numcust"),
+        )
+        .to_pandas()
+    )
+    out["total_bal_cents"] = out["total_bal_cents"].astype("int64")
+    out["numcust"] = out["numcust"].astype("int64")
+    return (
+        out[["c_nationkey", "numcust", "total_bal_cents"]]
+        .sort_values("c_nationkey")
+        .reset_index(drop=True)
+    )
+
+
+CORPUS_QUERIES["idle_customer_balance"] = _q_idle_customer_balance
+CORPUS_ORACLE_SQL["idle_customer_balance"] = """
+WITH c AS (
+    SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+    FROM customer
+), avg_pos AS (
+    SELECT CAST(sum(cents) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM c WHERE cents > 0
+), rich AS (
+    SELECT c.* FROM c, avg_pos
+    WHERE c.cents * avg_pos.cnt > avg_pos.total
+), idle AS (
+    SELECT * FROM rich
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = rich.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+    )
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(cents) AS BIGINT) AS total_bal_cents
+FROM idle
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def _q_copurchase_pairs(sf_dir: str):
+    """Market-basket pair mining: the top-20 part pairs by the number
+    of DISTINCT orders containing both (support), ties broken by part
+    ids. Reuses the co-occurrence engine (``graph.cooccurrence_edges``
+    with ``keep_count``): one coalesced exchange on the hashed order
+    key generates in-order pairs vectorized, one exchange on the pair
+    grain counts support. Order sizes max out at ~17 lines in this
+    corpus, far under the hot-group cap, so the SQL self-join oracle
+    is exact (no drops)."""
+    import pyarrow as pa
+    import ray.data
+
+    from ..stages.graph import cooccurrence_edges
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    pairs = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_count=1, keep_count=True
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if batch.num_rows == 0:
+            return batch
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u, -n))[:20]
+        return batch.take(pa.array(order))
+
+    # partial top-k combiner: each block keeps its own top-20, the
+    # driver merge sees <= 20 x blocks rows
+    out = (
+        pairs.map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(
+            ["n", "u", "v"], ascending=[False, True, True]
+        )
+        .head(20)
+        .reset_index(drop=True)
+    )
+    out.columns = ["part_a", "part_b", "support"]
+    out["support"] = out["support"].astype("int64")
+    return out
+
+
+CORPUS_QUERIES["copurchase_pairs"] = _q_copurchase_pairs
+CORPUS_ORACLE_SQL["copurchase_pairs"] = """
+WITH d AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS support
+FROM d a JOIN d b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY support DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+def _q_lang_source_doclist(sf_dir: str):
+    """Grouped string aggregation: per (lang, source) the document
+    count and the 5 smallest doc_ids comma-joined (the STRING_AGG /
+    ordered-array_agg witness — a bounded digest per group, never the
+    whole group's rows). Per-batch partials carry at most 5 candidate
+    ids + a count per group; the one exchange moves that bounded
+    grain and the final per-group merge re-selects the 5 smallest."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    K = 5
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, src, lang))
+        lang_s, src_s, did_s = lang[order], src[order], did[order]
+        nb = np.concatenate(
+            [[True], (lang_s[1:] != lang_s[:-1]) | (src_s[1:] != src_s[:-1])]
+        )
+        starts = np.flatnonzero(nb)
+        ends = np.append(starts[1:], lang_s.size)
+        rows = {"lang": [], "source": [], "n": [], "cands": []}
+        for s, e in zip(starts, ends):
+            rows["lang"].append(lang_s[s])
+            rows["source"].append(src_s[s])
+            rows["n"].append(int(e - s))
+            rows["cands"].append(
+                ",".join(str(x) for x in did_s[s : min(e, s + K)])
+            )
+        return pa.Table.from_pydict(
+            {
+                "lang": pa.array(rows["lang"], pa.string()),
+                "source": pa.array(rows["source"], pa.string()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "cands": pa.array(rows["cands"], pa.string()),
+            }
+        )
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        ids = sorted(
+            int(x)
+            for cs in group["cands"].to_pylist()
+            for x in cs.split(",")
+            if x
+        )[:K]
+        return pa.Table.from_pydict(
+            {
+                "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+                "source": pa.array(
+                    [group["source"][0].as_py()], pa.string()
+                ),
+                "n_docs": pa.array(
+                    [int(sum(group["n"].to_pylist()))], pa.int64()
+                ),
+                "top_docs": pa.array(
+                    [",".join(str(x) for x in ids)], pa.string()
+                ),
+            }
+        )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source"],
+    )
+    out = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .map_groups(merge_group, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+CORPUS_QUERIES["lang_source_doclist"] = _q_lang_source_doclist
+CORPUS_ORACLE_SQL["lang_source_doclist"] = """
+WITH r AS (
+    SELECT lang, source, doc_id,
+           row_number() OVER (PARTITION BY lang, source
+                              ORDER BY doc_id) AS rn
+    FROM documents
+), c AS (
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1, 2
+), t AS (
+    SELECT lang, source,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS top_docs
+    FROM r WHERE rn <= 5 GROUP BY 1, 2
+)
+SELECT c.lang, c.source, c.n_docs, t.top_docs
+FROM c JOIN t USING (lang, source)
+ORDER BY c.lang, c.source
+"""
+
+
 CORPUS_QUERIES["customer_order_dist"] = _q_customer_order_dist
 CORPUS_ORACLE_SQL["customer_order_dist"] = """
 SELECT c_count, CAST(count(*) AS BIGINT) AS custdist

@@ -663,6 +663,7 @@ def cooccurrence_edges(
     item_col: str,
     min_count: int = 1,
     max_group: int = 256,
+    keep_count: bool = False,
 ) -> "object":
     """Undirected co-occurrence edge list: items sharing a group form
     a pair; an edge survives if the pair co-occurs in >= ``min_count``
@@ -673,7 +674,8 @@ def cooccurrence_edges(
     on 10k+ small groups), one exchange on the pair key (the count
     aggregate). Groups larger than ``max_group`` items are dropped
     AND logged — the hot-key contract shared with the neardup bucket
-    pair generator."""
+    pair generator. ``keep_count=True`` keeps the distinct-group
+    count as column ``n`` (market-basket support counts)."""
     from ray.data.aggregate import Sum
 
     from ..functions.hashing import bucket_of_column
@@ -760,6 +762,8 @@ def cooccurrence_edges(
         counted = counted.filter(
             expr=f"n >= {min_count}"
         )
+    if keep_count:
+        return counted.select_columns(["u", "v", "n"])
     return counted.select_columns(["u", "v"])
 
 
