@@ -269,6 +269,30 @@ class TestSketches:
         rt = KMVSketch.deserialize(s.serialize())
         assert rt.k == s.k and rt.estimate() == s.estimate()
 
+    def test_kmv_set_overlap_exact_under_k(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from zzzarchived_arxiv_fulltext_ray.stages.textstage import (
+            kmv_set_overlap,
+        )
+
+        # side 0: shingles of "a b c d" -> {a b c, b c d}; side 1
+        # shares exactly one shingle ("b c d" via "b c d e")
+        tbl = pa.Table.from_pydict(
+            {
+                "side": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["a b c d", "b c d e"], pa.string()),
+            }
+        )
+        r = kmv_set_overlap(
+            ray.data.from_arrow(tbl).repartition(2), "side", k=16
+        )
+        assert r["theta"] == 0  # union under k: exact branch
+        assert r["est_a"] == 2.0 and r["est_b"] == 2.0
+        assert r["est_union"] == 3.0
+        assert r["est_intersection"] == 1.0
+
     def test_quantile_histogram(self):
         import numpy as np
 

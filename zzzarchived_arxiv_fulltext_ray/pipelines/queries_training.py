@@ -398,17 +398,12 @@ def _q_events_user_stats(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
-def _q_events_hour_corr(sf_dir: str):
-    """Pearson correlation of hour-of-day vs spend (integer cents) per
-    event type — the scalar-SUFFICIENT-STATISTICS pattern for
-    second-moment analytics at scale: one streaming pass computes six
-    exact integer sums (n, Σx, Σy, Σxy, Σx², Σy²) with batch-level
-    combine, and the correlation is ONE closed-form float expression
-    of those ints (sqrt is IEEE-correctly-rounded, so the SQL oracle
-    replays it bit-for-bit). No second pass, no float accumulation
-    drift, no per-group state beyond six int64s."""
-    import math
-
+def _hour_cents_sstats(sf_dir: str):
+    """Per-event-type exact integer sufficient statistics of
+    (hour-of-day, cents): one streaming pass, batch-level combine,
+    six int64 sums per group. Shared by the correlation and the
+    regression finishers — every second-moment analytic is a
+    closed-form float expression of these ints."""
     import pyarrow.compute as pc
     import ray.data
 
@@ -454,7 +449,7 @@ def _q_events_hour_corr(sf_dir: str):
             ["event_type", "sx", "sy", "sxy", "sxx", "syy", "n"]
         )
 
-    agg = (
+    return (
         ev.map_batches(partial, batch_format="pyarrow")
         .groupby("event_type")
         .aggregate(
@@ -467,6 +462,20 @@ def _q_events_hour_corr(sf_dir: str):
         )
         .to_pandas()
     )
+
+
+def _q_events_hour_corr(sf_dir: str):
+    """Pearson correlation of hour-of-day vs spend (integer cents) per
+    event type — the scalar-SUFFICIENT-STATISTICS pattern for
+    second-moment analytics at scale: one streaming pass computes six
+    exact integer sums (n, Σx, Σy, Σxy, Σx², Σy²) with batch-level
+    combine, and the correlation is ONE closed-form float expression
+    of those ints (sqrt is IEEE-correctly-rounded, so the SQL oracle
+    replays it bit-for-bit). No second pass, no float accumulation
+    drift, no per-group state beyond six int64s."""
+    import math
+
+    agg = _hour_cents_sstats(sf_dir)
     corrs = []
     for _, r in agg.iterrows():
         n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
@@ -481,6 +490,39 @@ def _q_events_hour_corr(sf_dir: str):
     out = agg[
         ["event_type", "n", "sx", "sy", "corr_hour_cents"]
     ].rename(columns={"sx": "sum_hour", "sy": "sum_cents"})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def _q_events_hour_regression(sf_dir: str):
+    """Ordinary-least-squares of spend (cents) on hour-of-day per
+    event type — REGR_SLOPE / REGR_INTERCEPT / REGR_R2 from the same
+    single-pass exact integer sufficient statistics as
+    ``events_hour_corr`` (shared scan helper). Each output is one
+    closed-form float expression of exact (arbitrary-precision) ints
+    — slope = (nΣxy - ΣxΣy)/(nΣx² - Σx²), intercept =
+    (ΣyΣx² - ΣxΣxy)/(nΣx² - Σx²), r² = cov²/(varx·vary) — so DuckDB
+    replays them bit-for-bit in HUGEINT."""
+    agg = _hour_cents_sstats(sf_dir)
+    slopes, intercepts, r2s = [], [], []
+    for _, r in agg.iterrows():
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxy, sxx, syy = int(r["sxy"]), int(r["sxx"]), int(r["syy"])
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        cov = n * sxy - sx * sy
+        slopes.append(float(cov) / float(varx) if varx else 0.0)
+        intercepts.append(
+            float(sy * sxx - sx * sxy) / float(varx) if varx else 0.0
+        )
+        r2s.append(
+            float(cov * cov) / (float(varx) * float(vary))
+            if varx and vary
+            else 0.0
+        )
+    agg["slope"] = slopes
+    agg["intercept"] = intercepts
+    agg["r2"] = r2s
+    out = agg[["event_type", "n", "slope", "intercept", "r2"]]
     return out.sort_values("event_type").reset_index(drop=True)
 
 
@@ -1082,6 +1124,7 @@ TRAINING_QUERIES: Dict[str, Callable] = {
     "events_lag": _q_events_lag,
     "events_user_stats": _q_events_user_stats,
     "events_hour_corr": _q_events_hour_corr,
+    "events_hour_regression": _q_events_hour_regression,
 }
 
 TRAINING_ORACLE_SQL: Dict[str, str] = {
@@ -1327,6 +1370,38 @@ TRAINING_ORACLE_SQL: Dict[str, str] = {
                      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                         * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
                 ELSE 0.0 END AS corr_hour_cents
+    FROM s ORDER BY event_type
+    """,
+    "events_hour_regression": """
+    WITH s AS (
+        SELECT event_type,
+               CAST(sum(h) AS HUGEINT) AS sx,
+               CAST(sum(c) AS HUGEINT) AS sy,
+               CAST(sum(h * c) AS HUGEINT) AS sxy,
+               CAST(sum(h * h) AS HUGEINT) AS sxx,
+               CAST(sum(c * c) AS HUGEINT) AS syy,
+               CAST(count(*) AS HUGEINT) AS n
+        FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events)
+        GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CASE WHEN (n * sxx - sx * sx) <> 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+                ELSE 0.0 END AS slope,
+           CASE WHEN (n * sxx - sx * sx) <> 0
+                THEN CAST(sy * sxx - sx * sxy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+                ELSE 0.0 END AS intercept,
+           CASE WHEN (n * sxx - sx * sx) <> 0
+                 AND (n * syy - sy * sy) <> 0
+                THEN CAST((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                          AS DOUBLE)
+                     / (CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+                ELSE 0.0 END AS r2
     FROM s ORDER BY event_type
     """,
     "events_lag": """
@@ -2003,6 +2078,106 @@ def _q_kmv_distinct_shingles(sf_dir: str):
             "est_distinct": pd.Series([est], dtype="float64"),
         }
     )
+
+
+def _q_kmv_source_overlap(sf_dir: str):
+    """Theta-sketch SET OPERATIONS: distinct-shingle estimates for two
+    document groups (source-id parity) plus their union AND
+    intersection, from bounded KMV state only
+    (``stages.textstage.kmv_set_overlap``). The intersection uses the
+    theta estimator — count common hashes below the union sketch's
+    k-th smallest (all provably retained), scale by 2^64/θ. Every
+    number is a float expression of exact integers; the SQL oracle
+    rebuilds the true hash sets and replays each estimate
+    bit-for-bit."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from ..stages.textstage import kmv_set_overlap
+
+    def with_side(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        src = batch["source"].to_pylist()
+        side = np.array([int(s[3:]) % 2 for s in src], np.int64)
+        return pa.Table.from_pydict(
+            {
+                "side": pa.array(side, pa.int64()),
+                "text": batch["text"].combine_chunks(),
+            }
+        )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    ).map_batches(with_side, batch_format="pyarrow")
+    r = kmv_set_overlap(docs, "side")
+    return pd.DataFrame(
+        {
+            "k": pd.Series([r["k"]], dtype="int64"),
+            "theta": pd.Series([r["theta"]], dtype="uint64"),
+            "est_a": pd.Series([r["est_a"]], dtype="float64"),
+            "est_b": pd.Series([r["est_b"]], dtype="float64"),
+            "est_union": pd.Series([r["est_union"]], dtype="float64"),
+            "est_intersection": pd.Series(
+                [r["est_intersection"]], dtype="float64"
+            ),
+        }
+    )
+
+
+TRAINING_QUERIES["kmv_source_overlap"] = _q_kmv_source_overlap
+TRAINING_ORACLE_SQL["kmv_source_overlap"] = """
+WITH t AS (
+    SELECT CAST(substr(source, 4) AS INTEGER) % 2 AS side,
+           list_filter(regexp_split_to_array(text, '\\s+'),
+                       x -> x <> '') AS w
+    FROM documents
+), sh AS (
+    SELECT side,
+           CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS s
+    FROM t
+), h AS (
+    SELECT DISTINCT side, md5_number_upper(g) AS h
+    FROM (SELECT side, unnest(s) AS g FROM sh)
+), ha AS (SELECT DISTINCT h FROM h WHERE side = 0),
+hb AS (SELECT DISTINCT h FROM h WHERE side = 1),
+hu AS (SELECT DISTINCT h FROM h),
+na AS (SELECT count(*) AS c FROM ha),
+nb AS (SELECT count(*) AS c FROM hb),
+nu AS (SELECT count(*) AS c FROM hu),
+ka AS (SELECT h FROM ha ORDER BY h LIMIT 1 OFFSET 255),
+kb AS (SELECT h FROM hb ORDER BY h LIMIT 1 OFFSET 255),
+ku AS (SELECT h FROM hu ORDER BY h LIMIT 1 OFFSET 255),
+m AS (
+    SELECT count(*) AS c FROM ha JOIN hb USING (h)
+    WHERE h < (SELECT h FROM ku)
+), x AS (SELECT count(*) AS c FROM ha JOIN hb USING (h))
+SELECT CAST(256 AS BIGINT) AS k,
+       CAST(CASE WHEN nu.c >= 256 THEN (SELECT h FROM ku)
+                 ELSE 0 END AS UBIGINT) AS theta,
+       CASE WHEN na.c >= 256
+            THEN 255.0 * 18446744073709551616.0
+                 / CAST((SELECT h FROM ka) AS DOUBLE)
+            ELSE CAST(na.c AS DOUBLE) END AS est_a,
+       CASE WHEN nb.c >= 256
+            THEN 255.0 * 18446744073709551616.0
+                 / CAST((SELECT h FROM kb) AS DOUBLE)
+            ELSE CAST(nb.c AS DOUBLE) END AS est_b,
+       CASE WHEN nu.c >= 256
+            THEN 255.0 * 18446744073709551616.0
+                 / CAST((SELECT h FROM ku) AS DOUBLE)
+            ELSE CAST(nu.c AS DOUBLE) END AS est_union,
+       CASE WHEN nu.c >= 256
+            THEN CAST(m.c AS DOUBLE) * 18446744073709551616.0
+                 / CAST((SELECT h FROM ku) AS DOUBLE)
+            ELSE CAST(x.c AS DOUBLE) END AS est_intersection
+FROM na, nb, nu, m, x
+"""
 
 
 TRAINING_QUERIES["kmv_distinct_shingles"] = _q_kmv_distinct_shingles

@@ -281,6 +281,78 @@ def distinct_shingles_kmv(
     return merged.k, merged.kth(), merged.estimate()
 
 
+def kmv_set_overlap(
+    ds,
+    side_column: str,
+    text_column: str = "text",
+    k: int = 256,
+    shingle_k: int = 3,
+):
+    """Theta-sketch-style SET OPERATIONS on KMV sketches: distinct
+    shingle counts of two document groups plus union / intersection
+    estimates, from one scan. Each batch emits one bounded sketch
+    blob PER SIDE (``side_column`` must be 0/1); the driver reduce
+    merges per side, then combines: with θ = the union sketch's k-th
+    smallest hash, every common hash below θ is guaranteed retained
+    in both side sketches (θ <= each side's own k-th), so
+    ``m = |{x ∈ A∩B : x < θ}|`` is computable from the bounded state
+    and ``est_inter = m * 2^64 / θ`` — the standard theta-sketch
+    estimator. All branch points are exact integers, so a SQL oracle
+    replays every output bit-for-bit. Returns a dict of scalars."""
+    import numpy as np
+
+    from ..functions.shingles import shingle_hashes
+    from ..functions.sketches import KMVSketch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sides = batch[side_column].to_numpy(zero_copy_only=False)
+        texts = batch[text_column].to_pylist()
+        blobs, out_sides = [], []
+        for side in (0, 1):
+            sk = KMVSketch(k)
+            for i in np.flatnonzero(sides == side):
+                sk.add_hashes(shingle_hashes(texts[i] or "", shingle_k))
+            blobs.append(sk.serialize())
+            out_sides.append(side)
+        return pa.Table.from_pydict(
+            {
+                "side": pa.array(out_sides, pa.int64()),
+                "sketch": pa.array(blobs, pa.large_binary()),
+            }
+        )
+
+    merged = {0: KMVSketch(k), 1: KMVSketch(k)}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for side, blob in zip(
+            b["side"].to_pylist(), b["sketch"].to_pylist()
+        ):
+            merged[side] = merged[side].merge(
+                KMVSketch.deserialize(blob)
+            )
+    a, bsk = merged[0], merged[1]
+    union = a.merge(bsk)
+    common = np.intersect1d(a.values, bsk.values)
+    if union.values.size < k:
+        # everything fit: all answers exact
+        est_inter = float(common.size)
+    else:
+        theta = np.uint64(union.kth())
+        m = int((common < theta).sum())
+        est_inter = float(m) * 18446744073709551616.0 / float(
+            union.kth()
+        )
+    return {
+        "k": k,
+        "theta": union.kth(),
+        "est_a": a.estimate(),
+        "est_b": bsk.estimate(),
+        "est_union": union.estimate(),
+        "est_intersection": est_inter,
+    }
+
+
 def quantiles_sketch(ds, column: str, qs=(0.5, 0.9, 0.99)) -> dict:
     """Approximate quantiles of a positive numeric column via a
     mergeable log-scale histogram (one per batch, merged tiny)."""
