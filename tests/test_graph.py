@@ -302,3 +302,70 @@ def test_bfs_empty_seeds_and_no_edges(ray_session):
     got = _bfs_df(ray_session, [(5, 5)], [3], 2, "partitioned")
     assert got["node"].tolist() == [3]
     assert got["hops"].tolist() == [0]
+
+
+# ------------------------------------------------------- k-core peel
+
+def _brute_peel(edges, k, rounds):
+    es = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    for _ in range(rounds):
+        deg = {}
+        for u, v in es:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nes = {(u, v) for u, v in es if u in keep and v in keep}
+        if nes == es:
+            break
+        es = nes
+    deg = {}
+    for u, v in es:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    return dict(sorted(deg.items()))
+
+
+def _peel_df(ray_session, edges, k, rounds, method):
+    import pyarrow as pa
+    import ray.data
+
+    from zzzarchived_arxiv_fulltext_ray.stages.graph import kcore_peel
+
+    df = pd.DataFrame(edges, columns=["u", "v"]).astype("int64")
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+    out = kcore_peel(ds, k=k, rounds=rounds, method=method).to_pandas()
+    if len(out) == 0:
+        return {}
+    return dict(zip(out["node"], out["degree"]))
+
+
+def test_kcore_peel_plans_equal_vs_brute(ray_session):
+    rng = np.random.RandomState(11)
+    edges = [
+        (int(rng.randint(0, 40)), int(rng.randint(0, 40)))
+        for _ in range(90)
+    ]
+    want = _brute_peel(edges, 3, 3)
+    for method in ("broadcast", "partitioned"):
+        assert _peel_df(ray_session, edges, 3, 3, method) == want
+
+
+def test_kcore_peel_triangle_plus_tail(ray_session):
+    # triangle 0-1-2 survives k=2 peel; the tail 2-3-4 peels away
+    # over two rounds (4 first, then 3)
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+    want = {0: 2, 1: 2, 2: 2}
+    for method in ("broadcast", "partitioned"):
+        assert _peel_df(ray_session, edges, 2, 3, method) == want
+    # a single round only peels the leaf 4 and its edge
+    assert _brute_peel(edges, 2, 1) == {0: 2, 1: 2, 2: 3, 3: 1}
+    for method in ("broadcast", "partitioned"):
+        got = _peel_df(ray_session, edges, 2, 1, method)
+        assert got == {0: 2, 1: 2, 2: 3, 3: 1}
+
+
+def test_kcore_peel_all_peeled(ray_session):
+    # a path graph has no 3-core at all
+    edges = [(i, i + 1) for i in range(6)]
+    for method in ("broadcast", "partitioned"):
+        assert _peel_df(ray_session, edges, 3, 3, method) == {}

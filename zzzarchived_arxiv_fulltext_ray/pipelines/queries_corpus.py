@@ -2646,6 +2646,298 @@ def _q_customer_order_dist(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_supplier_kcore(sf_dir: str):
+    """Three rounds of 3-core peeling on a sparsified co-supply graph
+    (``stages.graph.kcore_peel``): drop degree<3 nodes and their
+    edges, repeat. The FIXED round count (with no-op early stop) is
+    what makes the iterative operator SQL-expressible — the oracle
+    unrolls the three peels as chained CTEs. Scale plan: per round
+    one degree aggregate from batch partials + two bucketed
+    semi-joins of the edge set against the survivors, edge Dataset
+    re-pinned every round."""
+    import pyarrow as pa
+    import ray.data
+
+    from ..stages.graph import cooccurrence_edges, kcore_peel
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+
+    def sample_orders(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(keys % 50 == 0))
+
+    edges = cooccurrence_edges(
+        li.map_batches(sample_orders, batch_format="pyarrow"),
+        "l_orderkey", "l_suppkey", min_count=2,
+    )
+    out = kcore_peel(
+        edges, k=3, rounds=3, assume_canonical=True
+    ).to_pandas()
+    if len(out) == 0:
+        return out
+    return out.sort_values("node").reset_index(drop=True)
+
+
+CORPUS_QUERIES["supplier_kcore"] = _q_supplier_kcore
+CORPUS_ORACLE_SQL["supplier_kcore"] = """
+WITH li AS (
+    SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_orderkey % 50 = 0
+), co AS (
+    SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+           count(DISTINCT a.l_orderkey) AS n
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+), e0 AS (
+    SELECT u, v FROM co WHERE n >= 2
+), d1 AS (
+    SELECT node, count(*) AS d
+    FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+    GROUP BY node
+), k1 AS (SELECT node FROM d1 WHERE d >= 3),
+e1 AS (
+    SELECT e0.u, e0.v FROM e0
+    JOIN k1 a ON e0.u = a.node JOIN k1 b ON e0.v = b.node
+), d2 AS (
+    SELECT node, count(*) AS d
+    FROM (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
+    GROUP BY node
+), k2 AS (SELECT node FROM d2 WHERE d >= 3),
+e2 AS (
+    SELECT e1.u, e1.v FROM e1
+    JOIN k2 a ON e1.u = a.node JOIN k2 b ON e1.v = b.node
+), d3 AS (
+    SELECT node, count(*) AS d
+    FROM (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
+    GROUP BY node
+), k3 AS (SELECT node FROM d3 WHERE d >= 3),
+e3 AS (
+    SELECT e2.u, e2.v FROM e2
+    JOIN k3 a ON e2.u = a.node JOIN k3 b ON e2.v = b.node
+)
+SELECT node, CAST(count(*) AS BIGINT) AS degree
+FROM (SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3)
+GROUP BY node
+ORDER BY node
+"""
+
+
+def _q_events_daily_gapfill(sf_dir: str):
+    """Time-series RESAMPLE with gap filling: daily counts of
+    high-value events (value > 250) per event type over the FULL
+    (type x calendar-day) grid — days with zero qualifying events
+    appear explicitly with 0 (the generate_series / date-spine
+    pattern). The grid is bounded by definition (days x types), so it
+    is built driver-side and the corpus contributes only a filtered
+    count aggregate from batch partials + a two-scalar (min, max)
+    timestamp aggregate."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    DAY_US = 86_400_000_000
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        us = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        day = (us // DAY_US) * DAY_US
+        m = val > 250.0
+        t = pa.Table.from_pydict(
+            {
+                "event_type": batch["event_type"].combine_chunks(),
+                "day_us": pa.array(day, pa.int64()),
+                "lo": pa.array(us, pa.int64()),
+                "hi": pa.array(us, pa.int64()),
+            }
+        )
+        counted = (
+            t.filter(pa.array(m))
+            .select(["event_type", "day_us"])
+            .group_by(["event_type", "day_us"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "day_us", "n"])
+        )
+        # span rows ride along with day_us = -1 (never a real day)
+        span = pa.Table.from_pydict(
+            {
+                "event_type": pa.array([""], pa.string()),
+                "day_us": pa.array([-1], pa.int64()),
+                "n": pa.array([0], pa.int64()),
+                "lo": pa.array([int(us.min())], pa.int64()),
+                "hi": pa.array([int(us.max())], pa.int64()),
+            }
+        )
+        counted = counted.append_column(
+            "lo", pa.array([2**63 - 1] * counted.num_rows, pa.int64())
+        ).append_column(
+            "hi", pa.array([-(2**63)] * counted.num_rows, pa.int64())
+        )
+        return pa.concat_tables([counted, span])
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day_us"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("lo", alias_name="lo"),
+            Max("hi", alias_name="hi"),
+        )
+        .to_pandas()
+    )
+    span = agg[agg["day_us"] == -1]
+    lo_day = (int(span["lo"].min()) // DAY_US) * DAY_US
+    hi_day = (int(span["hi"].max()) // DAY_US) * DAY_US
+    counts = agg[agg["day_us"] >= 0][["event_type", "day_us", "n"]]
+    types = sorted(
+        t for t in set(counts["event_type"]) | _event_types(sf_dir)
+    )
+    days = np.arange(lo_day, hi_day + DAY_US, DAY_US, dtype=np.int64)
+    grid = pd.MultiIndex.from_product(
+        [types, days], names=["event_type", "day_us"]
+    ).to_frame(index=False)
+    out = grid.merge(counts, on=["event_type", "day_us"], how="left")
+    out["n_high"] = out["n"].fillna(0).astype("int64")
+    out["day"] = pd.to_datetime(out["day_us"], unit="us")
+    return (
+        out[["event_type", "day", "n_high"]]
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+
+
+def _event_types(sf_dir: str) -> set:
+    """Distinct event types (tiny domain) via a count aggregate."""
+    import ray.data
+
+    return {
+        r["event_type"]
+        for r in ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type"]
+        )
+        .groupby("event_type")
+        .count()
+        .take_all()
+    }
+
+
+CORPUS_QUERIES["events_daily_gapfill"] = _q_events_daily_gapfill
+CORPUS_ORACLE_SQL["events_daily_gapfill"] = """
+WITH b AS (
+    SELECT date_trunc('day', min(ts)) AS lo,
+           date_trunc('day', max(ts)) AS hi
+    FROM events
+), days AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b
+), types AS (
+    SELECT DISTINCT event_type FROM events
+), cnt AS (
+    SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+    FROM events WHERE value > 250 GROUP BY 1, 2
+)
+SELECT t.event_type, d.day, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_high
+FROM days d CROSS JOIN types t
+LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.day = d.day
+ORDER BY t.event_type, d.day
+"""
+
+
+def _q_events_cumulative_users(sf_dir: str):
+    """Running DISTINCT count: cumulative unique users per event type
+    by day. The classic decomposition that avoids any
+    distinct-over-window state: first-appearance day per (type, user)
+    (a min aggregate from batch partials), daily new-user counts,
+    then a cumulative sum over the bounded (type x active-day) grain.
+    Only days with at least one NEW user appear (matching grain on
+    both sides)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    DAY_US = 86_400_000_000
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "user_id"],
+    )
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        us = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        t = pa.Table.from_pydict(
+            {
+                "event_type": batch["event_type"].combine_chunks(),
+                "user_id": batch["user_id"].combine_chunks(),
+                "day_us": pa.array((us // DAY_US) * DAY_US, pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["event_type", "user_id"])
+            .aggregate([("day_us", "min")])
+            .rename_columns(["event_type", "user_id", "day_us"])
+        )
+
+    first_day = (
+        ev.map_batches(first_partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Min("day_us", alias_name="day_us"))
+    )
+
+    def new_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["event_type", "day_us"])
+            .group_by(["event_type", "day_us"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["event_type", "day_us", "n"])
+
+    daily = (
+        first_day.map_batches(new_partial, batch_format="pyarrow")
+        .groupby(["event_type", "day_us"])
+        .aggregate(Sum("n", alias_name="new_users"))
+        .to_pandas()
+    )
+    daily["new_users"] = daily["new_users"].astype("int64")
+    daily = daily.sort_values(["event_type", "day_us"]).reset_index(
+        drop=True
+    )
+    daily["cum_users"] = (
+        daily.groupby("event_type")["new_users"].cumsum().astype("int64")
+    )
+    daily["day"] = pd.to_datetime(daily["day_us"], unit="us")
+    return daily[["event_type", "day", "new_users", "cum_users"]]
+
+
+CORPUS_QUERIES["events_cumulative_users"] = _q_events_cumulative_users
+CORPUS_ORACLE_SQL["events_cumulative_users"] = """
+WITH fd AS (
+    SELECT event_type, user_id, min(date_trunc('day', ts)) AS day
+    FROM events GROUP BY 1, 2
+), nc AS (
+    SELECT event_type, day, CAST(count(*) AS BIGINT) AS new_users
+    FROM fd GROUP BY 1, 2
+)
+SELECT event_type, day, new_users,
+       CAST(sum(new_users) OVER (PARTITION BY event_type
+                                 ORDER BY day) AS BIGINT) AS cum_users
+FROM nc
+ORDER BY event_type, day
+"""
+
+
 def _q_idle_customer_balance(sf_dir: str):
     """TPC-H Q22 shape: per-nation count + balance of ABOVE-AVERAGE
     customers with no RECENT order (none since 1999 — this corpus's

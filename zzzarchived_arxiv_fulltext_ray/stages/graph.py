@@ -657,6 +657,169 @@ def bfs_hops(
     return visited
 
 
+def kcore_peel(
+    edges_ds,
+    k: int = 3,
+    rounds: int = 3,
+    num_buckets: int = 64,
+    assume_canonical: bool = False,
+    method: str = "auto",
+    broadcast_limit: int = 2_000_000,
+):
+    """``rounds`` iterations of k-core peeling: repeatedly drop nodes
+    of degree < ``k`` and their incident edges. Returns a Ray Dataset
+    ``(node, degree)`` — the surviving nodes with their degrees on
+    the surviving edge set. A FIXED round count (with early stop once
+    a round removes nothing — the remaining rounds would be no-ops)
+    keeps the operator SQL-expressible by unrolling, unlike
+    full-fixpoint coreness.
+
+    Broadcast plan: edges pulled once, numpy peel on the driver.
+    Partitioned plan (the scale path): each round is one degree
+    aggregate (batch partials) + TWO bucketed semi-joins of the edge
+    set against the surviving nodes (on u, then v); the edge Dataset
+    is re-pinned every round (constant block count + severed lineage
+    — the iterative contract). Driver state per round is O(1). Plans
+    pinned equal in pytest."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .components import pin_loop_state
+    from .relational import partitioned_hash_join
+
+    def as_typed(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return pa.Table.from_pydict(
+                {"u": pa.array([], pa.int64()),
+                 "v": pa.array([], pa.int64())}
+            )
+        import pyarrow.compute as pc
+
+        return pa.Table.from_pydict(
+            {
+                "u": pc.cast(batch["u"].combine_chunks(), pa.int64()),
+                "v": pc.cast(batch["v"].combine_chunks(), pa.int64()),
+            }
+        )
+
+    edges_ds = edges_ds.map_batches(as_typed, batch_format="pyarrow")
+    edges = edges_ds if assume_canonical else _canonicalize(edges_ds)
+    edges = edges.materialize()
+    n_edges = edges.count()
+
+    empty = pa.Table.from_pydict(
+        {"node": pa.array([], pa.int64()),
+         "degree": pa.array([], pa.int64())}
+    )
+    if n_edges == 0:
+        return rd.from_arrow(empty)
+
+    if method not in ("auto", "broadcast", "partitioned"):
+        raise ValueError(f"unknown kcore_peel method: {method}")
+    if method == "auto":
+        method = (
+            "broadcast" if n_edges <= broadcast_limit else "partitioned"
+        )
+
+    if method == "broadcast":
+        parts = [
+            (
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False),
+            )
+            for b in edges.iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+        us = np.concatenate([p[0] for p in parts])
+        vs = np.concatenate([p[1] for p in parts])
+        for _ in range(rounds):
+            if us.size == 0:
+                break
+            nodes, counts = np.unique(
+                np.concatenate([us, vs]), return_counts=True
+            )
+            keep = nodes[counts >= k]
+            m = np.isin(us, keep) & np.isin(vs, keep)
+            if m.all():
+                break
+            us, vs = us[m], vs[m]
+        nodes, counts = np.unique(
+            np.concatenate([us, vs]), return_counts=True
+        ) if us.size else (np.empty(0, np.int64), np.empty(0, np.int64))
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "node": pa.array(nodes, pa.int64()),
+                    "degree": pa.array(counts, pa.int64()),
+                }
+            )
+        )
+
+    # ---- partitioned plan
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                batch["u"].to_numpy(zero_copy_only=False),
+                batch["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        nodes, counts = np.unique(both, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "d": pa.array(counts, pa.int64()),
+            }
+        )
+
+    def degrees_of(e):
+        return (
+            e.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("d", alias_name="degree"))
+        )
+
+    cur = pin_loop_state(edges, num_blocks=8)
+    n_cur = n_edges
+    for _ in range(rounds):
+        keep = (
+            degrees_of(cur)
+            .filter(expr=f"degree >= {k}")
+            .select_columns(["node"])
+        )
+        keep = pin_loop_state(keep, num_blocks=None)
+        if keep.count() == 0:
+            return rd.from_arrow(empty)
+        kept_u = partitioned_hash_join(
+            cur,
+            keep.map_batches(
+                lambda b: b.rename_columns(["u"]),
+                batch_format="pyarrow",
+            ),
+            "u",
+            num_buckets=num_buckets,
+            how="semi",
+        )
+        kept = partitioned_hash_join(
+            kept_u,
+            keep.map_batches(
+                lambda b: b.rename_columns(["v"]),
+                batch_format="pyarrow",
+            ),
+            "v",
+            num_buckets=num_buckets,
+            how="semi",
+        )
+        kept = pin_loop_state(kept, num_blocks=8)
+        n_kept = kept.count()
+        if n_kept == 0:
+            return rd.from_arrow(empty)
+        converged = n_kept == n_cur
+        cur, n_cur = kept, n_kept
+        if converged:
+            break  # remaining rounds are no-ops
+    return degrees_of(cur)
+
+
 def cooccurrence_edges(
     ds,
     group_col: str,
