@@ -933,6 +933,343 @@ def _q_events_moving(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_events_centered_avg(sf_dir: str):
+    """CENTERED row-frame window (ROWS BETWEEN 2 PRECEDING AND 2
+    FOLLOWING): per-event moving average needing LOOKAHEAD, the
+    forward twin of the trailing frames. Same vectorized
+    cumsum-difference per sorted user group, shifted both ways; the
+    average is emitted as exact integer (sum, count) plus one float
+    division so the oracle match needs no tolerance."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def frame(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        v = g["value"].to_numpy(zero_copy_only=False)[order]
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(cents)])
+        n = len(cents)
+        lo = np.maximum(np.arange(n) - 2, 0)
+        hi = np.minimum(np.arange(n) + 3, n)
+        w_sum = cum[hi] - cum[lo]
+        w_n = hi - lo
+        return pa.Table.from_pydict(
+            {
+                "event_id": pa.array(eid[order], pa.int64()),
+                "user_id": g["user_id"].take(
+                    pa.array(order, pa.int64())
+                ).combine_chunks(),
+                "w_sum_cents": pa.array(w_sum, pa.int64()),
+                "w_n": pa.array(w_n, pa.int64()),
+                "center_avg": pa.array(
+                    w_sum.astype(np.float64) / w_n, pa.float64()
+                ),
+            }
+        )
+
+    out = (
+        ev.groupby("user_id")
+        .map_groups(frame, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+CORPUS_QUERIES["events_centered_avg"] = _q_events_centered_avg
+CORPUS_ORACLE_SQL["events_centered_avg"] = """
+WITH w AS (
+    SELECT event_id, user_id,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+           ) AS BIGINT) AS w_sum_cents,
+           CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+           ) AS BIGINT) AS w_n
+    FROM events
+)
+SELECT event_id, user_id, w_sum_cents, w_n,
+       CAST(w_sum_cents AS DOUBLE) / w_n AS center_avg
+FROM w ORDER BY event_id
+"""
+
+
+def _q_events_activity_islands(sf_dir: str):
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    user. Distinct (user, day) from batch partials, one user-bucket
+    exchange, then the classic day-index-minus-rank island key
+    entirely vectorized inside each bucket task (work scales with
+    rows, never per-user dispatch). Output: one row per island
+    (user, start, end, length)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Min
+
+    DAY_US = 86_400_000_000
+    n_buckets = 64
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        us = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        day = us // DAY_US
+        key = np.unique(uid * np.int64(1 << 20) + day)
+        uid_u, day_u = key >> np.int64(20), key & np.int64((1 << 20) - 1)
+        b = (
+            (uid_u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(32)
+        ) % np.uint64(n_buckets)
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(uid_u, pa.int64()),
+                "day": pa.array(day_u, pa.int64()),
+                "one": pa.array(np.ones(key.size, np.int64)),
+                "_bucket": pa.array(b.astype(np.int64)),
+            }
+        )
+
+    def islands_of_bucket(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        day = group["day"].to_numpy(zero_copy_only=False)
+        # dedup (user, day) across batches, then sort
+        key = np.unique(uid * np.int64(1 << 20) + day)
+        uid, day = key >> np.int64(20), key & np.int64((1 << 20) - 1)
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        new_island = new_user | np.concatenate(
+            [[True], np.diff(day) != 1]
+        )
+        starts = np.flatnonzero(new_island)
+        ends = np.append(starts[1:], uid.size) - 1
+        tt = pa.timestamp("us")
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "start_day": pa.array(day[starts] * DAY_US).cast(tt),
+                "end_day": pa.array(day[ends] * DAY_US).cast(tt),
+                "n_days": pa.array(
+                    ends - starts + 1, pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        ev.map_batches(day_partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(islands_of_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "start_day"]).reset_index(
+        drop=True
+    )
+
+
+CORPUS_QUERIES["events_activity_islands"] = _q_events_activity_islands
+CORPUS_ORACLE_SQL["events_activity_islands"] = """
+WITH d AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), i AS (
+    SELECT user_id, day,
+           CAST(epoch(day) / 86400 AS BIGINT)
+               - row_number() OVER (PARTITION BY user_id
+                                    ORDER BY day) AS isl
+    FROM d
+)
+SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM i GROUP BY user_id, isl
+ORDER BY user_id, start_day
+"""
+
+
+def _q_part_pareto(sf_dir: str):
+    """2-D Pareto front (dominance / skyline operator): parts not
+    dominated on (price ASC, size DESC) — no other part is
+    cheaper-or-equal AND bigger-or-equal with one strict. Classic
+    distributed skyline: each batch computes its LOCAL front (the
+    global front is always a subset of the union of local fronts),
+    the driver runs the identical vectorized dominance pass over the
+    small candidate union. Ties/duplicate (price, size) points all
+    survive, matching the NOT EXISTS oracle."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    def front_mask(price: "np.ndarray", size: "np.ndarray"):
+        order = np.lexsort((-size, price))
+        p_s, s_s = price[order], size[order]
+        new_p = np.concatenate([[True], p_s[1:] != p_s[:-1]])
+        runmax = np.maximum.accumulate(s_s)
+        grp_id = np.cumsum(new_p) - 1
+        grp_last = np.flatnonzero(np.concatenate([new_p[1:], [True]]))
+        grp_max_prefix = runmax[grp_last]
+        maxsize_lt = np.where(
+            grp_id > 0,
+            grp_max_prefix[np.maximum(grp_id - 1, 0)],
+            np.iinfo(np.int64).min,
+        )
+        maxsize_le = grp_max_prefix[grp_id]
+        dominated = (maxsize_lt >= s_s) | (maxsize_le > s_s)
+        mask = np.empty(price.size, bool)
+        mask[order] = ~dominated
+        return mask
+
+    def local_front(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(batch["p_retailprice"], 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        size = (
+            batch["p_size"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        keys = batch["p_partkey"].to_numpy(zero_copy_only=False)
+        m = front_mask(cents, size)
+        return pa.Table.from_pydict(
+            {
+                "p_partkey": pa.array(keys[m], pa.int64()),
+                "p_size": pa.array(size[m], pa.int64()),
+                "price_cents": pa.array(cents[m], pa.int64()),
+            }
+        )
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_size", "p_retailprice"],
+    )
+    cand = parts.map_batches(
+        local_front, batch_format="pyarrow"
+    ).to_pandas()
+    m = front_mask(
+        cand["price_cents"].to_numpy(), cand["p_size"].to_numpy()
+    )
+    out = cand[m]
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+CORPUS_QUERIES["part_pareto"] = _q_part_pareto
+CORPUS_ORACLE_SQL["part_pareto"] = """
+WITH p AS (
+    SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+           CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+    FROM part
+)
+SELECT p_partkey, p_size, price_cents
+FROM p a
+WHERE NOT EXISTS (
+    SELECT 1 FROM p b
+    WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+      AND (b.price_cents < a.price_cents OR b.p_size > a.p_size)
+)
+ORDER BY p_partkey
+"""
+
+
+def _q_nation_revenue_share(sf_dir: str):
+    """RATIO_TO_REPORT: each nation's share of total order revenue.
+    Orders pre-aggregate to per-customer cents inside batches, one
+    bucketed join attaches nationkey, a tiny groupby + global scalar
+    produce the shares — the group-sum / global-sum composition with
+    every exchange on an aggregated grain. Share is one float
+    division of exact ints."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.relational import partitioned_hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def o_partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(batch["o_totalprice"], 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        t = pa.Table.from_arrays(
+            [batch["o_custkey"].combine_chunks(), cents],
+            names=["c_custkey", "cents"],
+        )
+        return (
+            t.group_by("c_custkey")
+            .aggregate([("cents", "sum")])
+            .rename_columns(["c_custkey", "cents"])
+        )
+
+    per_cust = (
+        orders.map_batches(o_partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: pa.Table.from_pydict(
+            {
+                "c_custkey": b["c_custkey"].combine_chunks(),
+                "c_nationkey": pc.cast(
+                    b["c_nationkey"].combine_chunks(), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = partitioned_hash_join(
+        per_cust, cust, "c_custkey", num_buckets=32
+    )
+    out = (
+        joined.groupby("c_nationkey")
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+        .to_pandas()
+    )
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    total = int(out["revenue_cents"].sum())
+    out["share"] = out["revenue_cents"].astype("float64") / float(total)
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+CORPUS_QUERIES["nation_revenue_share"] = _q_nation_revenue_share
+CORPUS_ORACLE_SQL["nation_revenue_share"] = """
+WITH r AS (
+    SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+)
+SELECT c_nationkey, revenue_cents,
+       CAST(revenue_cents AS DOUBLE)
+           / (SELECT CAST(sum(revenue_cents) AS DOUBLE) FROM r)
+           AS share
+FROM r ORDER BY c_nationkey
+"""
+
+
 CORPUS_QUERIES["events_moving"] = _q_events_moving
 CORPUS_ORACLE_SQL["events_moving"] = """
 SELECT event_id, user_id,
