@@ -983,6 +983,94 @@ def _q_events_centered_avg(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_events_pattern_triples(sf_dir: str):
+    """Sequence-pattern matching (MATCH_RECOGNIZE-lite): find every
+    STRICTLY CONSECUTIVE view -> click -> purchase run per user (no
+    intervening events, unlike the funnel's within-24h semantics).
+    One user-bucket exchange, then a single vectorized shifted-
+    comparison pass per bucket — pattern matching over ordered runs
+    never leaves numpy. The oracle is the classic double-LEAD."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    n_buckets = 64
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].cast(pa.uint64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = ((uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % (
+            np.uint64(n_buckets)
+        )
+        return batch.append_column(
+            "_bucket", pa.array(b.astype(np.int64))
+        )
+
+    def triples_of_bucket(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        typ = group["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, typ = uid[order], ts[order], typ[order]
+        n = uid.size
+        tt = pa.timestamp("us")
+        if n < 3:
+            return pa.Table.from_pydict(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "view_ts": pa.array([], tt),
+                }
+            )
+        m = (
+            (uid[:-2] == uid[1:-1])
+            & (uid[1:-1] == uid[2:])
+            & (typ[:-2] == "view")
+            & (typ[1:-1] == "click")
+            & (typ[2:] == "purchase")
+        )
+        idx = np.flatnonzero(m)
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(uid[idx], pa.int64()),
+                "view_ts": pa.array(ts[idx]).cast(tt),
+            }
+        )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    out = (
+        ev.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(triples_of_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "view_ts"]).reset_index(
+        drop=True
+    )
+
+
+CORPUS_QUERIES["events_pattern_triples"] = _q_events_pattern_triples
+CORPUS_ORACLE_SQL["events_pattern_triples"] = """
+WITH s AS (
+    SELECT user_id, ts, event_type,
+           lead(event_type, 1) OVER w AS t1,
+           lead(event_type, 2) OVER w AS t2
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, ts AS view_ts
+FROM s
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+ORDER BY user_id, view_ts
+"""
+
+
 CORPUS_QUERIES["events_centered_avg"] = _q_events_centered_avg
 CORPUS_ORACLE_SQL["events_centered_avg"] = """
 WITH w AS (
