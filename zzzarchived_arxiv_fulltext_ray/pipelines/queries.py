@@ -363,6 +363,7 @@ def _q_segment_revenue(sf_dir: str):
 
 
 from .queries_corpus import CORPUS_ORACLE_SQL, CORPUS_QUERIES
+from .queries_relational import RELATIONAL_ORACLE_SQL, RELATIONAL_QUERIES
 from .queries_training import TRAINING_ORACLE_SQL, TRAINING_QUERIES
 from .queries_webtext import WEBTEXT_ORACLE_SQL, WEBTEXT_QUERIES
 
@@ -381,6 +382,7 @@ QUERIES: Dict[str, Callable] = {
     **TRAINING_QUERIES,
     **WEBTEXT_QUERIES,
     **CORPUS_QUERIES,
+    **RELATIONAL_QUERIES,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -474,3 +476,4 @@ ORACLE_SQL: Dict[str, str] = {
 ORACLE_SQL.update(TRAINING_ORACLE_SQL)
 ORACLE_SQL.update(WEBTEXT_ORACLE_SQL)
 ORACLE_SQL.update(CORPUS_ORACLE_SQL)
+ORACLE_SQL.update(RELATIONAL_ORACLE_SQL)

@@ -1,0 +1,920 @@
+"""Relational query shapes, continued: the TPC-H patterns the other
+query modules don't cover yet (Q7 volume shipping, Q8 market share,
+Q9-adapted profit, Q14 promo share, Q18 having-then-enrich, Q19
+disjunctive predicates, Q21-adapted multi-exists self join).
+
+Same contract as the sibling modules: every query takes ``sf_dir``
+and returns a pandas DataFrame whose column names match its
+``RELATIONAL_ORACLE_SQL`` entry exactly; money is exact integer cents
+(round half away from zero), shares/ratios are one float division of
+exact ints at the very end.
+
+The testdata has no partsupp table and lineitem carries no
+commitdate/receiptdate/shipmode columns, so Q2/Q11/Q12/Q20 have no
+faithful analogue here; Q9 and Q21 are adapted to the available
+columns with the plan SHAPE preserved (see each docstring).
+"""
+
+from typing import Callable, Dict
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+RELATIONAL_QUERIES: Dict[str, Callable] = {}
+RELATIONAL_ORACLE_SQL: Dict[str, str] = {}
+
+
+def _cents(arr, scale: float = 100.0) -> pa.Array:
+    """Exact integer cents: round half away from zero, int64."""
+    return pc.cast(
+        pc.round(pc.multiply(arr, scale), round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+
+
+def _rev_cents(batch: pa.Table) -> pa.Array:
+    """l_extendedprice * (1 - l_discount) as integer cents."""
+    return _cents(
+        pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+    )
+
+
+def _year_i64(col) -> "pa.Array":
+    """Calendar year of a timestamp column as int64 (vectorized)."""
+    import numpy as np
+
+    ts = col.to_numpy(zero_copy_only=False).astype("datetime64[Y]")
+    return pa.array(ts.astype(np.int64) + 1970, pa.int64())
+
+
+def _supp_nation_lookup(sf_dir: str):
+    """Dense suppkey -> nationkey int64 array (tiny projection: two
+    ints per supplier; at cluster scale this is a ``ray.put`` table
+    read by every task, never a shuffle side)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = np.asarray(supp["s_suppkey"])
+    sn = np.asarray(supp["s_nationkey"], dtype=np.int64)
+    lut = np.full(int(sk.max()) + 1, -1, dtype=np.int64)
+    lut[sk] = sn
+    return lut
+
+
+def _nation_names(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pydict()
+    return dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+
+# ---------------------------------------------------------------------------
+# Q7: volume shipping between two nations
+# ---------------------------------------------------------------------------
+
+
+def _q_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape: shipped revenue between two named nations, by
+    (supplier nation, customer nation, ship year), both directions.
+
+    Physical plan: the supplier->nation projection is a broadcast
+    lookup; customers are filtered to the two nations BEFORE their
+    exchange; lineitem is filtered by ship-date window AND supplier
+    nation before its exchange, so both partitioned joins move only
+    qualifying rows. The final aggregate pre-combines per batch to at
+    most 2 x 2 x n_years rows."""
+    import datetime
+
+    import numpy as np
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.relational import partitioned_hash_join
+
+    nat_name = _nation_names(sf_dir)
+    n1, n2 = 1, 2  # NATION_1 <-> NATION_2
+    supp_nat = _supp_nation_lookup(sf_dir)
+    lo = datetime.date(1996, 1, 1)
+    hi = datetime.date(1998, 1, 1)
+
+    def c_prep(batch: pa.Table) -> pa.Table:
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array((nk == n1) | (nk == n2)))
+        return pa.Table.from_arrays(
+            [
+                t["c_custkey"].combine_chunks(),
+                pc.cast(t["c_nationkey"].combine_chunks(), pa.int64()),
+            ],
+            names=["custkey", "cust_nat"],
+        )
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch["o_orderkey"].combine_chunks(),
+                batch["o_custkey"].combine_chunks(),
+            ],
+            names=["orderkey", "custkey"],
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(c_prep, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(o_prep, batch_format="pyarrow")
+    # inner join keeps only customers in the two nations
+    oc = partitioned_hash_join(
+        orders, cust, key="custkey", num_buckets=32
+    ).map_batches(
+        lambda b: b.select(["orderkey", "cust_nat"]), batch_format="pyarrow"
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], pa.scalar(lo)),
+            pc.less(batch["l_shipdate"], pa.scalar(hi)),
+        )
+        t = batch.filter(keep)
+        snat = supp_nat[t["l_suppkey"].to_numpy(zero_copy_only=False)]
+        t = t.filter(pa.array((snat == n1) | (snat == n2)))
+        snat = supp_nat[t["l_suppkey"].to_numpy(zero_copy_only=False)]
+        return pa.Table.from_arrays(
+            [
+                t["l_orderkey"].combine_chunks(),
+                pa.array(snat, pa.int64()),
+                _year_i64(t["l_shipdate"]),
+                _rev_cents(t),
+            ],
+            names=["orderkey", "supp_nat", "l_year", "cents"],
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_suppkey",
+            "l_shipdate",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    joined = partitioned_hash_join(li, oc, key="orderkey", num_buckets=32)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        sn = batch["supp_nat"].to_numpy(zero_copy_only=False)
+        cn = batch["cust_nat"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(sn != cn))  # the two cross directions
+        g = (
+            t.select(["supp_nat", "cust_nat", "l_year", "cents"])
+            .group_by(["supp_nat", "cust_nat", "l_year"])
+            .aggregate([("cents", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(
+            ["supp_nat", "cust_nat", "l_year", "revenue_cents", "n_items"]
+        )
+
+    out = (
+        joined.map_batches(combine, batch_format="pyarrow")
+        .groupby(["supp_nat", "cust_nat", "l_year"])
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_items", alias_name="n_items"),
+        )
+        .to_pandas()
+    )
+    out["supp_nation"] = out["supp_nat"].map(lambda k: nat_name[int(k)])
+    out["cust_nation"] = out["cust_nat"].map(lambda k: nat_name[int(k)])
+    out = out[
+        ["supp_nation", "cust_nation", "l_year", "revenue_cents", "n_items"]
+    ]
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values(
+        ["supp_nation", "cust_nation", "l_year"]
+    ).reset_index(drop=True)
+
+
+RELATIONAL_QUERIES["volume_shipping"] = _q_volume_shipping
+RELATIONAL_ORACLE_SQL["volume_shipping"] = """
+SELECT ns.n_name AS supp_nation,
+       nc.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+WHERE l.l_shipdate >= DATE '1996-01-01'
+  AND l.l_shipdate <  DATE '1998-01-01'
+  AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8: national market share within a region / product type
+# ---------------------------------------------------------------------------
+
+
+def _q_market_share(sf_dir: str):
+    """TPC-H Q8 shape: NATION_1's share of PROMO-part revenue sold to
+    AMERICA-region customers, per order year — the
+    conditional-sum / total-sum ratio computed from one shared scan.
+
+    Physical plan: part (filtered to the type) and region-filtered
+    customers enter as Bloom-prefiltered SEMI joins, so the two
+    membership checks prune the probe exchanges instead of shipping
+    dimension payloads; orders join partitioned on orderkey; the
+    supplier->nation projection is a broadcast lookup. Exact integer
+    numerator/denominator per year; the share is one float division."""
+    import numpy as np
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.relational import (
+        bloom_prefiltered_join,
+        partitioned_hash_join,
+    )
+
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    target_nation = 1  # NATION_1
+    region_name = "AMERICA"
+    part_type = "PROMO"
+    lo = datetime.date(1996, 1, 1)
+    hi = datetime.date(1998, 1, 1)
+
+    supp_nat = _supp_nation_lookup(sf_dir)
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pydict()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pydict()
+    rk = {
+        k
+        for k, n in zip(region["r_regionkey"], region["r_name"])
+        if n == region_name
+    }
+    region_nk = np.array(
+        sorted(
+            nk
+            for nk, r in zip(nation["n_nationkey"], nation["n_regionkey"])
+            if r in rk
+        ),
+        dtype=np.int64,
+    )
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+        )
+        .map_batches(
+            lambda b: b.filter(
+                pc.equal(b["p_type"], pa.scalar(part_type))
+            ).select(["p_partkey"]),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda b: b.rename_columns(["partkey"]), batch_format="pyarrow"
+        )
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch["l_partkey"].combine_chunks(),
+                batch["l_orderkey"].combine_chunks(),
+                pa.array(
+                    supp_nat[
+                        batch["l_suppkey"].to_numpy(zero_copy_only=False)
+                    ],
+                    pa.int64(),
+                ),
+                _rev_cents(batch),
+            ],
+            names=["partkey", "orderkey", "supp_nat", "cents"],
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_partkey",
+            "l_orderkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    li_promo = bloom_prefiltered_join(
+        li, parts, key="partkey", how="semi", num_buckets=32
+    ).map_batches(
+        lambda b: b.select(["orderkey", "supp_nat", "cents"]),
+        batch_format="pyarrow",
+    )
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], pa.scalar(lo)),
+            pc.less(batch["o_orderdate"], pa.scalar(hi)),
+        )
+        t = batch.filter(keep)
+        return pa.Table.from_arrays(
+            [
+                t["o_orderkey"].combine_chunks(),
+                t["o_custkey"].combine_chunks(),
+                _year_i64(t["o_orderdate"]),
+            ],
+            names=["orderkey", "custkey", "o_year"],
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(o_prep, batch_format="pyarrow")
+
+    lo_join = partitioned_hash_join(
+        li_promo, orders, key="orderkey", num_buckets=32
+    )
+
+    cust_region = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: b.filter(
+            pa.array(
+                np.isin(
+                    b["c_nationkey"].to_numpy(zero_copy_only=False),
+                    region_nk,
+                )
+            )
+        )
+        .select(["c_custkey"])
+        .rename_columns(["custkey"]),
+        batch_format="pyarrow",
+    )
+
+    final = bloom_prefiltered_join(
+        lo_join, cust_region, key="custkey", how="semi", num_buckets=32
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        is_target = pc.equal(batch["supp_nat"], pa.scalar(target_nation))
+        nation_cents = pc.if_else(
+            is_target, batch["cents"], pa.scalar(0, pa.int64())
+        )
+        t = pa.Table.from_pydict(
+            {
+                "o_year": batch["o_year"],
+                "nation_cents": nation_cents,
+                "total_cents": batch["cents"],
+            }
+        )
+        return (
+            t.group_by("o_year")
+            .aggregate([("nation_cents", "sum"), ("total_cents", "sum")])
+            .rename_columns(["o_year", "nation_cents", "total_cents"])
+        )
+
+    out = (
+        final.map_batches(combine, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(
+            Sum("nation_cents", alias_name="nation_cents"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+        .to_pandas()
+    )
+    out["nation_cents"] = out["nation_cents"].astype("int64")
+    out["total_cents"] = out["total_cents"].astype("int64")
+    out["mkt_share"] = out["nation_cents"].astype("float64") / out[
+        "total_cents"
+    ].astype("float64")
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
+RELATIONAL_QUERIES["market_share"] = _q_market_share
+RELATIONAL_ORACLE_SQL["market_share"] = """
+WITH v AS (
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT) AS cents,
+           s.s_nationkey
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    JOIN region r   ON nc.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE p.p_type = 'PROMO'
+      AND r.r_name = 'AMERICA'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate <  DATE '1998-01-01'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN s_nationkey = 1 THEN cents ELSE 0 END)
+            AS BIGINT) AS nation_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN s_nationkey = 1 THEN cents ELSE 0 END) AS DOUBLE)
+           / CAST(sum(cents) AS DOUBLE) AS mkt_share
+FROM v
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14: promo revenue share in one ship-date window
+# ---------------------------------------------------------------------------
+
+
+def _q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: PROMO parts' share of revenue shipped in one
+    quarter. One partitioned join (date-filtered lineitem x part
+    projected to (partkey, is_promo int8)), then a global two-int
+    aggregate — per-batch partials reduce to ONE row per block before
+    the exchange, so the 'groupby' moves a handful of ints."""
+    import datetime
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.relational import partitioned_hash_join
+
+    lo = datetime.date(1996, 7, 1)
+    hi = datetime.date(1996, 10, 1)
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).map_batches(
+        lambda b: pa.Table.from_pydict(
+            {
+                "partkey": b["p_partkey"],
+                "is_promo": pc.cast(
+                    pc.equal(b["p_type"], pa.scalar("PROMO")), pa.int8()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], pa.scalar(lo)),
+            pc.less(batch["l_shipdate"], pa.scalar(hi)),
+        )
+        t = batch.filter(keep)
+        return pa.Table.from_pydict(
+            {"partkey": t["l_partkey"], "cents": _rev_cents(t)}
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    joined = partitioned_hash_join(li, parts, key="partkey", num_buckets=32)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        promo = pc.if_else(
+            pc.equal(batch["is_promo"], pa.scalar(1, pa.int8())),
+            batch["cents"],
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.Table.from_pydict(
+            {
+                "promo_cents": [
+                    pc.sum(promo, min_count=0).as_py() or 0
+                ],
+                "total_cents": [
+                    pc.sum(batch["cents"], min_count=0).as_py() or 0
+                ],
+            }
+        )
+
+    out = (
+        joined.map_batches(combine, batch_format="pyarrow")
+        .aggregate(
+            Sum("promo_cents", alias_name="promo_cents"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+    )
+    import pandas as pd
+
+    promo = int(out["promo_cents"])
+    total = int(out["total_cents"])
+    return pd.DataFrame(
+        {
+            "promo_cents": [promo],
+            "total_cents": [total],
+            "promo_share": [float(promo) / float(total)],
+        }
+    )
+
+
+RELATIONAL_QUERIES["promo_revenue"] = _q_promo_revenue
+RELATIONAL_ORACLE_SQL["promo_revenue"] = """
+WITH v AS (
+    SELECT CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT) AS cents,
+           (p.p_type = 'PROMO') AS is_promo
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '1996-07-01'
+      AND l.l_shipdate <  DATE '1996-10-01'
+)
+SELECT CAST(sum(CASE WHEN is_promo THEN cents ELSE 0 END) AS BIGINT)
+           AS promo_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN is_promo THEN cents ELSE 0 END) AS DOUBLE)
+           / CAST(sum(cents) AS DOUBLE) AS promo_share
+FROM v
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19: disjunctive multi-branch join predicates
+# ---------------------------------------------------------------------------
+
+
+def _q_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue from three disjunctive
+    (brand, size-range, quantity-range) branches, reported PER BRANCH.
+    The branches are brand-disjoint so each row matches at most one.
+
+    Physical plan: one partitioned join on partkey (part projected to
+    (partkey, brand, size) pre-filtered to rows that could satisfy
+    ANY branch — the disjunction is pushed below the exchange on both
+    sides), then a vectorized 3-branch mask assigns the branch id and
+    a tiny groupby sums per branch."""
+    import numpy as np
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.relational import partitioned_hash_join
+
+    # (brand, size_lo, size_hi, qty_lo, qty_hi) — brands disjoint
+    branches = [
+        ("Brand#12", 1, 5, 1.0, 11.0),
+        ("Brand#23", 1, 10, 10.0, 20.0),
+        ("Brand#34", 1, 15, 20.0, 30.0),
+    ]
+    brand_names = [b[0] for b in branches]
+
+    def p_prep(batch: pa.Table) -> pa.Table:
+        keep = None
+        for brand, slo, shi, _, _ in branches:
+            m = pc.and_(
+                pc.equal(batch["p_brand"], pa.scalar(brand)),
+                pc.and_(
+                    pc.greater_equal(batch["p_size"], pa.scalar(slo)),
+                    pc.less_equal(batch["p_size"], pa.scalar(shi)),
+                ),
+            )
+            keep = m if keep is None else pc.or_(keep, m)
+        t = batch.filter(keep)
+        return pa.Table.from_pydict(
+            {
+                "partkey": t["p_partkey"],
+                "p_brand": t["p_brand"],
+                "p_size": pc.cast(t["p_size"], pa.int64()),
+            }
+        )
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).map_batches(p_prep, batch_format="pyarrow")
+
+    qty_lo = min(b[3] for b in branches)
+    qty_hi = max(b[4] for b in branches)
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["l_quantity"], pa.scalar(qty_lo)),
+            pc.less_equal(batch["l_quantity"], pa.scalar(qty_hi)),
+        )
+        t = batch.filter(keep)
+        return pa.Table.from_pydict(
+            {
+                "partkey": t["l_partkey"],
+                "l_quantity": t["l_quantity"],
+                "cents": _rev_cents(t),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    joined = partitioned_hash_join(li, parts, key="partkey", num_buckets=32)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        brand = batch["p_brand"].to_numpy(zero_copy_only=False)
+        size = batch["p_size"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        branch = np.full(len(brand), -1, dtype=np.int64)
+        for i, (bname, slo, shi, qlo, qhi) in enumerate(branches):
+            m = (
+                (brand == bname)
+                & (size >= slo)
+                & (size <= shi)
+                & (qty >= qlo)
+                & (qty <= qhi)
+            )
+            branch[m] = i
+        t = pa.Table.from_pydict(
+            {
+                "branch": pa.array(branch, pa.int64()),
+                "cents": batch["cents"],
+            }
+        ).filter(pa.array(branch >= 0))
+        return (
+            t.group_by("branch")
+            .aggregate([("cents", "sum"), ([], "count_all")])
+            .rename_columns(["branch", "revenue_cents", "n_items"])
+        )
+
+    out = (
+        joined.map_batches(combine, batch_format="pyarrow")
+        .groupby("branch")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_items", alias_name="n_items"),
+        )
+        .to_pandas()
+    )
+    out["p_brand"] = out["branch"].map(lambda i: brand_names[int(i)])
+    out = out[["p_brand", "revenue_cents", "n_items"]]
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+RELATIONAL_QUERIES["disjunctive_revenue"] = _q_disjunctive_revenue
+RELATIONAL_ORACLE_SQL["disjunctive_revenue"] = """
+SELECT p.p_brand,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18: large-volume orders — HAVING threshold, then enrich join-back
+# ---------------------------------------------------------------------------
+
+
+def _q_large_order_customers(sf_dir: str):
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, enriched back with order and customer attributes.
+
+    Physical plan: per-batch partial (orderkey, qty_sum) combiners
+    shrink lineitem to the order grain BEFORE the one real exchange;
+    the HAVING filter drops ~90% of orders right after it, so the
+    join-back to orders and customers moves only survivors (both
+    partitioned joins sized to the survivor side)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.relational import partitioned_hash_join
+
+    threshold = 180.0  # sum(l_quantity) per order; ~10% of orders qualify
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {
+                "o_orderkey": batch["l_orderkey"],
+                # quantities are integral doubles; exact as int64
+                "qty": pc.cast(batch["l_quantity"], pa.int64()),
+            }
+        )
+        return (
+            t.group_by("o_orderkey")
+            .aggregate([("qty", "sum")])
+            .rename_columns(["o_orderkey", "qty"])
+        )
+
+    big_orders = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_quantity"],
+        )
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("qty", alias_name="total_qty"))
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater(b["total_qty"], pa.scalar(int(threshold)))
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(
+        lambda b: pa.Table.from_pydict(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "c_custkey": b["o_custkey"],
+                "o_orderdate": b["o_orderdate"],
+                "total_cents": _cents(b["o_totalprice"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    enriched = partitioned_hash_join(
+        big_orders, orders, key="o_orderkey", num_buckets=32
+    )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    out = partitioned_hash_join(
+        enriched, cust, key="c_custkey", num_buckets=32
+    ).to_pandas()
+
+    out = out[
+        ["c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_cents",
+         "total_qty"]
+    ]
+    out["total_qty"] = out["total_qty"].astype("int64")
+    out["total_cents"] = out["total_cents"].astype("int64")
+    return out.sort_values(
+        ["total_qty", "o_orderkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+RELATIONAL_QUERIES["large_order_customers"] = _q_large_order_customers
+RELATIONAL_ORACLE_SQL["large_order_customers"] = """
+WITH big AS (
+    SELECT l_orderkey AS o_orderkey,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY 1
+    HAVING sum(CAST(l_quantity AS BIGINT)) > 180
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+       b.total_qty
+FROM big b
+JOIN orders o   ON b.o_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY b.total_qty DESC, o.o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21-adapted: sole late supplier per multi-supplier order
+# ---------------------------------------------------------------------------
+
+
+def _q_sole_late_supplier(sf_dir: str):
+    """TPC-H Q21 shape, adapted: suppliers who were the ONLY late
+    shipper in an order that involved at least two suppliers. The
+    reference predicate (receiptdate > commitdate) has no analogue in
+    this corpus — "late" here is shipdate > orderdate + 90 days —
+    but the plan shape is Q21's: an EXISTS (another supplier in the
+    same order) AND NOT EXISTS (another LATE supplier) self-join at
+    the order grain.
+
+    Physical plan: lineitem joins orders (date only) partitioned on
+    orderkey; per-batch partials reduce to the DISTINCT
+    (orderkey, suppkey, late_any) grain before one composite-key
+    exchange; a per-order map_groups then sizes each order's supplier
+    set (orders are tiny groups — bounded by lines-per-order), and
+    the winner count is a final small groupby. The supplier name
+    attaches via a broadcast lookup."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    from ..stages.relational import partitioned_hash_join
+
+    late_us = 90 * 86_400 * 1_000_000  # 90 days in microseconds
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.rename_columns(["orderkey", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    ).map_batches(
+        lambda b: b.rename_columns(["orderkey", "l_suppkey", "l_shipdate"]),
+        batch_format="pyarrow",
+    )
+    lo = partitioned_hash_join(li, orders, key="orderkey", num_buckets=32)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        late = (ship > od + late_us).astype(np.int64)
+        t = pa.Table.from_pydict(
+            {
+                "orderkey": batch["orderkey"],
+                "suppkey": batch["l_suppkey"],
+                "late": pa.array(late, pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["orderkey", "suppkey"])
+            .aggregate([("late", "max")])
+            .rename_columns(["orderkey", "suppkey", "late"])
+        )
+
+    pairs = (
+        lo.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["orderkey", "suppkey"])
+        .aggregate(Max("late", alias_name="late"))
+    )
+
+    def winners(g: pa.Table) -> pa.Table:
+        late = g["late"].to_numpy(zero_copy_only=False)
+        n_supp = len(g)
+        if n_supp >= 2 and int(late.sum()) == 1:
+            sk = g["suppkey"].to_numpy(zero_copy_only=False)[late == 1]
+            return pa.Table.from_pydict(
+                {"s_suppkey": pa.array(sk, pa.int64())}
+            )
+        return pa.Table.from_pydict({"s_suppkey": pa.array([], pa.int64())})
+
+    won = (
+        pairs.groupby("orderkey")
+        .map_groups(winners, batch_format="pyarrow")
+        .map_batches(
+            lambda b: pa.Table.from_pydict(
+                {"s_suppkey": b["s_suppkey"], "numwait": [1] * len(b)}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("s_suppkey")
+        .aggregate(Sum("numwait", alias_name="numwait"))
+        .to_pandas()
+    )
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pydict()
+    name = dict(zip(sup["s_suppkey"], sup["s_name"]))
+    won["s_name"] = won["s_suppkey"].map(lambda k: name[int(k)])
+    won["numwait"] = won["numwait"].astype("int64")
+    won = won[["s_suppkey", "s_name", "numwait"]]
+    return won.sort_values(
+        ["numwait", "s_suppkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+RELATIONAL_QUERIES["sole_late_supplier"] = _q_sole_late_supplier
+RELATIONAL_ORACLE_SQL["sole_late_supplier"] = """
+WITH ls AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                    THEN 1 ELSE 0 END) AS late
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+),
+q AS (
+    SELECT l_orderkey
+    FROM ls
+    GROUP BY 1
+    HAVING count(*) >= 2 AND sum(late) = 1
+)
+SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM ls
+JOIN q ON ls.l_orderkey = q.l_orderkey
+JOIN supplier s ON ls.l_suppkey = s.s_suppkey
+WHERE ls.late = 1
+GROUP BY 1, 2
+ORDER BY numwait DESC, s.s_suppkey
+"""
