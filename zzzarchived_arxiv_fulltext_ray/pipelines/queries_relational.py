@@ -918,3 +918,130 @@ WHERE ls.late = 1
 GROUP BY 1, 2
 ORDER BY numwait DESC, s.s_suppkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Q9-adapted: part profit by supplier nation and year
+# ---------------------------------------------------------------------------
+
+
+def _q_part_profit_by_nation(sf_dir: str):
+    """TPC-H Q9 shape, adapted: profit on parts whose name contains a
+    token, grouped by (supplier nation, ship year). The reference
+    costs lines via partsupp.ps_supplycost which this corpus lacks —
+    cost here is 10% of p_retailprice per unit, which preserves the
+    Q9 plan (fact x filtered-part join, mixed part x lineitem column
+    arithmetic AFTER the join, nation/year rollup).
+
+    Exactness: revenue and cost are rounded to integer cents
+    INDEPENDENTLY (each a single float product rounded half away from
+    zero) so the SQL oracle replays the arithmetic bit-for-bit.
+
+    Physical plan: part is filtered by the name token and projected
+    to (partkey, retail price) before a Bloom-prefiltered partitioned
+    join; the supplier->nation projection is a broadcast lookup; the
+    (25 x n_years)-row aggregate pre-combines per batch."""
+    import numpy as np
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.relational import bloom_prefiltered_join
+
+    token = "ring"
+    nat_name = _nation_names(sf_dir)
+    supp_nat = _supp_nation_lookup(sf_dir)
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"]
+    ).map_batches(
+        lambda b: b.filter(pc.match_substring(b["p_name"], token))
+        .select(["p_partkey", "p_retailprice"])
+        .rename_columns(["partkey", "p_retailprice"]),
+        batch_format="pyarrow",
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "partkey": batch["l_partkey"],
+                "supp_nat": pa.array(
+                    supp_nat[
+                        batch["l_suppkey"].to_numpy(zero_copy_only=False)
+                    ],
+                    pa.int64(),
+                ),
+                "l_year": _year_i64(batch["l_shipdate"]),
+                "l_quantity": batch["l_quantity"],
+                "rev_cents": _rev_cents(batch),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_partkey",
+            "l_suppkey",
+            "l_shipdate",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    joined = bloom_prefiltered_join(li, parts, key="partkey", num_buckets=32)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        price = batch["p_retailprice"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        cost = np.floor(np.abs(price * qty * 10.0) + 0.5).astype(np.int64)
+        # half away from zero on a non-negative product == floor(x+0.5)
+        profit = (
+            batch["rev_cents"].to_numpy(zero_copy_only=False) - cost
+        )
+        t = pa.Table.from_pydict(
+            {
+                "supp_nat": batch["supp_nat"],
+                "l_year": batch["l_year"],
+                "profit_cents": pa.array(profit, pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["supp_nat", "l_year"])
+            .aggregate([("profit_cents", "sum"), ([], "count_all")])
+            .rename_columns(["supp_nat", "l_year", "profit_cents", "n_items"])
+        )
+
+    out = (
+        joined.map_batches(combine, batch_format="pyarrow")
+        .groupby(["supp_nat", "l_year"])
+        .aggregate(
+            Sum("profit_cents", alias_name="profit_cents"),
+            Sum("n_items", alias_name="n_items"),
+        )
+        .to_pandas()
+    )
+    out["nation"] = out["supp_nat"].map(lambda k: nat_name[int(k)])
+    out = out[["nation", "l_year", "profit_cents", "n_items"]]
+    out["profit_cents"] = out["profit_cents"].astype("int64")
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values(["nation", "l_year"]).reset_index(drop=True)
+
+
+RELATIONAL_QUERIES["part_profit_by_nation"] = _q_part_profit_by_nation
+RELATIONAL_ORACLE_SQL["part_profit_by_nation"] = """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(
+           CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)
+           - CAST(round(p.p_retailprice * l.l_quantity * 10) AS BIGINT)
+       ) AS BIGINT) AS profit_cents,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%ring%'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
