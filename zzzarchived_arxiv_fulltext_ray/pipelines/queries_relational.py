@@ -1045,3 +1045,131 @@ WHERE p.p_name LIKE '%ring%'
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Graph: common-neighbor link prediction + degree assortativity
+# ---------------------------------------------------------------------------
+
+
+def _co_supply_edges(sf_dir: str):
+    """The shared co-supply witness graph (same construction as
+    supplier_triangles/bfs/kcore: orders with key % 10 == 0, edge =
+    supplier pair sharing >= 2 of them)."""
+    import ray.data
+
+    from ..stages.graph import cooccurrence_edges
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+
+    def sample_orders(batch: pa.Table) -> pa.Table:
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(keys % 10 == 0))
+
+    return cooccurrence_edges(
+        li.map_batches(sample_orders, batch_format="pyarrow"),
+        "l_orderkey",
+        "l_suppkey",
+        min_count=2,
+    )
+
+
+_CO_SUPPLY_CTE = """
+li AS (
+    SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_orderkey % 10 = 0
+), co AS (
+    SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+           count(DISTINCT a.l_orderkey) AS n
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+), e AS (
+    SELECT u, v FROM co WHERE n >= 2
+), bi AS (
+    SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+)"""
+
+
+def _q_supplier_link_prediction(sf_dir: str):
+    """Link prediction on the co-supply graph
+    (``stages.graph.common_neighbor_pairs``): non-adjacent supplier
+    pairs sharing >= 3 common neighbors, scored by the exact
+    common-neighbor count and the integer sum of shared-center
+    degrees (the deterministic cousin of Adamic-Adar — exact ints so
+    the SQL oracle replays it). One coalesced wedge exchange (group
+    length IS the center degree, so no degree join), one pair
+    aggregate, one bucketed ANTI join against the edge set."""
+    from ..stages.graph import common_neighbor_pairs
+
+    out = common_neighbor_pairs(
+        _co_supply_edges(sf_dir),
+        min_common=3,
+        assume_canonical=True,
+    ).to_pandas()
+    for c in ("u", "v", "cn", "sum_ctr_deg"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+RELATIONAL_QUERIES["supplier_link_prediction"] = _q_supplier_link_prediction
+RELATIONAL_ORACLE_SQL["supplier_link_prediction"] = f"""
+WITH {_CO_SUPPLY_CTE},
+deg AS (SELECT src AS node, count(*) AS d FROM bi GROUP BY 1),
+cn AS (
+    SELECT s1.dst AS u, s2.dst AS v,
+           CAST(count(*) AS BIGINT) AS cn,
+           CAST(sum(deg.d) AS BIGINT) AS sum_ctr_deg
+    FROM bi s1
+    JOIN bi s2 ON s1.src = s2.src AND s1.dst < s2.dst
+    JOIN deg   ON deg.node = s1.src
+    GROUP BY 1, 2
+)
+SELECT cn.u, cn.v, cn.cn, cn.sum_ctr_deg
+FROM cn
+WHERE cn.cn >= 3
+  AND NOT EXISTS (SELECT 1 FROM e WHERE e.u = cn.u AND e.v = cn.v)
+ORDER BY cn.u, cn.v
+"""
+
+
+def _q_supplier_assortativity(sf_dir: str):
+    """Degree assortativity of the co-supply graph
+    (``stages.graph.degree_assortativity``): Pearson correlation of
+    endpoint degrees over both directions of every edge. The four
+    sufficient statistics are exact int64 partial sums; the
+    coefficient is one float division done in arbitrary-precision
+    Python, mirrored by HUGEINT arithmetic in the oracle — bit-equal."""
+    from ..stages.graph import degree_assortativity
+
+    return degree_assortativity(
+        _co_supply_edges(sf_dir), assume_canonical=True
+    )
+
+
+RELATIONAL_QUERIES["supplier_assortativity"] = _q_supplier_assortativity
+RELATIONAL_ORACLE_SQL["supplier_assortativity"] = f"""
+WITH {_CO_SUPPLY_CTE},
+deg AS (SELECT src AS node, count(*) AS d FROM bi GROUP BY 1),
+j AS (
+    SELECT d1.d AS du, d2.d AS dv
+    FROM e
+    JOIN deg d1 ON e.u = d1.node
+    JOIN deg d2 ON e.v = d2.node
+),
+s AS (
+    SELECT CAST(count(*) AS HUGEINT) AS m,
+           CAST(sum(du + dv) AS HUGEINT) AS a,
+           CAST(sum(du * du + dv * dv) AS HUGEINT) AS b,
+           CAST(sum(du * dv) AS HUGEINT) AS c
+    FROM j
+)
+SELECT CAST(m AS BIGINT) AS n_edges,
+       CAST(a AS BIGINT) AS s_deg,
+       CAST(b AS BIGINT) AS s_deg2,
+       CAST(c AS BIGINT) AS s_dudv,
+       CAST(4 * m * c - a * a AS DOUBLE)
+           / CAST(2 * m * b - a * a AS DOUBLE) AS assortativity
+FROM s
+"""

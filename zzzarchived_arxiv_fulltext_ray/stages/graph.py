@@ -1268,3 +1268,220 @@ def local_clustering(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def common_neighbor_pairs(
+    edges_ds,
+    min_common: int = 1,
+    max_degree: int = 1024,
+    num_buckets: int = 64,
+    assume_canonical: bool = False,
+):
+    """Link prediction by common-neighbor counting: for every
+    NON-adjacent node pair (u, v) that shares at least ``min_common``
+    neighbors, emit ``cn`` (the common-neighbor count) and
+    ``sum_ctr_deg`` (the sum of the shared centers' degrees — the
+    deterministic integer cousin of Adamic-Adar's 1/log(deg) weight,
+    kept exact so a SQL oracle replays it).
+
+    Plan shape (all exchanges bucketed, O(1) driver state):
+
+    1. symmetrize the canonical edge list to (src, dst);
+    2. ONE coalesced exchange on hash(src): each of the fixed
+       ``num_buckets`` groups lexsorts its rows and, per center node,
+       emits ordered neighbor pairs (numpy ``triu_indices``) tagged
+       with the center's degree — the group length IS deg(center), so
+       no degree join is needed;
+    3. one exchange aggregates (u, v) -> (cn, sum_ctr_deg);
+    4. one bucketed ANTI join drops pairs that are already edges.
+
+    Centers with degree > ``max_degree`` are dropped AND logged (the
+    hot-key contract shared with ``cooccurrence_edges`` — a hub's
+    quadratic pair fan-out is the scale hazard here).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import bucket_of_column
+    from .relational import partitioned_hash_join
+
+    if not assume_canonical:
+        edges_ds = _canonicalize(edges_ds)
+    edges = edges_ds.materialize()  # reused: wedge source + anti side
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        u = batch["u"].combine_chunks()
+        v = batch["v"].combine_chunks()
+        t = pa.Table.from_pydict(
+            {
+                "src": pa.chunked_array([u, v]).combine_chunks(),
+                "dst": pa.chunked_array([v, u]).combine_chunks(),
+            }
+        )
+        return pa.Table.from_pydict(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "__b": pa.array(
+                    bucket_of_column(t["src"], num_buckets), pa.int64()
+                ),
+            }
+        )
+
+    def pairs_of_bucket(group: pa.Table) -> pa.Table:
+        src = group["src"].to_numpy(zero_copy_only=False)
+        dst = group["dst"].to_numpy(zero_copy_only=False)
+        empty = pa.Table.from_pydict(
+            {
+                "u": pa.array([], pa.int64()),
+                "v": pa.array([], pa.int64()),
+                "cn": pa.array([], pa.int64()),
+                "ctr_deg": pa.array([], pa.int64()),
+            }
+        )
+        if src.size == 0:
+            return empty
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], src[1:] != src[:-1]])
+        )
+        ends = np.append(starts[1:], src.size)
+        out_u, out_v, out_d = [], [], []
+        for s, e in zip(starts, ends):
+            d = e - s
+            if d > max_degree:
+                logger.warning(
+                    "common_neighbor_pairs: dropping hub center=%s "
+                    "with degree %d (max_degree=%d)",
+                    src[s], d, max_degree,
+                )
+                continue
+            if d < 2:
+                continue
+            ii, jj = np.triu_indices(d, k=1)
+            out_u.append(dst[s:e][ii])
+            out_v.append(dst[s:e][jj])
+            out_d.append(np.full(ii.size, d, dtype=np.int64))
+        if not out_u:
+            return empty
+        return pa.Table.from_pydict(
+            {
+                "u": pa.array(np.concatenate(out_u), pa.int64()),
+                "v": pa.array(np.concatenate(out_v), pa.int64()),
+                "cn": pa.array(
+                    np.ones(sum(a.size for a in out_u), np.int64)
+                ),
+                "ctr_deg": pa.array(np.concatenate(out_d), pa.int64()),
+            }
+        )
+
+    scored = (
+        edges.map_batches(symmetrize, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(pairs_of_bucket, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(
+            Sum("cn", alias_name="cn"),
+            Sum("ctr_deg", alias_name="sum_ctr_deg"),
+        )
+    )
+    if min_common > 1:
+        scored = scored.filter(expr=f"cn >= {min_common}")
+    return partitioned_hash_join(
+        scored, edges, key=["u", "v"], how="anti", num_buckets=32
+    )
+
+
+def degree_assortativity(edges_ds, assume_canonical: bool = False):
+    """Degree assortativity coefficient of an undirected graph: the
+    Pearson correlation of endpoint degrees over all DIRECTED edge
+    incidences (each undirected edge counted in both directions — the
+    standard Newman convention, which makes the two marginals equal).
+
+    Everything up to the final division is exact integer sufficient
+    statistics (m, A = sum(du+dv), B = sum(du^2+dv^2), C = sum(du*dv)
+    over the canonical edge list), accumulated as per-batch partials;
+    r = (4mC - A^2) / (2mB - A^2) is ONE float division of exact ints
+    computed in arbitrary-precision Python on the driver, so a SQL
+    oracle with HUGEINT sums replays it bit-for-bit. Returns a
+    one-row pandas DataFrame (n_edges, s_deg, s_deg2, s_dudv,
+    assortativity)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .relational import partitioned_hash_join
+
+    if not assume_canonical:
+        edges_ds = _canonicalize(edges_ds)
+    edges = edges_ds.materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        nodes = pa.chunked_array(
+            [batch["u"].combine_chunks(), batch["v"].combine_chunks()]
+        ).combine_chunks()
+        t = pa.Table.from_pydict({"node": nodes})
+        return (
+            t.group_by("node")
+            .aggregate([([], "count_all")])
+            .rename_columns(["node", "d"])
+        )
+
+    degrees = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="d"))
+    )
+
+    eu = edges.map_batches(
+        lambda b: b.rename_columns(["node", "v"]), batch_format="pyarrow"
+    )
+    with_du = partitioned_hash_join(
+        eu, degrees, key="node", num_buckets=32
+    ).map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"node": b["v"], "du": b["d"]}
+        ),
+        batch_format="pyarrow",
+    )
+    with_both = partitioned_hash_join(
+        with_du,
+        degrees.map_batches(
+            lambda b: b.rename_columns(["node", "dv"]),
+            batch_format="pyarrow",
+        ),
+        key="node",
+        num_buckets=32,
+    )
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        du = batch["du"].to_numpy(zero_copy_only=False)
+        dv = batch["dv"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "m": [len(du)],
+                "a": [int((du + dv).sum())],
+                "b": [int((du * du + dv * dv).sum())],
+                "c": [int((du * dv).sum())],
+            }
+        )
+
+    agg = with_both.map_batches(
+        stat_partial, batch_format="pyarrow"
+    ).aggregate(
+        Sum("m", alias_name="m"),
+        Sum("a", alias_name="a"),
+        Sum("b", alias_name="b"),
+        Sum("c", alias_name="c"),
+    )
+    m, a, b, c = (int(agg[k]) for k in ("m", "a", "b", "c"))
+    denom = 2 * m * b - a * a
+    r = float(4 * m * c - a * a) / float(denom) if denom else 0.0
+    return pd.DataFrame(
+        {
+            "n_edges": [m],
+            "s_deg": [a],
+            "s_deg2": [b],
+            "s_dudv": [c],
+            "assortativity": [r],
+        }
+    )
