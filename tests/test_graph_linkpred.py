@@ -1,0 +1,133 @@
+"""Common-neighbor link prediction + degree assortativity
+(stages/graph.py)."""
+
+import itertools
+
+import pandas as pd
+import pytest
+
+from zzzarchived_arxiv_fulltext_ray.stages.graph import (
+    common_neighbor_pairs,
+    degree_assortativity,
+)
+
+
+def _edges_ds(edges, parts=3):
+    import pyarrow as pa
+    import ray.data
+
+    df = pd.DataFrame(edges, columns=["u", "v"]).astype("int64")
+    return ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(parts)
+
+
+def _brute_cn(edges, min_common=1):
+    es = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    adj = {}
+    for u, v in es:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out = {}
+    for a, b in itertools.combinations(sorted(adj), 2):
+        if (a, b) in es:
+            continue
+        shared = adj[a] & adj[b]
+        if len(shared) >= min_common:
+            out[(a, b)] = (
+                len(shared),
+                sum(len(adj[w]) for w in shared),
+            )
+    return out
+
+
+def _got_cn(ray_session, edges, **kwargs):
+    got = common_neighbor_pairs(_edges_ds(edges), **kwargs).to_pandas()
+    if got.empty:
+        # a fully-empty distributed result arrives schema-less (the
+        # documented join-family limitation) — semantically {}
+        return {}
+    return {
+        (int(r.u), int(r.v)): (int(r.cn), int(r.sum_ctr_deg))
+        for r in got.sort_values(["u", "v"]).itertuples()
+    }
+
+
+def test_path_and_square(ray_session):
+    # path a-b-c: (a,c) share {b}, deg(b)=2
+    assert _got_cn(ray_session, [(1, 2), (2, 3)]) == {(1, 3): (1, 2)}
+    # square: each diagonal shares the two opposite corners (deg 2)
+    sq = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    assert _got_cn(ray_session, sq) == {(1, 3): (2, 4), (2, 4): (2, 4)}
+
+
+def test_triangle_has_no_candidates(ray_session):
+    # all pairs adjacent -> the anti join drops everything
+    assert _got_cn(ray_session, [(1, 2), (2, 3), (1, 3)]) == {}
+
+
+def test_min_common_filter_and_random_graph(ray_session):
+    import random
+
+    rng = random.Random(7)
+    edges = {
+        (a, b)
+        for a, b in (
+            sorted(rng.sample(range(30), 2)) for _ in range(120)
+        )
+    }
+    edges = [tuple(e) for e in edges]
+    for mc in (1, 2, 3):
+        assert _got_cn(ray_session, edges, min_common=mc) == _brute_cn(
+            edges, min_common=mc
+        )
+
+
+def test_hub_cap_drops_center_wedges(ray_session):
+    # star through node 0 with 5 leaves: all leaf pairs share only 0;
+    # capping max_degree below 5 drops every candidate
+    star = [(0, i) for i in range(1, 6)]
+    assert _got_cn(ray_session, star, max_degree=4) == {}
+    full = _got_cn(ray_session, star)
+    assert full == _brute_cn(star)
+    assert full[(1, 2)] == (1, 5)
+
+
+def test_assortativity_star_is_minus_one(ray_session):
+    out = degree_assortativity(_edges_ds([(0, 1), (0, 2), (0, 3)]))
+    assert int(out["n_edges"][0]) == 3
+    assert out["assortativity"][0] == pytest.approx(-1.0)
+
+
+def test_assortativity_regular_graph_degenerate_zero(ray_session):
+    # 4-cycle: all degrees equal -> zero variance -> r defined as 0.0
+    out = degree_assortativity(
+        _edges_ds([(1, 2), (2, 3), (3, 4), (4, 1)])
+    )
+    assert out["assortativity"][0] == 0.0
+
+
+def test_assortativity_matches_brute(ray_session):
+    import random
+
+    rng = random.Random(3)
+    edges = list(
+        {
+            tuple(sorted(rng.sample(range(20), 2)))
+            for _ in range(60)
+        }
+    )
+    es = set(edges)
+    deg = {}
+    for u, v in es:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    m = len(es)
+    a = sum(deg[u] + deg[v] for u, v in es)
+    b = sum(deg[u] ** 2 + deg[v] ** 2 for u, v in es)
+    c = sum(deg[u] * deg[v] for u, v in es)
+    want = float(4 * m * c - a * a) / float(2 * m * b - a * a)
+    out = degree_assortativity(_edges_ds(edges))
+    assert int(out["n_edges"][0]) == m
+    assert int(out["s_deg"][0]) == a
+    assert int(out["s_deg2"][0]) == b
+    assert int(out["s_dudv"][0]) == c
+    assert out["assortativity"][0] == pytest.approx(want, abs=0)

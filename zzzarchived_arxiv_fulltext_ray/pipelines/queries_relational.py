@@ -1103,11 +1103,18 @@ def _q_supplier_link_prediction(sf_dir: str):
     aggregate, one bucketed ANTI join against the edge set."""
     from ..stages.graph import common_neighbor_pairs
 
+    import pandas as pd
+
     out = common_neighbor_pairs(
         _co_supply_edges(sf_dir),
         min_common=3,
         assume_canonical=True,
     ).to_pandas()
+    if out.empty:  # schema-less empty result (join-family limitation)
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("u", "v", "cn", "sum_ctr_deg")}
+        )
     for c in ("u", "v", "cn", "sum_ctr_deg"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["u", "v"]).reset_index(drop=True)

@@ -1387,6 +1387,23 @@ def common_neighbor_pairs(
     )
     if min_common > 1:
         scored = scored.filter(expr=f"cn >= {min_common}")
+    scored = scored.materialize()
+    if scored.schema() is None:
+        # every center was dropped/filtered: a fully-empty aggregate
+        # loses its schema, which the join family cannot accept —
+        # short-circuit with a typed empty result
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "u": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                    "cn": pa.array([], pa.int64()),
+                    "sum_ctr_deg": pa.array([], pa.int64()),
+                }
+            )
+        )
     return partitioned_hash_join(
         scored, edges, key=["u", "v"], how="anti", num_buckets=32
     )
