@@ -1180,3 +1180,135 @@ SELECT CAST(m AS BIGINT) AS n_edges,
            / CAST(2 * m * b - a * a AS DOUBLE) AS assortativity
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection: MAD outliers per event type
+# ---------------------------------------------------------------------------
+
+
+def _q_events_anomaly(sf_dir: str):
+    """Robust outlier detection: events whose value deviates from
+    their type's median by more than 4x the type's median absolute
+    deviation. The classic z-score version needs (v*n - S)^2-scale
+    integers (overflows int64 at corpus scale) or float comparisons
+    (boundary-tie hazard); the MAD formulation stays in exact integer
+    cents end-to-end, so the flag predicate replays bit-for-bit in
+    SQL.
+
+    Physical plan: one materialized cents scan feeds two grouped
+    bucket-refinement selections (median, then MAD of deviations —
+    O(KiB) driver state each); the tiny (type -> median, mad) map
+    broadcasts via ``ray.put`` into one final vectorized filter scan.
+    Three passes over the column, zero row exchanges."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    from ..stages.selection import grouped_quantile_disc
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(b["value"], 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_id": b["event_id"].combine_chunks(),
+                "event_type": b["event_type"].combine_chunks(),
+                "cents": cents,
+            }
+        )
+
+    cents = ev.map_batches(to_cents, batch_format="pyarrow").materialize()
+    med = {
+        g: int(v)
+        for g, v, _ in grouped_quantile_disc(
+            cents, "event_type", "cents", 0.5
+        )
+    }
+    med_ref = ray.put(med)
+
+    def abs_dev(b: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        types = b["event_type"].to_numpy(zero_copy_only=False)
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        med_arr = np.empty(len(c), dtype=np.int64)
+        for t in np.unique(types):
+            med_arr[types == t] = m[t]
+        return pa.table(
+            {
+                "event_type": b["event_type"].combine_chunks(),
+                "dev": pa.array(np.abs(c - med_arr), pa.int64()),
+            }
+        )
+
+    devs = cents.map_batches(abs_dev, batch_format="pyarrow")
+    mad = {
+        g: int(v)
+        for g, v, _ in grouped_quantile_disc(devs, "event_type", "dev", 0.5)
+    }
+    thr_ref = ray.put({t: (med[t], 4 * mad[t]) for t in med})
+
+    def flag(b: pa.Table) -> pa.Table:
+        thr = ray.get(thr_ref)
+        types = b["event_type"].to_numpy(zero_copy_only=False)
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        med_arr = np.empty(len(c), dtype=np.int64)
+        lim_arr = np.empty(len(c), dtype=np.int64)
+        for t in np.unique(types):
+            m, lim = thr[t]
+            med_arr[types == t] = m
+            lim_arr[types == t] = lim
+        dev = np.abs(c - med_arr)
+        keep = dev > lim_arr
+        return pa.table(
+            {
+                "event_id": b["event_id"].filter(pa.array(keep)),
+                "event_type": b["event_type"].filter(pa.array(keep)),
+                "value_cents": pa.array(c[keep], pa.int64()),
+                "dev_cents": pa.array(dev[keep], pa.int64()),
+            }
+        )
+
+    out = (
+        cents.map_batches(flag, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+RELATIONAL_QUERIES["events_anomaly"] = _q_events_anomaly
+RELATIONAL_ORACLE_SQL["events_anomaly"] = """
+WITH c AS (
+    SELECT event_id, event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+),
+med AS (
+    SELECT event_type, quantile_disc(cents, 0.5) AS m
+    FROM c GROUP BY 1
+),
+dev AS (
+    SELECT c.event_id, c.event_type, c.cents,
+           abs(c.cents - med.m) AS d
+    FROM c JOIN med USING (event_type)
+),
+mad AS (
+    SELECT event_type, quantile_disc(d, 0.5) AS mad
+    FROM dev GROUP BY 1
+)
+SELECT dev.event_id, dev.event_type,
+       dev.cents AS value_cents,
+       dev.d AS dev_cents
+FROM dev JOIN mad USING (event_type)
+WHERE dev.d > 4 * mad.mad
+ORDER BY dev.event_id
+"""
