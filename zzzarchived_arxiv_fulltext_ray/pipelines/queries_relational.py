@@ -1312,3 +1312,286 @@ FROM dev JOIN mad USING (event_type)
 WHERE dev.d > 4 * mad.mad
 ORDER BY dev.event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Q3: shipping priority — top-k of a big aggregate
+# ---------------------------------------------------------------------------
+
+
+def _topk_partial_factory(k: int, by, ascending):
+    """Per-batch partial top-k (the lossless combiner step: the global
+    top-k is contained in the union of per-block top-ks)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(by, ascending=ascending).head(k),
+            preserve_index=False,
+        )
+
+    return partial
+
+
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: top-10 unshipped BUILDING-segment orders by
+    open revenue at a cutoff date. Customers enter as a
+    Bloom-prefiltered SEMI join (membership only), orders are
+    date-filtered below their exchange, lineitem is date-filtered and
+    pre-aggregated to the order grain per batch; the global top-10 is
+    a lossless partial-top-k combiner stream (each block contributes
+    <= 10 rows; the driver merges <= 10 x blocks rows)."""
+    import datetime
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.relational import (
+        bloom_prefiltered_join,
+        partitioned_hash_join,
+    )
+
+    cutoff = datetime.date(1996, 6, 1)
+    k = 10
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b["c_mktsegment"], pa.scalar("BUILDING"))
+        )
+        .select(["c_custkey"])
+        .rename_columns(["custkey"]),
+        batch_format="pyarrow",
+    )
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.less(batch["o_orderdate"], pa.scalar(cutoff))
+        )
+        return pa.Table.from_pydict(
+            {
+                "orderkey": t["o_orderkey"],
+                "custkey": t["o_custkey"],
+                "o_orderdate": t["o_orderdate"],
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(o_prep, batch_format="pyarrow")
+    orders_b = bloom_prefiltered_join(
+        orders, cust, key="custkey", how="semi", num_buckets=32
+    ).map_batches(
+        lambda b: b.select(["orderkey", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.greater(batch["l_shipdate"], pa.scalar(cutoff))
+        )
+        part = pa.Table.from_pydict(
+            {"orderkey": t["l_orderkey"], "cents": _rev_cents(t)}
+        )
+        return (
+            part.group_by("orderkey")
+            .aggregate([("cents", "sum")])
+            .rename_columns(["orderkey", "cents"])
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_shipdate",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    per_order = (
+        partitioned_hash_join(li, orders_b, key="orderkey", num_buckets=32)
+        .groupby(["orderkey", "o_orderdate"])
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+    )
+    partials = per_order.map_batches(
+        _topk_partial_factory(
+            k, ["revenue_cents", "orderkey"], [False, True]
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    out = partials.sort_values(
+        ["revenue_cents", "orderkey"], ascending=[False, True]
+    ).head(k)
+    out = out.rename(columns={"orderkey": "o_orderkey"})[
+        ["o_orderkey", "o_orderdate", "revenue_cents"]
+    ]
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+RELATIONAL_QUERIES["shipping_priority"] = _q_shipping_priority
+RELATIONAL_ORACLE_SQL["shipping_priority"] = """
+SELECT l.l_orderkey AS o_orderkey,
+       o.o_orderdate,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1996-06-01'
+  AND l.l_shipdate  > DATE '1996-06-01'
+GROUP BY 1, 2
+ORDER BY revenue_cents DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10: returned-item reporting — top-k customers by returned revenue
+# ---------------------------------------------------------------------------
+
+
+def _q_returned_item_customers(sf_dir: str):
+    """TPC-H Q10 shape: top-20 customers by revenue of RETURNED line
+    items against orders placed in one quarter. Same partial-top-k
+    combiner as shipping_priority, but the aggregate grain is the
+    customer; the 20 winners' attributes attach afterwards via a
+    vectorized membership filter scan over customer (the enrich side
+    streams — never a whole-dimension driver pull) and a broadcast
+    nation-name lookup."""
+    import datetime
+
+    import numpy as np
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.relational import partitioned_hash_join
+
+    lo = datetime.date(1996, 7, 1)
+    hi = datetime.date(1996, 10, 1)
+    k = 20
+    nat_name = _nation_names(sf_dir)
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], pa.scalar(lo)),
+            pc.less(batch["o_orderdate"], pa.scalar(hi)),
+        )
+        t = batch.filter(keep)
+        return pa.Table.from_pydict(
+            {"orderkey": t["o_orderkey"], "custkey": t["o_custkey"]}
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(o_prep, batch_format="pyarrow")
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.equal(batch["l_returnflag"], pa.scalar("R"))
+        )
+        part = pa.Table.from_pydict(
+            {"orderkey": t["l_orderkey"], "cents": _rev_cents(t)}
+        )
+        return (
+            part.group_by("orderkey")
+            .aggregate([("cents", "sum")])
+            .rename_columns(["orderkey", "cents"])
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_returnflag",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["custkey", "cents"])
+            .group_by("custkey")
+            .aggregate([("cents", "sum")])
+            .rename_columns(["custkey", "cents"])
+        )
+
+    per_cust = (
+        partitioned_hash_join(li, orders, key="orderkey", num_buckets=32)
+        .map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("custkey")
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+    )
+    partials = per_cust.map_batches(
+        _topk_partial_factory(
+            k, ["revenue_cents", "custkey"], [False, True]
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    winners = partials.sort_values(
+        ["revenue_cents", "custkey"], ascending=[False, True]
+    ).head(k)
+    keys = np.sort(winners["custkey"].to_numpy())
+
+    attrs = (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
+        )
+        .map_batches(
+            lambda b: b.filter(
+                pa.array(
+                    np.isin(
+                        b["c_custkey"].to_numpy(zero_copy_only=False), keys
+                    )
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    out = winners.rename(columns={"custkey": "c_custkey"}).merge(
+        attrs, on="c_custkey"
+    )
+    out["n_name"] = out["c_nationkey"].map(lambda nk: nat_name[int(nk)])
+    out["acctbal_cents"] = (
+        (out["c_acctbal"].abs() * 100 + 0.5).astype("int64")
+        * np.sign(out["c_acctbal"]).astype("int64")
+    )
+    out = out[
+        ["c_custkey", "c_name", "n_name", "acctbal_cents", "revenue_cents"]
+    ]
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out.sort_values(
+        ["revenue_cents", "c_custkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+RELATIONAL_QUERIES["returned_item_customers"] = _q_returned_item_customers
+RELATIONAL_ORACLE_SQL["returned_item_customers"] = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(CASE WHEN c.c_acctbal >= 0
+                 THEN floor(c.c_acctbal * 100 + 0.5)
+                 ELSE -floor(-c.c_acctbal * 100 + 0.5) END AS BIGINT)
+           AS acctbal_cents,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= DATE '1996-07-01'
+  AND o.o_orderdate <  DATE '1996-10-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+"""
