@@ -698,7 +698,10 @@ def _q_large_order_customers(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Sum
 
-    from ..stages.relational import partitioned_hash_join
+    from ..stages.relational import (
+        bloom_prefiltered_join,
+        partitioned_hash_join,
+    )
 
     threshold = 180.0  # sum(l_quantity) per order; ~10% of orders qualify
 
@@ -746,8 +749,10 @@ def _q_large_order_customers(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    enriched = partitioned_hash_join(
-        big_orders, orders, key="o_orderkey", num_buckets=32
+    # ~10% of orders survive the HAVING: the Bloom over survivor keys
+    # prunes ~90% of the orders-side exchange before it happens
+    enriched = bloom_prefiltered_join(
+        orders, big_orders, key="o_orderkey", num_buckets=32
     )
 
     cust = ray.data.read_parquet(
@@ -811,11 +816,13 @@ def _q_sole_late_supplier(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
     import ray.data
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Sum
 
+    from ..functions.hashing import bucket_of_column
     from ..stages.relational import partitioned_hash_join
 
     late_us = 90 * 86_400 * 1_000_000  # 90 days in microseconds
+    num_buckets = 64
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
@@ -833,6 +840,9 @@ def _q_sole_late_supplier(sf_dir: str):
     lo = partitioned_hash_join(li, orders, key="orderkey", num_buckets=32)
 
     def pair_partial(batch: pa.Table) -> pa.Table:
+        """Distinct (orderkey, suppkey) with late=max within the batch,
+        tagged with the hashed order bucket — shrinks the ONE exchange
+        to the pair grain."""
         ship = batch["l_shipdate"].to_numpy(zero_copy_only=False).astype(
             "datetime64[us]"
         ).astype(np.int64)
@@ -847,31 +857,52 @@ def _q_sole_late_supplier(sf_dir: str):
                 "late": pa.array(late, pa.int64()),
             }
         )
-        return (
+        t = (
             t.group_by(["orderkey", "suppkey"])
             .aggregate([("late", "max")])
             .rename_columns(["orderkey", "suppkey", "late"])
         )
+        return t.append_column(
+            "__b",
+            pa.array(bucket_of_column(t["orderkey"], num_buckets), pa.int64()),
+        )
 
-    pairs = (
-        lo.map_batches(pair_partial, batch_format="pyarrow")
-        .groupby(["orderkey", "suppkey"])
-        .aggregate(Max("late", alias_name="late"))
-    )
-
-    def winners(g: pa.Table) -> pa.Table:
-        late = g["late"].to_numpy(zero_copy_only=False)
-        n_supp = len(g)
-        if n_supp >= 2 and int(late.sum()) == 1:
-            sk = g["suppkey"].to_numpy(zero_copy_only=False)[late == 1]
+    def winners_of_bucket(group: pa.Table) -> pa.Table:
+        """All orders of a hash bucket at once: lexsort + reduceat
+        segment reduction (never a per-order map_groups dispatch —
+        the documented group-overhead anti-pattern)."""
+        ok = group["orderkey"].to_numpy(zero_copy_only=False)
+        if ok.size == 0:
             return pa.Table.from_pydict(
-                {"s_suppkey": pa.array(sk, pa.int64())}
+                {"s_suppkey": pa.array([], pa.int64())}
             )
-        return pa.Table.from_pydict({"s_suppkey": pa.array([], pa.int64())})
+        sk = group["suppkey"].to_numpy(zero_copy_only=False)
+        late = group["late"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, ok))
+        ok, sk, late = ok[order], sk[order], late[order]
+        # distinct pairs across source batches: max(late) per (ok, sk)
+        pstart = np.flatnonzero(
+            np.concatenate(
+                [[True], (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])]
+            )
+        )
+        plate = np.maximum.reduceat(late, pstart)
+        pok, psk = ok[pstart], sk[pstart]
+        # per-order segments over the pair grain
+        ostart = np.flatnonzero(
+            np.concatenate([[True], pok[1:] != pok[:-1]])
+        )
+        cnt = np.diff(np.append(ostart, pok.size))
+        late_sum = np.add.reduceat(plate, ostart)
+        win = (cnt >= 2) & (late_sum == 1)
+        # exactly one late pair per winning order: sum(psk*plate) is it
+        wsk = np.add.reduceat(psk * plate, ostart)[win]
+        return pa.Table.from_pydict({"s_suppkey": pa.array(wsk, pa.int64())})
 
     won = (
-        pairs.groupby("orderkey")
-        .map_groups(winners, batch_format="pyarrow")
+        lo.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(winners_of_bucket, batch_format="pyarrow")
         .map_batches(
             lambda b: pa.Table.from_pydict(
                 {"s_suppkey": b["s_suppkey"], "numwait": [1] * len(b)}
