@@ -733,6 +733,10 @@ def _q_large_order_customers(sf_dir: str):
             ),
             batch_format="pyarrow",
         )
+        # the survivor set feeds BOTH the Bloom build and the join's
+        # build side — materialize once or the lineitem aggregate
+        # above executes twice
+        .materialize()
     )
 
     orders = ray.data.read_parquet(
