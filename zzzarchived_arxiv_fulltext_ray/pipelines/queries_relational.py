@@ -103,38 +103,41 @@ def _q_volume_shipping(sf_dir: str):
     lo = datetime.date(1996, 1, 1)
     hi = datetime.date(1998, 1, 1)
 
-    def c_prep(batch: pa.Table) -> pa.Table:
-        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
-        t = batch.filter(pa.array((nk == n1) | (nk == n2)))
-        return pa.Table.from_arrays(
-            [
-                t["c_custkey"].combine_chunks(),
-                pc.cast(t["c_nationkey"].combine_chunks(), pa.int64()),
-            ],
-            names=["custkey", "cust_nat"],
-        )
+    # the two-nation customer slice is dimension-sized (~8% of a dim
+    # table): broadcast an exact custkey->nation map via ray.put and
+    # annotate orders in ONE scan — the custkey exchange never happens
+    # (partitioned twin: the regional_revenue orders x customer join)
+    import pyarrow.parquet as pq
+    import ray
+
+    ct = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cnk = np.asarray(ct["c_nationkey"], dtype=np.int64)
+    sel = (cnk == n1) | (cnk == n2)
+    ckeys = np.asarray(ct["c_custkey"])[sel]
+    lut = np.full(int(np.asarray(ct["c_custkey"]).max()) + 1, -1, np.int64)
+    lut[ckeys] = cnk[sel]
+    cust_lut_ref = ray.put(lut)
 
     def o_prep(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [
-                batch["o_orderkey"].combine_chunks(),
-                batch["o_custkey"].combine_chunks(),
-            ],
-            names=["orderkey", "custkey"],
+        table = ray.get(cust_lut_ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        nat = np.where(ck < table.size, table[np.minimum(ck, table.size - 1)], -1)
+        keep = nat >= 0
+        return pa.Table.from_pydict(
+            {
+                "orderkey": pa.array(
+                    batch["o_orderkey"].to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "cust_nat": pa.array(nat[keep], pa.int64()),
+            }
         )
 
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).map_batches(c_prep, batch_format="pyarrow")
-    orders = ray.data.read_parquet(
+    oc = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     ).map_batches(o_prep, batch_format="pyarrow")
-    # inner join keeps only customers in the two nations
-    oc = partitioned_hash_join(
-        orders, cust, key="custkey", num_buckets=32
-    ).map_batches(
-        lambda b: b.select(["orderkey", "cust_nat"]), batch_format="pyarrow"
-    )
 
     def li_prep(batch: pa.Table) -> pa.Table:
         keep = pc.and_(
@@ -241,18 +244,15 @@ def _q_market_share(sf_dir: str):
     dimension payloads; orders join partitioned on orderkey; the
     supplier->nation projection is a broadcast lookup. Exact integer
     numerator/denominator per year; the share is one float division."""
+    import datetime
+
     import numpy as np
+    import pyarrow.parquet as pq
+    import ray
     import ray.data
     from ray.data.aggregate import Sum
 
-    from ..stages.relational import (
-        bloom_prefiltered_join,
-        partitioned_hash_join,
-    )
-
-    import datetime
-
-    import pyarrow.parquet as pq
+    from ..stages.relational import partitioned_hash_join
 
     target_nation = 1  # NATION_1
     region_name = "AMERICA"
@@ -277,19 +277,20 @@ def _q_market_share(sf_dir: str):
         dtype=np.int64,
     )
 
-    parts = (
-        ray.data.read_parquet(
-            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
-        )
-        .map_batches(
-            lambda b: b.filter(
-                pc.equal(b["p_type"], pa.scalar(part_type))
-            ).select(["p_partkey"]),
-            batch_format="pyarrow",
-        )
-        .map_batches(
-            lambda b: b.rename_columns(["partkey"]), batch_format="pyarrow"
-        )
+    # both membership checks are dimension-sized (selective part keys,
+    # region-filtered customer keys): broadcast the EXACT key sets via
+    # ray.put and filter with one vectorized is_in — zero exchanges,
+    # and no Bloom FP-verify join needed. (At 100-TB fact scale these
+    # sides stay ~1e6-1e7 int64 keys = MBs; the partitioned twin is
+    # ``bloom_prefiltered_join(..., how='semi')`` as used by
+    # shipping_priority.)
+    pt = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    promo_keys_ref = ray.put(
+        pt.filter(pc.equal(pt["p_type"], pa.scalar(part_type)))[
+            "p_partkey"
+        ].combine_chunks()
     )
 
     def li_prep(batch: pa.Table) -> pa.Table:
@@ -319,12 +320,13 @@ def _q_market_share(sf_dir: str):
         ],
     ).map_batches(li_prep, batch_format="pyarrow")
 
-    li_promo = bloom_prefiltered_join(
-        li, parts, key="partkey", how="semi", num_buckets=32
-    ).map_batches(
-        lambda b: b.select(["orderkey", "supp_nat", "cents"]),
-        batch_format="pyarrow",
-    )
+    def keep_promo(batch: pa.Table) -> pa.Table:
+        keys = ray.get(promo_keys_ref)
+        return batch.filter(
+            pc.is_in(batch["partkey"], value_set=keys)
+        ).select(["orderkey", "supp_nat", "cents"])
+
+    li_promo = li.map_batches(keep_promo, batch_format="pyarrow")
 
     def o_prep(batch: pa.Table) -> pa.Table:
         keep = pc.and_(
@@ -350,25 +352,22 @@ def _q_market_share(sf_dir: str):
         li_promo, orders, key="orderkey", num_buckets=32
     )
 
-    cust_region = ray.data.read_parquet(
+    ct = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).map_batches(
-        lambda b: b.filter(
+    )
+    region_keys_ref = ray.put(
+        ct.filter(
             pa.array(
-                np.isin(
-                    b["c_nationkey"].to_numpy(zero_copy_only=False),
-                    region_nk,
-                )
+                np.isin(np.asarray(ct["c_nationkey"]), region_nk)
             )
-        )
-        .select(["c_custkey"])
-        .rename_columns(["custkey"]),
-        batch_format="pyarrow",
+        )["c_custkey"].combine_chunks()
     )
 
-    final = bloom_prefiltered_join(
-        lo_join, cust_region, key="custkey", how="semi", num_buckets=32
-    )
+    def keep_region(batch: pa.Table) -> pa.Table:
+        keys = ray.get(region_keys_ref)
+        return batch.filter(pc.is_in(batch["custkey"], value_set=keys))
+
+    final = lo_join.map_batches(keep_region, batch_format="pyarrow")
 
     def combine(batch: pa.Table) -> pa.Table:
         is_target = pc.equal(batch["supp_nat"], pa.scalar(target_nation))
