@@ -403,3 +403,67 @@ def test_asof_forward_direction(ray_session):
     # the planted tie matched AT the equal timestamp
     row0 = got[got["lv"] == 0].iloc[0]
     assert row0["matched_ts"] == left.loc[0, "ts"]
+
+
+def test_asof_nearest_direction(ray_session):
+    """Nearest as-of: minimal |left ts - right ts|, equidistant ties
+    resolve BACKWARD (same convention as pandas merge_asof
+    direction='nearest', which the test pins against)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.asof import asof_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 200),
+            "ts": rng.integers(0, 1000, 200),
+            "lv": np.arange(200),
+        }
+    ).astype("int64")
+    right = (
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 5, 120),
+                "ts": rng.integers(0, 1000, 120),
+            }
+        )
+        .drop_duplicates(["k", "ts"])  # unique match targets
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    right["rv"] = np.arange(len(right)) * 10
+    # engineer an exact equidistant tie: left ts 500, rights 498/502
+    left.loc[0, ["k", "ts"]] = [9, 500]
+    tie = pd.DataFrame({"k": [9, 9], "ts": [498, 502], "rv": [7, 8]})
+    right = pd.concat([right, tie], ignore_index=True).astype("int64")
+
+    got = (
+        asof_join(
+            rd.from_arrow(pa.Table.from_pandas(left)).repartition(3),
+            rd.from_arrow(pa.Table.from_pandas(right)).repartition(2),
+            key="k", on="ts", direction="nearest",
+        )
+        .to_pandas()
+        .sort_values("lv")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts").rename(columns={"ts": "matched_ts"}),
+        left_on="ts", right_on="matched_ts", by="k",
+        direction="nearest", allow_exact_matches=True,
+    ).sort_values("lv").reset_index(drop=True)
+    assert got["lv"].tolist() == want["lv"].tolist()
+    assert got["rv"].fillna(-1).tolist() == want["rv"].fillna(-1).tolist()
+    assert (
+        got["matched_ts"].fillna(-1).tolist()
+        == want["matched_ts"].fillna(-1).tolist()
+    )
+    # the engineered tie resolved backward
+    assert (
+        got.loc[got["lv"] == 0, "matched_ts"].iloc[0] == 498
+    )

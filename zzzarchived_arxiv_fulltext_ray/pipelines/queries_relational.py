@@ -1629,3 +1629,90 @@ GROUP BY 1, 2, 3, 4
 ORDER BY revenue_cents DESC, c_custkey
 LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# Nearest-direction as-of join
+# ---------------------------------------------------------------------------
+
+
+def _q_events_asof_nearest(sf_dir: str):
+    """NEAREST as-of join — each click enriched with the user's view
+    CLOSEST in time (either side; equidistant ties resolve backward).
+    Same single-exchange sorted plan as the backward/forward twins:
+    both boundary candidates come from two searchsorteds and one
+    vectorized distance compare. The oracle replays it as an arg-min
+    over the joined candidates (ORDER BY distance, view ts)."""
+    import ray.data
+
+    from ..stages.asof import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+    def prep(kind: str, cents_name: str, keep_event_id: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["event_type"], kind))
+            cents = _cents(t["value"])
+            cols = {}
+            if keep_event_id:
+                cols["event_id"] = t["event_id"]
+            cols["user_id"] = t["user_id"]
+            cols["ts"] = t["ts"]
+            cols[cents_name] = cents
+            return pa.Table.from_pydict(cols)
+
+        return fn
+
+    left = ev.map_batches(
+        prep("click", "cents", True), batch_format="pyarrow"
+    )
+    right = ev.map_batches(
+        prep("view", "near_view_cents", False), batch_format="pyarrow"
+    )
+    out = asof_join(
+        left, right, key="user_id", on="ts", direction="nearest"
+    ).to_pandas()
+    out["near_view_cents"] = out["near_view_cents"].astype("float64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+RELATIONAL_QUERIES["events_asof_nearest"] = _q_events_asof_nearest
+RELATIONAL_ORACLE_SQL["events_asof_nearest"] = """
+WITH clicks AS (
+    SELECT event_id, user_id, ts,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'click'
+),
+views AS (
+    SELECT user_id, ts,
+           CAST(round(value * 100) AS BIGINT) AS near_view_cents
+    FROM events WHERE event_type = 'view'
+),
+cand AS (
+    SELECT c.event_id, c.user_id, c.ts, c.cents,
+           v.near_view_cents, v.ts AS matched_ts,
+           CASE WHEN v.ts IS NULL THEN NULL
+                WHEN v.ts <= c.ts
+                THEN epoch_us(c.ts) - epoch_us(v.ts)
+                ELSE epoch_us(v.ts) - epoch_us(c.ts) END AS dist,
+           row_number() OVER (
+               PARTITION BY c.event_id
+               ORDER BY CASE WHEN v.ts IS NULL THEN NULL
+                             WHEN v.ts <= c.ts
+                             THEN epoch_us(c.ts) - epoch_us(v.ts)
+                             ELSE epoch_us(v.ts) - epoch_us(c.ts) END
+                        ASC NULLS LAST,
+                        v.ts ASC NULLS LAST
+           ) AS rn
+    FROM clicks c LEFT JOIN views v ON c.user_id = v.user_id
+)
+SELECT event_id, user_id, ts, cents,
+       CAST(near_view_cents AS DOUBLE) AS near_view_cents,
+       matched_ts
+FROM cand
+WHERE rn = 1
+ORDER BY event_id
+"""

@@ -24,16 +24,18 @@ import pyarrow.compute as pc
 def asof_join(left_ds, right_ds, key: str, on: str, how: str = "left",
               direction: str = "backward"):
     """For every left row, the right row with the greatest ``on`` <=
-    left's ``on`` (``direction="backward"``, the default) or the
-    SMALLEST ``on`` >= left's ``on`` (``direction="forward"``) for
-    the same ``key`` (ties on equal ``on`` match in both directions).
+    left's ``on`` (``direction="backward"``, the default), the
+    SMALLEST ``on`` >= left's ``on`` (``direction="forward"``), or
+    the right row minimizing ``|on - matched_on|`` with equidistant
+    ties resolved BACKWARD (``direction="nearest"``) for the same
+    ``key`` (ties on equal ``on`` match in all directions).
 
     Output: all left columns, the right side's non-key/``on`` columns
     (null when unmatched), and ``matched_{on}`` — the matching right
     timestamp. Non-key/``on`` column names must be disjoint.
     ``how``: "left" keeps unmatched lefts; "inner" drops them.
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown asof direction: {direction}")
     left_fields = list(zip(left_ds.schema().names, left_ds.schema().types))
     right_fields = list(zip(right_ds.schema().names, right_ds.schema().types))
@@ -101,9 +103,32 @@ def asof_join(left_ds, right_ds, key: str, on: str, how: str = "left",
         if direction == "backward":
             idx = np.searchsorted(ro, lo, side="right") - 1
             matched = idx >= 0
-        else:  # forward: smallest right on >= left on (inclusive)
+        elif direction == "forward":
+            # forward: smallest right on >= left on (inclusive)
             idx = np.searchsorted(ro, lo, side="left")
             matched = idx < ro.size
+        else:  # nearest: smaller |on - matched_on|; ties -> backward
+            bi = np.searchsorted(ro, lo, side="right") - 1
+            fi = np.searchsorted(ro, lo, side="left")
+            has_b = bi >= 0
+            has_f = fi < ro.size
+            bis = np.clip(bi, 0, ro.size - 1)
+            fis = np.clip(fi, 0, ro.size - 1)
+            bd = lo - ro[bis]
+            fd = ro[fis] - lo
+            # timedelta64 distances compare via their integer ticks
+            # (both sides share the unit); numeric keys compare as-is
+            bdv = bd.view(np.int64) if bd.dtype.kind == "m" else bd
+            fdv = fd.view(np.int64) if fd.dtype.kind == "m" else fd
+            big = (
+                np.inf
+                if np.issubdtype(bdv.dtype, np.floating)
+                else np.iinfo(np.int64).max
+            )
+            bdv = np.where(has_b, bdv, big)
+            fdv = np.where(has_f, fdv, big)
+            idx = np.where(bdv <= fdv, bis, fis)
+            matched = has_b | has_f
         safe = pa.array(
             np.clip(idx, 0, ro.size - 1), pa.int64()
         )
