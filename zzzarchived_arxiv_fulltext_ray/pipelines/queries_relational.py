@@ -1716,3 +1716,266 @@ FROM cand
 WHERE rn = 1
 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation with exact tie-averaged ranks
+# ---------------------------------------------------------------------------
+
+
+def _q_doc_spearman(sf_dir: str):
+    """Spearman rank correlation between document char length and
+    whitespace token count — with EXACT tie handling: average ranks
+    doubled into integers (2*rank_min + tie_count - 1), so every
+    sufficient statistic is an exact int64 sum and the coefficient is
+    one mirrored float expression (num / (sqrt(vx) * sqrt(vy))) that
+    DuckDB replays bit-for-bit via window-function ranks.
+
+    Physical plan: one scan computes the (n_chars, n_tokens) pair
+    stream (materialized once, ~16 bytes/doc); per-column value-count
+    histograms aggregate to the driver (distinct lengths are bounded
+    by the length range, KBs); the driver prefix-sums them into
+    value -> doubled-average-rank lookups broadcast via ray.put; a
+    second scan over the pair stream reduces the six integer
+    sufficient statistics per batch. No row ever shuffles."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+
+    def pair(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n_tokens = pa.array([len(t.split()) for t in texts], pa.int64())
+        n_chars = pc.utf8_length(batch["text"]).cast(pa.int64())
+        return pa.Table.from_pydict(
+            {"n_chars": n_chars, "n_tokens": n_tokens}
+        )
+
+    pairs = docs.map_batches(pair, batch_format="pyarrow").materialize()
+
+    def hist_of(col: str):
+        def partial(b: pa.Table) -> pa.Table:
+            return (
+                b.select([col])
+                .group_by(col)
+                .aggregate([([], "count_all")])
+                .rename_columns([col, "n"])
+            )
+
+        rows = (
+            pairs.map_batches(partial, batch_format="pyarrow")
+            .groupby(col)
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+            .sort_values(col)
+        )
+        vals = rows[col].to_numpy()
+        cnts = rows["n"].to_numpy()
+        cum_before = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        # doubled average rank of value v: 2*c_before + t + 1
+        r2 = 2 * cum_before + cnts + 1
+        return vals, r2.astype(np.int64)
+
+    av, ar2 = hist_of("n_chars")
+    bv, br2 = hist_of("n_tokens")
+    lut_ref = ray.put((av, ar2, bv, br2))
+
+    def stats(b: pa.Table) -> pa.Table:
+        avv, ar, bvv, br = ray.get(lut_ref)
+        a = b["n_chars"].to_numpy(zero_copy_only=False)
+        t = b["n_tokens"].to_numpy(zero_copy_only=False)
+        ra = ar[np.searchsorted(avv, a)]
+        rb = br[np.searchsorted(bvv, t)]
+        return pa.Table.from_pydict(
+            {
+                "n_docs": [len(a)],
+                "s_ra": [int(ra.sum())],
+                "s_rb": [int(rb.sum())],
+                "s_raa": [int((ra * ra).sum())],
+                "s_rbb": [int((rb * rb).sum())],
+                "s_rab": [int((ra * rb).sum())],
+            }
+        )
+
+    agg = pairs.map_batches(stats, batch_format="pyarrow").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("s_ra", alias_name="s_ra"),
+        Sum("s_rb", alias_name="s_rb"),
+        Sum("s_raa", alias_name="s_raa"),
+        Sum("s_rbb", alias_name="s_rbb"),
+        Sum("s_rab", alias_name="s_rab"),
+    )
+    n, sa, sb, saa, sbb, sab = (
+        int(agg[k])
+        for k in ("n_docs", "s_ra", "s_rb", "s_raa", "s_rbb", "s_rab")
+    )
+    num = n * sab - sa * sb
+    vx = n * saa - sa * sa
+    vy = n * sbb - sb * sb
+    rho = (
+        float(num) / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+        if vx and vy
+        else 0.0
+    )
+    return pd.DataFrame(
+        {
+            "n_docs": [n],
+            "s_ra": [sa],
+            "s_rb": [sb],
+            "s_rab": [sab],
+            "spearman": [rho],
+        }
+    )
+
+
+RELATIONAL_QUERIES["doc_spearman"] = _q_doc_spearman
+RELATIONAL_ORACLE_SQL["doc_spearman"] = """
+WITH pairs AS (
+    SELECT length(text) AS n_chars,
+           len(list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '')) AS n_tokens
+    FROM documents
+),
+r AS (
+    SELECT CAST(2 * rank() OVER (ORDER BY n_chars)
+                + count(*) OVER (PARTITION BY n_chars) - 1 AS BIGINT)
+               AS ra,
+           CAST(2 * rank() OVER (ORDER BY n_tokens)
+                + count(*) OVER (PARTITION BY n_tokens) - 1 AS BIGINT)
+               AS rb
+    FROM pairs
+),
+s AS (
+    SELECT CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(ra) AS HUGEINT) AS sa,
+           CAST(sum(rb) AS HUGEINT) AS sb,
+           CAST(sum(ra * ra) AS HUGEINT) AS saa,
+           CAST(sum(rb * rb) AS HUGEINT) AS sbb,
+           CAST(sum(ra * rb) AS HUGEINT) AS sab
+    FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(sa AS BIGINT) AS s_ra,
+       CAST(sb AS BIGINT) AS s_rb,
+       CAST(sab AS BIGINT) AS s_rab,
+       CAST(n * sab - sa * sb AS DOUBLE)
+           / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+              * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))) AS spearman
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram over the event value
+# ---------------------------------------------------------------------------
+
+
+def _q_events_value_eqdepth(sf_dir: str):
+    """Equi-depth (equal-frequency) 8-bin histogram of event value
+    cents: the seven inner boundaries are exact order statistics
+    (DuckDB quantile_disc rank convention, rank = ceil(q*n) in
+    integer arithmetic) found by the multi-k lockstep selection —
+    all seven refine sharing every scan — then ONE counting pass
+    assigns each row bin_id = 1 + #(boundaries < value). Exact
+    integers end-to-end; duplicate boundaries under heavy ties yield
+    empty bins identically in both engines."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from ..stages.selection import distributed_kth_values
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"]
+    )
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "cents": pc.cast(
+                    pc.floor(pc.add(pc.multiply(b["value"], 100.0), 0.5)),
+                    pa.int64(),
+                )
+            }
+        )
+
+    cents = ev.map_batches(to_cents, batch_format="pyarrow").materialize()
+    n = cents.count()
+    ks = [((k * n) + 7) // 8 for k in range(1, 8)]  # ceil(k*n/8)
+    kv = distributed_kth_values(cents, "cents", ks)
+    bounds = np.array([kv[k] for k in ks], dtype=np.int64)
+    bref = ray.put(bounds)
+
+    def bin_counts(b: pa.Table) -> pa.Table:
+        edges = ray.get(bref)
+        x = b["cents"].to_numpy(zero_copy_only=False)
+        # bin = 1 + #(boundaries strictly below the value): values
+        # EQUAL to a boundary belong to that boundary's bin, exactly
+        # the SQL (v > b_k) indicator sum; side="right" searchsorted
+        # over ascending (possibly duplicated) edges computes it
+        bins = 1 + (x[:, None] > edges[None, :]).sum(axis=1)
+        t = pa.Table.from_pydict({"bin_id": pa.array(bins, pa.int64())})
+        return (
+            t.group_by("bin_id")
+            .aggregate([([], "count_all")])
+            .rename_columns(["bin_id", "n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        cents.map_batches(bin_counts, batch_format="pyarrow")
+        .groupby("bin_id")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["bin_id"] = out["bin_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["hi_cents"] = out["bin_id"].map(
+        lambda b: int(bounds[b - 1]) if b <= 7 else None
+    )
+    out["hi_cents"] = out["hi_cents"].astype("float64")  # NULL last bin
+    return out.sort_values("bin_id").reset_index(drop=True)
+
+
+RELATIONAL_QUERIES["events_value_eqdepth"] = _q_events_value_eqdepth
+RELATIONAL_ORACLE_SQL["events_value_eqdepth"] = """
+WITH c AS (
+    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events
+),
+b AS (
+    SELECT quantile_disc(cents, 0.125) AS b1,
+           quantile_disc(cents, 0.250) AS b2,
+           quantile_disc(cents, 0.375) AS b3,
+           quantile_disc(cents, 0.500) AS b4,
+           quantile_disc(cents, 0.625) AS b5,
+           quantile_disc(cents, 0.750) AS b6,
+           quantile_disc(cents, 0.875) AS b7
+    FROM c
+),
+binned AS (
+    SELECT 1 + CAST(c.cents > b.b1 AS INT) + CAST(c.cents > b.b2 AS INT)
+             + CAST(c.cents > b.b3 AS INT) + CAST(c.cents > b.b4 AS INT)
+             + CAST(c.cents > b.b5 AS INT) + CAST(c.cents > b.b6 AS INT)
+             + CAST(c.cents > b.b7 AS INT) AS bin_id
+    FROM c, b
+)
+SELECT CAST(binned.bin_id AS BIGINT) AS bin_id,
+       count(*) AS n,
+       CAST(CASE binned.bin_id
+            WHEN 1 THEN (SELECT b1 FROM b) WHEN 2 THEN (SELECT b2 FROM b)
+            WHEN 3 THEN (SELECT b3 FROM b) WHEN 4 THEN (SELECT b4 FROM b)
+            WHEN 5 THEN (SELECT b5 FROM b) WHEN 6 THEN (SELECT b6 FROM b)
+            WHEN 7 THEN (SELECT b7 FROM b) END AS DOUBLE) AS hi_cents
+FROM binned
+GROUP BY binned.bin_id
+ORDER BY 1
+"""
