@@ -1979,3 +1979,134 @@ FROM binned
 GROUP BY binned.bin_id
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average value per user (TWAP)
+# ---------------------------------------------------------------------------
+
+
+def _q_events_twap(sf_dir: str):
+    """Per-user time-weighted average value: each event's cents hold
+    until the user's next event; the weight is the whole seconds
+    between them (integer floor), the last event carries no weight.
+    Weighted sum and duration stay exact int64 (max cents x corpus
+    time span ~2e13 per user); the TWAP is one float division. Users
+    whose total weighted duration is zero (single event, or all
+    events within one second) are excluded in both engines.
+
+    Physical plan: ONE coalesced exchange on hash(user_id) into 64
+    fixed buckets, then lexsort + reduceat segment reduction per
+    bucket (the sessionize/sole-late idiom — never a per-user
+    map_groups dispatch)."""
+    import numpy as np
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import bucket_of_column
+
+    num_buckets = 64
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "us": pa.array(
+                    b["ts"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]")
+                    .astype(np.int64),
+                    pa.int64(),
+                ),
+                "cents": _cents(b["value"]),
+                "__b": pa.array(
+                    bucket_of_column(b["user_id"], num_buckets), pa.int64()
+                ),
+            }
+        )
+
+    def twap_of_bucket(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        empty = pa.Table.from_pydict(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "wsum": pa.array([], pa.int64()),
+                "dsum": pa.array([], pa.int64()),
+                "n_seg": pa.array([], pa.int64()),
+            }
+        )
+        if uid.size == 0:
+            return empty
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        us = group["us"].to_numpy(zero_copy_only=False)
+        cents = group["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        uid, us, cents = uid[order], us[order], cents[order]
+        same_user = np.concatenate([uid[1:] == uid[:-1], [False]])
+        dt = np.zeros(uid.size, dtype=np.int64)
+        dt[:-1] = (us[1:] - us[:-1]) // 1_000_000
+        dt[~same_user] = 0  # last event of each user carries no weight
+        starts = np.flatnonzero(
+            np.concatenate([[True], uid[1:] != uid[:-1]])
+        )
+        wsum = np.add.reduceat(cents * dt, starts)
+        dsum = np.add.reduceat(dt, starts)
+        nseg = np.diff(np.append(starts, uid.size)) - 1  # segments
+        keep = dsum > 0
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(uid[starts][keep], pa.int64()),
+                "wsum": pa.array(wsum[keep], pa.int64()),
+                "dsum": pa.array(dsum[keep], pa.int64()),
+                "n_seg": pa.array(nseg[keep], pa.int64()),
+            }
+        )
+
+    out = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(twap_of_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    for c in ("user_id", "wsum", "dsum", "n_seg"):
+        out[c] = out[c].astype("int64")
+    out["twap"] = out["wsum"].astype("float64") / out["dsum"].astype(
+        "float64"
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+RELATIONAL_QUERIES["events_twap"] = _q_events_twap
+RELATIONAL_ORACLE_SQL["events_twap"] = """
+WITH o AS (
+    SELECT user_id,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           epoch_us(ts) AS us,
+           lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS nxt
+    FROM events
+),
+seg AS (
+    SELECT user_id, cents, (nxt - us) // 1000000 AS dt
+    FROM o WHERE nxt IS NOT NULL
+),
+agg AS (
+    SELECT user_id,
+           CAST(sum(cents * dt) AS BIGINT) AS wsum,
+           CAST(sum(dt) AS BIGINT) AS dsum,
+           count(*) AS n_seg
+    FROM seg GROUP BY 1
+)
+SELECT user_id, wsum, dsum, n_seg,
+       CAST(wsum AS DOUBLE) / CAST(dsum AS DOUBLE) AS twap
+FROM agg
+WHERE dsum > 0
+ORDER BY user_id
+"""
