@@ -2110,3 +2110,79 @@ FROM agg
 WHERE dsum > 0
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped KMV sketch: distinct shingles per language
+# ---------------------------------------------------------------------------
+
+
+def _q_lang_distinct_shingles(sf_dir: str):
+    """Distinct word-3-shingle count PER LANGUAGE via grouped KMV
+    sketches (``stages.textstage.grouped_distinct_shingles_kmv``):
+    each batch emits one bounded sorted-hash prefix per language it
+    contains, merged in a tiny driver reduce — the sketch-as-grouped-
+    combiner shape (group cardinality must be small; languages here).
+    The estimator is the k-th smallest distinct md5-derived hash, so
+    the grouped SQL oracle replays every estimate bit-for-bit."""
+    import pandas as pd
+    import ray.data
+
+    from ..stages.textstage import grouped_distinct_shingles_kmv
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    stats = grouped_distinct_shingles_kmv(docs, "lang")
+    rows = sorted(
+        (g, k, kth, est) for g, (k, kth, est) in stats.items()
+    )
+    return pd.DataFrame(
+        {
+            "lang": [r[0] for r in rows],
+            "k": pd.Series([r[1] for r in rows], dtype="int64"),
+            "kth_hash": pd.Series([r[2] for r in rows], dtype="uint64"),
+            "est_distinct": pd.Series(
+                [r[3] for r in rows], dtype="float64"
+            ),
+        }
+    )
+
+
+RELATIONAL_QUERIES["lang_distinct_shingles"] = _q_lang_distinct_shingles
+RELATIONAL_ORACLE_SQL["lang_distinct_shingles"] = """
+WITH t AS (
+    SELECT lang,
+           list_filter(regexp_split_to_array(text, '\\s+'),
+                       x -> x <> '') AS w
+    FROM documents
+),
+sh AS (
+    SELECT lang,
+           CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS s
+    FROM t
+),
+h AS (
+    SELECT DISTINCT lang, md5_number_upper(g) AS h
+    FROM (SELECT lang, unnest(s) AS g FROM sh)
+),
+r AS (
+    SELECT lang, h,
+           row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+    FROM h
+),
+kth AS (SELECT lang, h FROM r WHERE rn = 256),
+n AS (SELECT lang, count(*) AS c FROM h GROUP BY 1)
+SELECT n.lang,
+       CAST(256 AS BIGINT) AS k,
+       CAST(COALESCE(kth.h, 0) AS UBIGINT) AS kth_hash,
+       CASE WHEN n.c >= 256
+            THEN 255.0 * 18446744073709551616.0
+                 / CAST(kth.h AS DOUBLE)
+            ELSE CAST(n.c AS DOUBLE) END AS est_distinct
+FROM n LEFT JOIN kth USING (lang)
+ORDER BY n.lang
+"""

@@ -469,3 +469,65 @@ def lead_events(ev_ds):
     return ev_ds.groupby("user_id").map_groups(
         with_lead, batch_format="pyarrow"
     )
+
+
+def grouped_distinct_shingles_kmv(
+    ds, group_col: str, text_column: str = "text", k: int = 256,
+    shingle_k: int = 3,
+):
+    """Per-group KMV distinct-shingle estimates — the grouped twin of
+    :func:`distinct_shingles_kmv`: each batch emits one bounded
+    (group, sorted-hash-prefix) row per group it contains (8k bytes
+    per group), merged in a tiny driver reduce keyed by group. The
+    group cardinality must be small (languages, sources — the same
+    bound as any broadcast-stats pattern); the row stream never
+    shuffles. Returns ``{group: (k, kth_hash, estimate)}`` with the
+    same exactly-SQL-replayable estimator as the ungrouped version
+    (k-th smallest distinct md5-derived hash)."""
+    import numpy as np
+
+    from ..functions.shingles import shingle_hashes
+    from ..functions.sketches import KMVSketch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        groups: dict = {}
+        gvals = batch[group_col].to_pylist()
+        texts = batch[text_column].to_pylist()
+        for g, text in zip(gvals, texts):
+            sk = groups.get(g)
+            if sk is None:
+                sk = groups[g] = KMVSketch(k)
+            sk.add_hashes(shingle_hashes(text or "", shingle_k))
+        return pa.Table.from_pydict(
+            {
+                "g": pa.array(list(groups), pa.string()),
+                "hashes": pa.array(
+                    [sk.values.tobytes() for sk in groups.values()],
+                    pa.large_binary(),
+                ),
+            }
+        )
+
+    merged: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for g, blob in zip(b["g"].to_pylist(), b["hashes"].to_pylist()):
+            arr = np.frombuffer(blob, dtype=np.uint64)
+            prev = merged.get(g)
+            merged[g] = (
+                arr
+                if prev is None
+                else np.unique(np.concatenate([prev, arr]))[:k]
+            )
+    out = {}
+    for g, arr in merged.items():
+        arr = np.unique(arr)[:k]
+        if arr.size >= k:
+            kth = int(arr[k - 1])
+            est = (k - 1) * 18446744073709551616.0 / float(kth)
+        else:
+            kth = int(arr[-1]) if arr.size else 0
+            est = float(arr.size)
+        out[g] = (k, kth, est)
+    return out
