@@ -187,3 +187,46 @@ def test_streaming_warc_to_pipeline(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert out.status.tolist() == ["succeeded", "succeeded"]
+
+
+def test_jsonl_pages_source(ray_session, tmp_path):
+    """JSONL -> pages schema: base64 html decodes, warc_ts parses from
+    ISO strings and epoch micros, defaults fill, missing url raises."""
+    import base64
+    import json
+
+    import pyarrow as pa
+
+    from zzzarchived_arxiv_fulltext_ray.sources.pages import (
+        PAGES_SCHEMA,
+        read_pages_from_jsonl,
+    )
+
+    good = tmp_path / "pages.jsonl"
+    rows = [
+        {
+            "url": "https://a.example/1",
+            "warc_ts": "2024-03-01T12:00:00",
+            "html": base64.b64encode(b"<html><p>hi</p></html>").decode(),
+            "lang": "en",
+        },
+        {"url": "https://a.example/2", "text": "plain text row"},
+    ]
+    good.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    ds = read_pages_from_jsonl([str(good)])
+    got = ds.to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(got.columns) == [f.name for f in PAGES_SCHEMA]
+    assert got["html"][0] == b"<html><p>hi</p></html>"
+    assert str(got["warc_ts"][0]) == "2024-03-01 12:00:00"
+    assert got["text"][1] == "plain text row"
+    assert got["lang"][0] == "en"
+    assert got["html"][1] == b""  # default fills
+    assert str(got["warc_ts"][1]).startswith("2024-01-01")
+
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text(json.dumps({"text": "no url field"}) + "\n")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="url"):
+        read_pages_from_jsonl([str(bad)]).to_pandas()

@@ -2186,3 +2186,129 @@ SELECT n.lang,
 FROM n LEFT JOIN kth USING (lang)
 ORDER BY n.lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream time-band self join
+# ---------------------------------------------------------------------------
+
+
+def _q_events_band_pairs(sf_dir: str):
+    """Stream-stream band join: per user, every (click, view) pair at
+    most 15 minutes apart (inclusive), reduced to pair count and the
+    exact integer sum of whole-second gaps. Views become +/-15-min
+    intervals and the granule-replication interval join
+    (``stages.interval.interval_join``) meets each pair in EXACTLY
+    one (user, granule) bucket — no post-join dedup; replication
+    factor is 2-3 granules per view. The band predicate is the SQL
+    range condition DuckDB joins directly."""
+    import numpy as np
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.interval import interval_join
+
+    band_us = 15 * 60 * 1_000_000
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def prep(kind: str, fn):
+        def inner(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["event_type"], kind))
+            us = (
+                t["ts"]
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .astype(np.int64)
+            )
+            return fn(t, us)
+
+        return inner
+
+    clicks = ev.map_batches(
+        prep(
+            "click",
+            lambda t, us: pa.Table.from_pydict(
+                {"user_id": t["user_id"], "c_us": pa.array(us, pa.int64())}
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    views = ev.map_batches(
+        prep(
+            "view",
+            lambda t, us: pa.Table.from_pydict(
+                {
+                    "user_id": t["user_id"],
+                    "v_us": pa.array(us, pa.int64()),
+                    "ws": pa.array(us - band_us, pa.int64()),
+                    "we": pa.array(us + band_us + 1, pa.int64()),
+                }
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = interval_join(
+        clicks,
+        views,
+        key="user_id",
+        ts="c_us",
+        start="ws",
+        end="we",
+        granule_us=band_us,
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        c = batch["c_us"].to_numpy(zero_copy_only=False)
+        v = batch["v_us"].to_numpy(zero_copy_only=False)
+        gap = np.abs(c - v) // 1_000_000
+        t = pa.Table.from_pydict(
+            {
+                "user_id": batch["user_id"],
+                "n_pairs": pa.array(np.ones(len(c), np.int64)),
+                "sum_gap_sec": pa.array(gap, pa.int64()),
+            }
+        )
+        return (
+            t.group_by("user_id")
+            .aggregate([("n_pairs", "sum"), ("sum_gap_sec", "sum")])
+            .rename_columns(["user_id", "n_pairs", "sum_gap_sec"])
+        )
+
+    out = (
+        joined.map_batches(combine, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("n_pairs", alias_name="n_pairs"),
+            Sum("sum_gap_sec", alias_name="sum_gap_sec"),
+        )
+        .to_pandas()
+    )
+    for c in ("user_id", "n_pairs", "sum_gap_sec"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+RELATIONAL_QUERIES["events_band_pairs"] = _q_events_band_pairs
+RELATIONAL_ORACLE_SQL["events_band_pairs"] = """
+WITH c AS (
+    SELECT user_id, epoch_us(ts) AS us
+    FROM events WHERE event_type = 'click'
+),
+v AS (
+    SELECT user_id, epoch_us(ts) AS us
+    FROM events WHERE event_type = 'view'
+)
+SELECT c.user_id,
+       count(*) AS n_pairs,
+       CAST(sum(abs(c.us - v.us) // 1000000) AS BIGINT) AS sum_gap_sec
+FROM c JOIN v
+  ON c.user_id = v.user_id
+ AND abs(c.us - v.us) <= 900000000
+GROUP BY 1
+ORDER BY 1
+"""

@@ -325,3 +325,79 @@ def read_pages_from_warc(paths):
 
     files = ray.data.read_binary_files(paths)
     return files.map_batches(to_pages, batch_format="pyarrow")
+
+
+def read_pages_from_jsonl(paths):
+    """JSONL source (SURVEY.md S1 family, third input format after
+    parquet and WARC): newline-delimited JSON records -> the canonical
+    pages schema. Expected fields per record: ``url`` (required),
+    ``warc_ts`` (ISO-8601 string or epoch microseconds; defaults to
+    the corpus base stamp), ``html`` (base64-encoded payload) or
+    ``text``, ``lang``. Unknown fields are ignored; records missing
+    ``url`` raise — same upfront-validation contract as run_job's
+    pages-schema check (bad input should fail loudly at the read, not
+    mid-extraction with a raw batch dump).
+
+    Uses ``ray.data.read_json`` (streaming, one block per file chunk);
+    the normalization is one vectorized map_batches."""
+    import base64
+    import ray.data
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        names = set(batch.column_names)
+        if "url" not in names:
+            raise ValueError(
+                "read_pages_from_jsonl: records lack the required "
+                f"'url' field (got columns {sorted(names)})"
+            )
+        n = batch.num_rows
+        urls = batch["url"].to_pylist()
+        if any(u is None or u == "" for u in urls):
+            raise ValueError(
+                "read_pages_from_jsonl: null/empty url in input"
+            )
+        if "warc_ts" in names:
+            raw = batch["warc_ts"].to_pylist()
+            stamps = []
+            for v in raw:
+                if v is None:
+                    stamps.append(BASE_TS)
+                elif isinstance(v, (int, float)):
+                    stamps.append(
+                        np.datetime64(int(v), "us").astype("datetime64[us]")
+                    )
+                else:
+                    stamps.append(np.datetime64(str(v), "us"))
+            ts = pa.array(
+                np.array(stamps, dtype="datetime64[us]"),
+                pa.timestamp("us"),
+            )
+        else:
+            ts = pa.array([BASE_TS] * n, pa.timestamp("us"))
+        if "html" in names:
+            blobs = [
+                base64.b64decode(v) if v else b""
+                for v in batch["html"].to_pylist()
+            ]
+        else:
+            blobs = [b""] * n
+        texts = (
+            batch["text"].to_pylist() if "text" in names else [""] * n
+        )
+        langs = (
+            batch["lang"].to_pylist() if "lang" in names else [""] * n
+        )
+        return pa.Table.from_pydict(
+            {
+                "url": urls,
+                "warc_ts": ts,
+                "html": blobs,
+                "text": [t or "" for t in texts],
+                "lang": [x or "" for x in langs],
+            },
+            schema=PAGES_SCHEMA,
+        )
+
+    return ray.data.read_json(paths).map_batches(
+        to_pages, batch_format="pyarrow"
+    )
