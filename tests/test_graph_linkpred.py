@@ -131,3 +131,22 @@ def test_assortativity_matches_brute(ray_session):
     assert int(out["s_deg2"][0]) == b
     assert int(out["s_dudv"][0]) == c
     assert out["assortativity"][0] == pytest.approx(want, abs=0)
+
+    # the partitioned (large-graph) plan must agree exactly with the
+    # broadcast fast path — integer sufficient stats are bit-stable
+    part = degree_assortativity(_edges_ds(edges), broadcast_nodes=0)
+    for col in ("n_edges", "s_deg", "s_deg2", "s_dudv"):
+        assert int(part[col][0]) == int(out[col][0])
+    assert part["assortativity"][0] == out["assortativity"][0]
+
+
+def test_assortativity_empty_graph(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    empty = rd.from_arrow(
+        pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    )
+    out = degree_assortativity(empty)
+    assert int(out["n_edges"][0]) == 0
+    assert out["assortativity"][0] == 0.0

@@ -1409,7 +1409,11 @@ def common_neighbor_pairs(
     )
 
 
-def degree_assortativity(edges_ds, assume_canonical: bool = False):
+def degree_assortativity(
+    edges_ds,
+    assume_canonical: bool = False,
+    broadcast_nodes: int = 1_000_000,
+):
     """Degree assortativity coefficient of an undirected graph: the
     Pearson correlation of endpoint degrees over all DIRECTED edge
     incidences (each undirected edge counted in both directions — the
@@ -1422,7 +1426,12 @@ def degree_assortativity(edges_ds, assume_canonical: bool = False):
     computed in arbitrary-precision Python on the driver, so a SQL
     oracle with HUGEINT sums replays it bit-for-bit. Returns a
     one-row pandas DataFrame (n_edges, s_deg, s_deg2, s_dudv,
-    assortativity)."""
+    assortativity).
+
+    Degree attachment auto-selects (the latest_crawl crossover
+    pattern): graphs with <= ``broadcast_nodes`` nodes broadcast the
+    degree table once (8 bytes/node) and attach both endpoints in one
+    edge scan; larger graphs fall back to the two bucketed joins."""
     import pandas as pd
     from ray.data.aggregate import Sum
 
@@ -1449,42 +1458,94 @@ def degree_assortativity(edges_ds, assume_canonical: bool = False):
         .aggregate(Sum("d", alias_name="d"))
     )
 
-    eu = edges.map_batches(
-        lambda b: b.rename_columns(["node", "v"]), batch_format="pyarrow"
-    )
-    with_du = partitioned_hash_join(
-        eu, degrees, key="node", num_buckets=32
-    ).map_batches(
-        lambda b: pa.Table.from_pydict(
-            {"node": b["v"], "du": b["d"]}
-        ),
-        batch_format="pyarrow",
-    )
-    with_both = partitioned_hash_join(
-        with_du,
-        degrees.map_batches(
-            lambda b: b.rename_columns(["node", "dv"]),
-            batch_format="pyarrow",
-        ),
-        key="node",
-        num_buckets=32,
-    )
+    degrees = degrees.materialize()  # reused: size probe + attach
+    n_nodes = degrees.count()
 
-    def stat_partial(batch: pa.Table) -> pa.Table:
-        du = batch["du"].to_numpy(zero_copy_only=False)
-        dv = batch["dv"].to_numpy(zero_copy_only=False)
-        return pa.Table.from_pydict(
+    if n_nodes == 0:
+        return pd.DataFrame(
             {
-                "m": [len(du)],
-                "a": [int((du + dv).sum())],
-                "b": [int((du * du + dv * dv).sum())],
-                "c": [int((du * dv).sum())],
+                "n_edges": [0],
+                "s_deg": [0],
+                "s_deg2": [0],
+                "s_dudv": [0],
+                "assortativity": [0.0],
             }
         )
 
-    agg = with_both.map_batches(
-        stat_partial, batch_format="pyarrow"
-    ).aggregate(
+    if n_nodes <= broadcast_nodes:
+        # small-graph fast path (the latest_crawl-style crossover):
+        # the degree table broadcasts once and both endpoint degrees
+        # attach in ONE edge scan — zero degree-join exchanges.
+        # Sorted-key searchsorted lookup, NOT a dense max-id array:
+        # node ids may be sparse 64-bit hashes, so the broadcast must
+        # scale with n_nodes (16 B/node), never with the id domain.
+        import ray
+
+        dt = degrees.to_pandas()
+        keys = dt["node"].to_numpy()
+        order = np.argsort(keys, kind="stable")
+        lut_ref = ray.put(
+            (keys[order], dt["d"].to_numpy()[order].astype(np.int64))
+        )
+
+        def stat_partial(batch: pa.Table) -> pa.Table:
+            sorted_keys, sorted_degs = ray.get(lut_ref)
+            u = batch["u"].to_numpy(zero_copy_only=False)
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            # every endpoint is present by construction (degrees were
+            # derived from these same edges), so lookups always hit
+            du = sorted_degs[np.searchsorted(sorted_keys, u)]
+            dv = sorted_degs[np.searchsorted(sorted_keys, v)]
+            return pa.Table.from_pydict(
+                {
+                    "m": [len(du)],
+                    "a": [int((du + dv).sum())],
+                    "b": [int((du * du + dv * dv).sum())],
+                    "c": [int((du * dv).sum())],
+                }
+            )
+
+        stats_ds = edges.map_batches(stat_partial, batch_format="pyarrow")
+    else:
+        eu = edges.map_batches(
+            lambda b: b.rename_columns(["node", "v"]),
+            batch_format="pyarrow",
+        )
+        with_du = partitioned_hash_join(
+            eu, degrees, key="node", num_buckets=32
+        ).map_batches(
+            lambda b: pa.Table.from_pydict(
+                {"node": b["v"], "du": b["d"]}
+            ),
+            batch_format="pyarrow",
+        )
+        with_both = partitioned_hash_join(
+            with_du,
+            degrees.map_batches(
+                lambda b: b.rename_columns(["node", "dv"]),
+                batch_format="pyarrow",
+            ),
+            key="node",
+            num_buckets=32,
+        )
+
+        def stat_partial(batch: pa.Table) -> pa.Table:
+            du = batch["du"].to_numpy(zero_copy_only=False)
+            dv = batch["dv"].to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict(
+                {
+                    "m": [len(du)],
+                    "a": [int((du + dv).sum())],
+                    "b": [int((du * du + dv * dv).sum())],
+                    "c": [int((du * dv).sum())],
+                }
+            )
+
+        stats_ds = with_both.map_batches(
+            stat_partial, batch_format="pyarrow"
+        )
+
+    agg = stats_ds.aggregate(
         Sum("m", alias_name="m"),
         Sum("a", alias_name="a"),
         Sum("b", alias_name="b"),
