@@ -150,3 +150,93 @@ def test_assortativity_empty_graph(ray_session):
     out = degree_assortativity(empty)
     assert int(out["n_edges"][0]) == 0
     assert out["assortativity"][0] == 0.0
+
+
+# ---------------------------------------------------------------- LPA
+
+
+def _brute_lpa(edges, rounds):
+    adj = {}
+    for u, v in {(min(a, b), max(a, b)) for a, b in edges if a != b}:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n, nbrs in adj.items():
+            counts = {}
+            for m in nbrs:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        if new == labels:
+            break
+        labels = new
+    return labels
+
+
+def test_lpa_triangle_converges_to_min_label(ray_session):
+    from zzzarchived_arxiv_fulltext_ray.stages.graph import (
+        label_propagation,
+    )
+
+    out = (
+        label_propagation(_edges_ds([(1, 2), (1, 3), (2, 3)]), rounds=3)
+        .to_pandas()
+        .sort_values("node")
+    )
+    assert out["label"].tolist() == [1, 1, 1]
+
+
+def test_lpa_matches_brute_and_plans_agree(ray_session):
+    import random
+
+    from zzzarchived_arxiv_fulltext_ray.stages.graph import (
+        label_propagation,
+    )
+
+    rng = random.Random(11)
+    edges = list(
+        {
+            tuple(sorted(rng.sample(range(30), 2)))
+            for _ in range(70)
+        }
+    )
+    for rounds in (1, 2, 3):
+        want = _brute_lpa(edges, rounds)
+        got_b = (
+            label_propagation(
+                _edges_ds(edges), rounds=rounds, method="broadcast"
+            )
+            .to_pandas()
+            .sort_values("node")
+        )
+        got_p = (
+            label_propagation(
+                _edges_ds(edges), rounds=rounds, method="partitioned"
+            )
+            .to_pandas()
+            .sort_values("node")
+        )
+        assert dict(zip(got_b["node"], got_b["label"])) == want
+        assert got_b.reset_index(drop=True).equals(
+            got_p.reset_index(drop=True)
+        )
+
+
+def test_lpa_empty_graph(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.graph import (
+        label_propagation,
+    )
+
+    empty = rd.from_arrow(
+        pa.table(
+            {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+        )
+    )
+    out = label_propagation(empty)
+    assert out.count() == 0
+    assert out.schema().names == ["node", "label"]

@@ -4498,3 +4498,88 @@ UNION ALL
 SELECT source, 'both' AS tag FROM (SELECT * FROM en INTERSECT SELECT * FROM zh)
 ORDER BY source, tag
 """
+
+
+def _q_supplier_communities(sf_dir: str):
+    """Community detection on the sparsified co-supply graph
+    (``stages.graph.label_propagation``): three SYNCHRONOUS label
+    propagation rounds — every node starts as its own label, each
+    round simultaneously adopts its neighbors' plurality label (tie
+    -> smallest), early-stopping at a fixpoint. The fixed round count
+    + deterministic tie-break make the oracle a 3x unrolled
+    histogram + row_number CTE chain. Scale plan: labels are a
+    Dataset; per round ONE bucketed hash join (incidence x labels) +
+    ONE coalesced hash(node) exchange with lexsort plurality; old
+    labels ride as zero-count markers so convergence costs no extra
+    exchange."""
+    import pyarrow as pa
+    import ray.data
+
+    from ..stages.graph import cooccurrence_edges, label_propagation
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+
+    def sample_orders(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(keys % 50 == 0))
+
+    edges = cooccurrence_edges(
+        li.map_batches(sample_orders, batch_format="pyarrow"),
+        "l_orderkey", "l_suppkey", min_count=2,
+    )
+    out = label_propagation(
+        edges, rounds=3, assume_canonical=True
+    ).to_pandas()
+    if len(out) == 0:
+        return out
+    return out.sort_values("node").reset_index(drop=True)
+
+
+CORPUS_QUERIES["supplier_communities"] = _q_supplier_communities
+CORPUS_ORACLE_SQL["supplier_communities"] = """
+WITH li AS (
+    SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_orderkey % 50 = 0
+), co AS (
+    SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+           count(DISTINCT a.l_orderkey) AS n
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+), e0 AS (
+    SELECT u, v FROM co WHERE n >= 2
+), inc AS (
+    SELECT u AS node, v AS nbr FROM e0
+    UNION ALL SELECT v AS node, u AS nbr FROM e0
+), l0 AS (
+    SELECT DISTINCT node, node AS lbl FROM inc
+), h1 AS (
+    SELECT i.node, l.lbl, count(*) AS c
+    FROM inc i JOIN l0 l ON l.node = i.nbr GROUP BY 1, 2
+), r1 AS (
+    SELECT node, lbl FROM (
+        SELECT node, lbl, row_number() OVER (
+            PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+        FROM h1) WHERE rn = 1
+), h2 AS (
+    SELECT i.node, l.lbl, count(*) AS c
+    FROM inc i JOIN r1 l ON l.node = i.nbr GROUP BY 1, 2
+), r2 AS (
+    SELECT node, lbl FROM (
+        SELECT node, lbl, row_number() OVER (
+            PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+        FROM h2) WHERE rn = 1
+), h3 AS (
+    SELECT i.node, l.lbl, count(*) AS c
+    FROM inc i JOIN r2 l ON l.node = i.nbr GROUP BY 1, 2
+), r3 AS (
+    SELECT node, lbl FROM (
+        SELECT node, lbl, row_number() OVER (
+            PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+        FROM h3) WHERE rn = 1
+)
+SELECT node, lbl AS label FROM r3 ORDER BY node
+"""

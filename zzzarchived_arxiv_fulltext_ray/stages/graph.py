@@ -1563,3 +1563,264 @@ def degree_assortativity(
             "assortativity": [r],
         }
     )
+
+
+def label_propagation(
+    edges_ds,
+    rounds: int = 3,
+    num_buckets: int = 64,
+    assume_canonical: bool = False,
+    method: str = "auto",
+    broadcast_limit: int = 2_000_000,
+):
+    """``rounds`` SYNCHRONOUS rounds of label propagation (community
+    detection): every node starts labeled with its own id; each round
+    every node simultaneously adopts the label held by the plurality
+    of its NEIGHBORS at the previous round (tie -> smallest label).
+    Early stop once a round changes nothing (the update is then a
+    fixpoint, so the remaining rounds are no-ops). The FIXED round
+    count + deterministic tie-break keep the operator
+    SQL-expressible: the oracle unrolls each round as one
+    histogram-CTE + one ``row_number() OVER (ORDER BY c DESC, lbl)``
+    CTE. Returns a Ray Dataset ``(node, label)``.
+
+    Broadcast plan (<= ``broadcast_limit`` edges): incidence arrays
+    pulled once, each round is two lexsorts on the driver.
+    Partitioned plan (the scale path): labels live in a Dataset; each
+    round is ONE bucketed hash join (incidence.nbr x labels) plus ONE
+    coalesced exchange on hash(node) into ``num_buckets`` fixed
+    buckets where a lexsort + boundary-diff computes every node's
+    plurality label (the sessionize idiom — never a per-node
+    map_groups dispatch). Old labels ride along as zero-count marker
+    rows so the convergence check costs no extra exchange. Driver
+    state per round is O(1). Plans pinned equal in pytest."""
+    import ray.data as rd
+
+    from ..functions.hashing import bucket_of_column
+    from .components import pin_loop_state
+    from .relational import partitioned_hash_join
+
+    edges = edges_ds if assume_canonical else _canonicalize(edges_ds)
+    edges = edges.materialize()
+    n_edges = edges.count()
+
+    empty = pa.Table.from_pydict(
+        {"node": pa.array([], pa.int64()),
+         "label": pa.array([], pa.int64())}
+    )
+    if n_edges == 0:
+        return rd.from_arrow(empty)
+
+    if method not in ("auto", "broadcast", "partitioned"):
+        raise ValueError(f"unknown label_propagation method: {method}")
+    if method == "auto":
+        method = (
+            "broadcast" if n_edges <= broadcast_limit else "partitioned"
+        )
+
+    if method == "broadcast":
+        parts = [
+            (
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False),
+            )
+            for b in edges.iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+        us = np.concatenate([p[0] for p in parts]).astype(np.int64)
+        vs = np.concatenate([p[1] for p in parts]).astype(np.int64)
+        src = np.concatenate([us, vs])
+        dst = np.concatenate([vs, us])
+        nodes = np.unique(src)
+        si = np.searchsorted(nodes, src)  # dense index per incidence
+        di = np.searchsorted(nodes, dst)
+        labels = nodes.copy()
+        for _ in range(rounds):
+            lbl = labels[di]
+            # count per (src, nbr-label): sort, boundary-diff
+            order = np.lexsort((lbl, si))
+            s, l = si[order], lbl[order]
+            new_grp = np.concatenate(
+                [[True], (s[1:] != s[:-1]) | (l[1:] != l[:-1])]
+            )
+            starts = np.flatnonzero(new_grp)
+            cnt = np.diff(np.append(starts, s.size))
+            gs, gl = s[starts], l[starts]
+            # plurality with min-label tie-break: sort groups by
+            # (src, -count, label), keep first per src
+            gorder = np.lexsort((gl, -cnt, gs))
+            gs, gl = gs[gorder], gl[gorder]
+            first = np.concatenate([[True], gs[1:] != gs[:-1]])
+            new_labels = labels.copy()
+            new_labels[gs[first]] = gl[first]
+            if np.array_equal(new_labels, labels):
+                break
+            labels = new_labels
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "node": pa.array(nodes, pa.int64()),
+                    "label": pa.array(labels, pa.int64()),
+                }
+            )
+        )
+
+    # ---- partitioned plan
+    def to_incidence(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "nbr": pa.array(np.concatenate([v, u]), pa.int64()),
+                "node": pa.array(np.concatenate([u, v]), pa.int64()),
+            }
+        )
+
+    inc = pin_loop_state(
+        edges.map_batches(to_incidence, batch_format="pyarrow"),
+        num_blocks=8,
+    )
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        n = np.unique(b["node"].to_numpy(zero_copy_only=False))
+        return pa.Table.from_pydict(
+            {"node": pa.array(n, pa.int64()),
+             "lbl": pa.array(n, pa.int64())}
+        )
+
+    from ray.data.aggregate import Min
+
+    labels = (
+        inc.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("lbl", alias_name="lbl"))
+    )
+    labels = pin_loop_state(labels, num_blocks=None)
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy(zero_copy_only=False)
+        lbl = b["lbl"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((lbl, node))
+        node, lbl = node[order], lbl[order]
+        new_grp = np.concatenate(
+            [[True], (node[1:] != node[:-1]) | (lbl[1:] != lbl[:-1])]
+        )
+        starts = np.flatnonzero(new_grp)
+        cnt = np.diff(np.append(starts, node.size))
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array(node[starts], pa.int64()),
+                "lbl": pa.array(lbl[starts], pa.int64()),
+                "c": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    def mark_old(b: pa.Table) -> pa.Table:
+        # old labels ride to the argmax exchange as zero-count rows
+        return pa.Table.from_pydict(
+            {
+                "node": b["node"],
+                "lbl": b["lbl"],
+                "c": pa.array(
+                    np.zeros(b.num_rows, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def with_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__b",
+            pa.array(bucket_of_column(b["node"], num_buckets), pa.int64()),
+        )
+
+    def argmax_of_bucket(group: pa.Table) -> pa.Table:
+        node = group["node"].to_numpy(zero_copy_only=False)
+        out_empty = pa.Table.from_pydict(
+            {
+                "node": pa.array([], pa.int64()),
+                "lbl": pa.array([], pa.int64()),
+                "changed": pa.array([], pa.int64()),
+            }
+        )
+        if node.size == 0:
+            return out_empty
+        lbl = group["lbl"].to_numpy(zero_copy_only=False)
+        c = group["c"].to_numpy(zero_copy_only=False)
+        # merge duplicate (node,lbl) rows from different partials
+        order = np.lexsort((lbl, node))
+        node, lbl, c = node[order], lbl[order], c[order]
+        new_grp = np.concatenate(
+            [[True], (node[1:] != node[:-1]) | (lbl[1:] != lbl[:-1])]
+        )
+        starts = np.flatnonzero(new_grp)
+        csum = np.add.reduceat(c, starts)
+        node, lbl = node[starts], lbl[starts]
+        # old label per node = the (possibly merged-with-count) row
+        # flagged by the zero-count marker; recover it as the label
+        # whose row EXISTS for the node with marker semantics: the
+        # marker guarantees every node has a row for its old label,
+        # so plurality runs over all rows while `old` is extracted
+        # from the marker join below.
+        old_rows = group.filter(
+            pa.array(group["c"].to_numpy(zero_copy_only=False) == 0)
+        )
+        onode = old_rows["node"].to_numpy(zero_copy_only=False)
+        olbl = old_rows["lbl"].to_numpy(zero_copy_only=False)
+        oorder = np.argsort(onode, kind="stable")
+        onode, olbl = onode[oorder], olbl[oorder]
+        gorder = np.lexsort((lbl, -csum, node))
+        gn, gl, gc = node[gorder], lbl[gorder], csum[gorder]
+        first = np.concatenate([[True], gn[1:] != gn[:-1]])
+        gn, gl, gc = gn[first], gl[first], gc[first]
+        # nodes whose ONLY row is the marker (isolated in this round's
+        # incidence — cannot happen on a real edge list, but keep the
+        # zero-count winner from overriding a real old label)
+        keep_old = gc == 0
+        old_of = olbl[np.searchsorted(onode, gn)]
+        new_lbl = np.where(keep_old, old_of, gl)
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array(gn, pa.int64()),
+                "lbl": pa.array(new_lbl, pa.int64()),
+                "changed": pa.array(
+                    (new_lbl != old_of).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    for _ in range(rounds):
+        # incidence carries (nbr, node); attach the nbr's current
+        # label by renaming labels to the join key
+        lab_as_nbr = labels.map_batches(
+            lambda b: pa.Table.from_pydict(
+                {"nbr": b["node"], "lbl": b["lbl"]}
+            ),
+            batch_format="pyarrow",
+        )
+        attached = partitioned_hash_join(
+            inc, lab_as_nbr, key="nbr", num_buckets=num_buckets
+        ).select_columns(["node", "lbl"])
+        rows = attached.map_batches(
+            count_partial, batch_format="pyarrow"
+        ).union(
+            labels.map_batches(mark_old, batch_format="pyarrow")
+        )
+        new_labels = (
+            rows.map_batches(with_bucket, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(argmax_of_bucket, batch_format="pyarrow")
+        )
+        new_labels = pin_loop_state(new_labels, num_blocks=None)
+        n_changed = new_labels.aggregate(
+            Sum("changed", alias_name="n")
+        )["n"]
+        labels = new_labels.select_columns(["node", "lbl"])
+        labels = pin_loop_state(labels, num_blocks=None)
+        if not n_changed:
+            break
+    return labels.map_batches(
+        lambda b: b.rename_columns(["node", "label"]),
+        batch_format="pyarrow",
+    )
