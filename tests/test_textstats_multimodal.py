@@ -313,6 +313,43 @@ class TestSketches:
             approx = merged.quantile(q)
             assert abs(approx - exact) / exact < 0.05
 
+    def test_ams_f2_merge_batch_invariance_and_accuracy(self):
+        import numpy as np
+
+        from zzzarchived_arxiv_fulltext_ray.functions.sketches import (
+            AMSSketch,
+        )
+
+        rng = np.random.default_rng(5)
+        # zipf-ish counts over 2000 keys
+        counts = (10000 / np.arange(1, 2001)).astype(np.int64) + 1
+        hashes = rng.integers(
+            0, np.iinfo(np.uint64).max, size=2000, dtype=np.uint64
+        )
+        f2 = int((counts.astype(object) ** 2).sum())
+
+        whole = AMSSketch()
+        whole.add_hashes(hashes, counts)
+
+        # additivity: same key split across parts, parts merged
+        a, b = AMSSketch(), AMSSketch()
+        half = counts // 2
+        a.add_hashes(hashes, half)
+        b.add_hashes(hashes, counts - half)
+        merged = a.merge(b)
+        assert np.array_equal(merged.z, whole.z)
+        assert merged.estimate() == whole.estimate()
+
+        # median-of-means (9x16): ~6% here, deterministic (seeded)
+        assert abs(whole.estimate() - f2) / f2 < 0.2
+
+        # roundtrip
+        rt = AMSSketch.deserialize(whole.serialize())
+        assert rt.estimate() == whole.estimate()
+
+        with pytest.raises(ValueError):
+            AMSSketch(depth=8)
+
     def test_distributed_sketches(self, ray_session):
         import ray.data
 

@@ -374,3 +374,76 @@ class BloomFilter:
         bf = cls(n_bits, k)
         bf.bits = np.frombuffer(blob, dtype=np.uint8).copy()
         return bf
+
+
+# -- AMS (tug-of-war) F2 sketch ----------------------------------------------
+
+
+class AMSSketch:
+    """Mergeable AMS "tug-of-war" sketch (Alon-Matias-Szegedy) for the
+    second frequency moment F2 = sum over keys of count^2, in the
+    textbook MEDIAN-OF-MEANS construction: ``depth`` independent
+    groups of ``width`` counters Z_j = sum_t sign_j(t) * count(t),
+    sign_j(t) = +-1 from bit 0 of splitmix64(hash(t) ^ seed_j).
+    E[Z^2] = F2; each group's statistic is the EXACT integer
+    sum_w Z^2 (variance down by 1/width), the estimate the median
+    group sum (depth odd -> one exact integer) divided by width in
+    ONE final float op — the same order-independent exact-arithmetic
+    discipline as every sketch here, which is what lets a SQL oracle
+    replay the estimate bit-for-bit from md5-derived hashes. Exactly
+    mergeable by adding the Z vectors, so per-batch partials reduce
+    with a (depth*width)*8-byte exchange — F2 at corpus scale without
+    a key groupby shuffle."""
+
+    def __init__(self, depth: int = 9, width: int = 16,
+                 seed: int = 424242):
+        if depth % 2 == 0:
+            raise ValueError("depth must be odd (exact integer median)")
+        self.depth = depth
+        self.width = width
+        rng = np.random.default_rng(seed)
+        self.seeds = rng.integers(
+            0, np.iinfo(np.uint64).max, size=depth * width,
+            dtype=np.uint64,
+        )
+        self.z = np.zeros(depth * width, dtype=np.int64)
+
+    def add_hashes(self, hashes: np.ndarray, counts: np.ndarray):
+        """Add ``counts[i]`` occurrences of the key with 64-bit hash
+        ``hashes[i]``. The sign is a pure function of the key hash, so
+        the same key may arrive in any batch split (additivity)."""
+        if hashes.size == 0:
+            return
+        bits = (
+            _splitmix64(hashes[None, :] ^ self.seeds[:, None])
+            & np.uint64(1)
+        ).astype(np.int64)
+        signs = bits * 2 - 1
+        self.z += (signs * counts[None, :].astype(np.int64)).sum(axis=1)
+
+    def merge(self, other: "AMSSketch") -> "AMSSketch":
+        assert (self.depth, self.width) == (other.depth, other.width)
+        self.z += other.z
+        return self
+
+    def estimate_num(self) -> int:
+        """Exact integer numerator: median over groups of the group's
+        sum of squared counters (the estimate times ``width``)."""
+        sums = sorted(
+            sum(int(v) * int(v) for v in grp)
+            for grp in self.z.reshape(self.depth, self.width)
+        )
+        return sums[self.depth // 2]
+
+    def estimate(self) -> float:
+        return self.estimate_num() / self.width
+
+    def serialize(self) -> bytes:
+        return self.z.astype("<i8").tobytes()
+
+    @classmethod
+    def deserialize(cls, blob: bytes, depth: int = 9, width: int = 16,
+                    seed: int = 424242):
+        s = cls(depth=depth, width=width, seed=seed)
+        s.z = np.frombuffer(blob, dtype="<i8").astype(np.int64)
+        return s

@@ -2633,3 +2633,156 @@ WHERE p_size >= 25
 GROUP BY p_brand
 ORDER BY p_brand
 """
+
+
+# AMS tug-of-war F2 rebuilt in SQL: exact token counts, per-counter
+# sign = bit 0 of splitmix64(xor(md5_hash, seed_j)) mapping to +-n,
+# Z_j the signed HUGEINT sum over the 9x16 median-of-means counters,
+# group statistic = exact integer sum of the group's 16 Z^2, estimate
+# = quantile_disc(group sums, 0.5) / 16 in one final float division.
+# The sketch is additive in the key hash, so the oracle needs no
+# knowledge of Ray's batching.
+def _ams_seeds():
+    import numpy as np
+
+    rng = np.random.default_rng(424242)
+    return rng.integers(
+        0, np.iinfo(np.uint64).max, size=9 * 16, dtype=np.uint64
+    ).tolist()
+
+
+_AMS_SEED_VALUES = ", ".join(
+    f"({j}, {s}::UBIGINT)" for j, s in enumerate(_ams_seeds())
+)
+
+
+def _q_token_f2_ams(sf_dir: str):
+    """Second frequency moment of the corpus token distribution, both
+    ways at once: the EXACT F2 = sum(count^2) (token groupby from
+    per-batch partial counts) next to the AMS tug-of-war ESTIMATE
+    (``functions.sketches.AMSSketch``, 9 groups x 16 counters,
+    median-of-means). The sketch side never shuffles tokens — each
+    batch folds its partial token counts into a 144-counter Z vector
+    (sign = bit 0 of seeded splitmix64 of the token's md5 hash) and
+    only the 1,152-byte partials reduce; the estimate is the exact
+    integer median of the per-group sum(Z^2) divided by 16 in one
+    float op, so the SQL oracle replays it bit-for-bit. rel_err is
+    float arithmetic on the two exact results."""
+    from collections import Counter
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from ..functions.shingles import stable_hash64
+    from ..functions.sketches import AMSSketch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = Counter()
+        for t in batch["text"].to_pylist():
+            counts.update(t.split())
+        toks = list(counts.keys())
+        return pa.Table.from_pydict(
+            {
+                "token": pa.array(toks, pa.string()),
+                "n": pa.array(
+                    [counts[t] for t in toks], pa.int64()
+                ),
+            }
+        )
+
+    rows = _docs(sf_dir, ["text"]).map_batches(
+        partial, batch_format="pyarrow"
+    ).materialize()  # reused: sketch fold + exact groupby
+
+    n_counters = 9 * 16
+
+    def z_partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..functions.shingles import stable_hash64
+        from ..functions.sketches import AMSSketch
+
+        sk = AMSSketch()
+        toks = batch["token"].to_pylist()
+        ns = batch["n"].to_numpy(zero_copy_only=False)
+        hs = np.array(
+            [stable_hash64(t) for t in toks], dtype=np.uint64
+        )
+        sk.add_hashes(hs, ns)
+        return pa.Table.from_pydict(
+            {f"z{j}": pa.array([int(sk.z[j])], pa.int64())
+             for j in range(n_counters)}
+        )
+
+    aggs = [
+        Sum(f"z{j}", alias_name=f"z{j}") for j in range(n_counters)
+    ]
+    ztot = rows.map_batches(
+        z_partial, batch_format="pyarrow"
+    ).aggregate(*aggs)
+    sk = AMSSketch()
+    sk.z = np.array(
+        [int(ztot[f"z{j}"]) for j in range(n_counters)],
+        dtype=np.int64,
+    )
+    ams_estimate = sk.estimate()
+
+    def sq_partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"sq": pa.array([int((n.astype(object) * n).sum())],
+                            pa.int64())}
+        )
+
+    f2_exact = int(
+        rows.groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(sq_partial, batch_format="pyarrow")
+        .aggregate(Sum("sq", alias_name="sq"))["sq"]
+    )
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "f2_exact": [f2_exact],
+            "ams_estimate": [ams_estimate],
+            "rel_err": [abs(ams_estimate - f2_exact) / f2_exact],
+        }
+    )
+
+
+TRAINING_QUERIES["token_f2_ams"] = _q_token_f2_ams
+TRAINING_ORACLE_SQL["token_f2_ams"] = f"""
+WITH tc AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    t -> t <> '')) AS tok
+          FROM documents)
+    GROUP BY tok
+), hashed AS (
+    SELECT tok, n, md5_number_upper(tok) AS h FROM tc
+), signs AS (
+    SELECT s.j,
+           CASE WHEN ({_splitmix64_sql("xor(h, s.seed)")} % 2) = 1::UBIGINT
+                THEN n ELSE -n END AS sn
+    FROM hashed CROSS JOIN (VALUES {_AMS_SEED_VALUES}) s(j, seed)
+), z AS (
+    SELECT j, CAST(sum(sn) AS BIGINT) AS zv FROM signs GROUP BY j
+), grp AS (
+    SELECT j // 16 AS g,
+           CAST(sum(CAST(zv AS HUGEINT) * zv) AS HUGEINT) AS s2
+    FROM z GROUP BY 1
+), est AS (
+    SELECT CAST(quantile_disc(s2, 0.5) AS DOUBLE) / 16 AS ams_estimate
+    FROM grp
+), f2 AS (
+    SELECT CAST(sum(CAST(n AS HUGEINT) * n) AS BIGINT) AS f2_exact
+    FROM tc
+)
+SELECT f2.f2_exact, est.ams_estimate,
+       abs(est.ams_estimate - CAST(f2.f2_exact AS DOUBLE))
+           / CAST(f2.f2_exact AS DOUBLE) AS rel_err
+FROM f2, est
+"""
