@@ -2312,3 +2312,134 @@ FROM c JOIN v
 GROUP BY 1
 ORDER BY 1
 """
+
+
+def _q_events_ewma(sf_dir: str):
+    """Per-user exponentially-weighted trailing average over the 16
+    most recent events (half-life one event): weight for the i-th
+    most recent is the exact integer 2^(16-i), so numerator and
+    denominator are exact int64 sums and the EWMA is ONE float
+    division — the weighted-ROWS-frame window twin of events_moving.
+    Users with fewer than 16 events use all of them (the denominator
+    2^16 - 2^(16-m) self-normalizes).
+
+    Physical plan: ONE coalesced exchange on hash(user_id) into 64
+    fixed buckets, then lexsort + per-segment tail-gather with
+    vectorized offset-from-end weights (the sessionize/TWAP idiom —
+    never a per-user map_groups dispatch)."""
+    import numpy as np
+    import ray.data
+
+    from ..functions.hashing import bucket_of_column
+
+    K = 16
+    num_buckets = 64
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return pa.Table.from_pydict(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "us": pa.array(
+                    b["ts"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]")
+                    .astype(np.int64),
+                    pa.int64(),
+                ),
+                "cents": _cents(b["value"]),
+                "__b": pa.array(
+                    bucket_of_column(b["user_id"], num_buckets),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def ewma_of_bucket(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        empty = pa.Table.from_pydict(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_used": pa.array([], pa.int64()),
+                "ewma_num": pa.array([], pa.int64()),
+                "ewma_denom": pa.array([], pa.int64()),
+            }
+        )
+        if uid.size == 0:
+            return empty
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        us = group["us"].to_numpy(zero_copy_only=False)
+        cents = group["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        uid, cents = uid[order], cents[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], uid[1:] != uid[:-1]])
+        )
+        ends = np.append(starts[1:], uid.size)
+        m = np.minimum(ends - starts, K)
+        # gather the last m rows of every segment, flattened
+        gstart = ends - m
+        reps = np.repeat(gstart - np.concatenate([[0], np.cumsum(m)[:-1]]),
+                         m)
+        idx = np.arange(int(m.sum())) + reps
+        gb = np.repeat(np.arange(starts.size), m)  # segment id per row
+        off = ends[gb] - idx  # 1 = most recent
+        w = (np.int64(1) << (K - off)).astype(np.int64)
+        seg_starts = np.concatenate([[0], np.cumsum(m)[:-1]])
+        num = np.add.reduceat(cents[idx] * w, seg_starts)
+        den = np.add.reduceat(w, seg_starts)
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "n_used": pa.array(m, pa.int64()),
+                "ewma_num": pa.array(num, pa.int64()),
+                "ewma_denom": pa.array(den, pa.int64()),
+            }
+        )
+
+    out = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(ewma_of_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    for c in ("user_id", "n_used", "ewma_num", "ewma_denom"):
+        out[c] = out[c].astype("int64")
+    out["ewma"] = out["ewma_num"].astype("float64") / out[
+        "ewma_denom"
+    ].astype("float64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+RELATIONAL_QUERIES["events_ewma"] = _q_events_ewma
+RELATIONAL_ORACLE_SQL["events_ewma"] = """
+WITH o AS (
+    SELECT user_id,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+    FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_used,
+       CAST(sum(cents * (1::BIGINT << CAST(16 - rn AS INTEGER)))
+            AS BIGINT) AS ewma_num,
+       CAST(sum(1::BIGINT << CAST(16 - rn AS INTEGER))
+            AS BIGINT) AS ewma_denom,
+       CAST(sum(cents * (1::BIGINT << CAST(16 - rn AS INTEGER)))
+            AS DOUBLE)
+           / CAST(sum(1::BIGINT << CAST(16 - rn AS INTEGER))
+                  AS DOUBLE) AS ewma
+FROM o WHERE rn <= 16
+GROUP BY user_id ORDER BY user_id
+"""
