@@ -1325,3 +1325,64 @@ def test_grouped_rank_sorted_equals_histogram(ray_session):
         method="min", ascending=False
     ).astype(int)
     assert (forced["rnk"].to_numpy() == want.to_numpy()).all()
+
+
+def test_cusum_changepoint_exact_vs_brute(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.window import (
+        cusum_changepoint,
+    )
+
+    rng = np.random.default_rng(13)
+    rows = {"g": [], "o": [], "t": [], "v": []}
+    truth = {}
+    for g, (split, lo_mu, hi_mu, n) in {
+        "a": (40, 100, 500, 120),
+        "b": (10, 900, 50, 60),
+        "c": (1, 5, 5, 7),  # no real step: still a deterministic argmax
+    }.items():
+        vals = np.concatenate(
+            [
+                rng.integers(lo_mu - 5, lo_mu + 5, split),
+                rng.integers(hi_mu - 5, hi_mu + 5, n - split),
+            ]
+        ).astype(np.int64)
+        order = rng.permutation(n)  # arrival order is shuffled
+        rows["g"] += [g] * n
+        rows["o"] += (np.arange(n)[order] * 7).tolist()  # sparse keys
+        rows["t"] += order.tolist()
+        rows["v"] += vals[order].tolist()
+        # brute force in python ints
+        s, ncnt = int(vals.sum()), n
+        best = None
+        p = 0
+        for k in range(1, ncnt):
+            p += int(vals[k - 1])
+            stat = abs(ncnt * p - k * s)
+            if best is None or stat > best[0]:
+                best = (stat, k, p)
+        truth[g] = (ncnt, s, best[1], best[0], best[2])
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "g": pa.array(rows["g"], pa.string()),
+                "o": pa.array(rows["o"], pa.int64()),
+                "t": pa.array(rows["t"], pa.int64()),
+                "v": pa.array(rows["v"], pa.int64()),
+            }
+        )
+    ).repartition(5)
+    out = cusum_changepoint(ds, "g", "o", "t", "v", n_buckets=8)
+    assert len(out) == 3
+    for r in out.itertuples():
+        n, s, k, stat, p = truth[r.group]
+        assert (r.n, r.total_s, r.k_star, r.cusum_stat, r.split_p) == (
+            n, s, k, stat, p
+        ), r.group
+    # the detected split matches the planted one where a step exists
+    got = {r.group: r.k_star for r in out.itertuples()}
+    assert got["a"] == 40 and got["b"] == 10

@@ -2443,3 +2443,99 @@ SELECT user_id,
 FROM o WHERE rn <= 16
 GROUP BY user_id ORDER BY user_id
 """
+
+
+def _q_events_changepoint(sf_dir: str):
+    """Per-event-type CUSUM change-point detection
+    (``stages.window.cusum_changepoint``): the time-ordered split
+    k* = argmax_k |n*P_k - k*S| over each type's event-cents
+    sequence, statistic kept in exact int64 (scaled by n so no
+    rational mean enters), ties -> earliest k. mean_before/after are
+    two float divisions of exact integers. Physical plan: contiguous
+    time-range buckets + driver prefix sums; each (type, bucket) task
+    lexsorts ~1/64 of a type and emits one candidate row."""
+    import numpy as np
+    import ray.data
+
+    from ..stages.window import cusum_changepoint
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "event_type": b["event_type"],
+                "event_id": b["event_id"],
+                "us": pa.array(
+                    b["ts"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]")
+                    .astype(np.int64),
+                    pa.int64(),
+                ),
+                "cents": _cents(b["value"]),
+            }
+        )
+
+    out = cusum_changepoint(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        group_col="event_type",
+        order_col="us",
+        tiebreak_col="event_id",
+        val_col="cents",
+    )
+    out = out.rename(columns={"group": "event_type"})
+    out["mean_before"] = out["split_p"].astype("float64") / out[
+        "k_star"
+    ].astype("float64")
+    out["mean_after"] = (
+        out["total_s"].astype("float64")
+        - out["split_p"].astype("float64")
+    ) / (out["n"].astype("float64") - out["k_star"].astype("float64"))
+    out = out.drop(columns=["total_s"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+RELATIONAL_QUERIES["events_changepoint"] = _q_events_changepoint
+RELATIONAL_ORACLE_SQL["events_changepoint"] = """
+WITH o AS (
+    SELECT event_type, event_id,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY epoch_us(ts), event_id) AS k
+    FROM events
+), tot AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS s
+    FROM o GROUP BY event_type
+), cum AS (
+    SELECT event_type, k,
+           CAST(sum(cents) OVER (
+               PARTITION BY event_type ORDER BY k) AS BIGINT) AS p
+    FROM o
+), st AS (
+    SELECT c.event_type, c.k, c.p,
+           abs(t.n * c.p - c.k * t.s) AS stat
+    FROM cum c JOIN tot t USING (event_type)
+    WHERE c.k < t.n
+), best AS (
+    SELECT event_type, k, p, stat,
+           row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY stat DESC, k ASC) AS rn
+    FROM st
+)
+SELECT b.event_type, t.n, b.k AS k_star,
+       CAST(b.stat AS BIGINT) AS cusum_stat,
+       b.p AS split_p,
+       CAST(b.p AS DOUBLE) / CAST(b.k AS DOUBLE) AS mean_before,
+       CAST(t.s - b.p AS DOUBLE) / CAST(t.n - b.k AS DOUBLE)
+           AS mean_after
+FROM best b JOIN tot t USING (event_type)
+WHERE b.rn = 1
+ORDER BY b.event_type
+"""

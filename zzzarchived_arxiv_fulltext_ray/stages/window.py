@@ -732,3 +732,175 @@ def global_row_number_sorted(
             for r, b in zip(refs, bases)
         ]
     )
+
+
+def cusum_changepoint(
+    ds,
+    group_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    val_col: str,
+    n_buckets: int = 64,
+):
+    """Exact CUSUM change-point per group: over each group's rows in
+    ``(order_col, tiebreak_col)`` order, find the split position
+    k* = argmax_k |n * P_k - k * S| (P_k the prefix sum of ``val``,
+    S/n the group total/count, 1 <= k < n; ties -> smallest k) — the
+    scaled-by-n CUSUM statistic, kept in EXACT int64 so the argmax is
+    deterministic and a SQL window oracle replays it bit-for-bit
+    (a z-score variant would need float variance; the n-scaling
+    avoids the rational mean the way events_anomaly's MAD avoids
+    overflow). Contract: n * |S| must fit int64 — asserted.
+
+    Returns a pandas DataFrame (group, n, total_s, k_star,
+    cusum_stat, split_p) — ``split_p`` the prefix sum at k* and
+    ``total_s`` the group total, so callers derive
+    mean_before/mean_after with two float divisions.
+
+    Physical plan (no global sort, no whole-group shuffle): one tiny
+    (min, max) aggregate of the order key; one fixed-size exchange of
+    the (group, contiguous-order-range-bucket) value/count histogram
+    that the driver prefix-sums into base offsets (O(groups x
+    n_buckets) state); then per-(group, bucket) tasks lexsort their
+    own ~1/n_buckets slice and emit ONE local-argmax candidate row
+    each — the driver reduces groups x n_buckets candidates."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    def to_keyed(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "g": pa.compute.cast(b[group_col], pa.string()),
+                "o": pa.compute.cast(b[order_col], pa.int64()),
+                "t": pa.compute.cast(b[tiebreak_col], pa.int64()),
+                "v": pa.compute.cast(b[val_col], pa.int64()),
+            }
+        )
+
+    keyed = ds.map_batches(to_keyed, batch_format="pyarrow").materialize()
+
+    lim = keyed.aggregate(Min("o", alias_name="lo"),
+                          Max("o", alias_name="hi"))
+    lo, hi = int(lim["lo"]), int(lim["hi"])
+    span = max(hi - lo + 1, 1)
+
+    def bucket_of(o: np.ndarray) -> np.ndarray:
+        # contiguous ranges (never modulo): bucket order == key order
+        return ((o - lo).astype(np.uint64) * np.uint64(n_buckets)
+                // np.uint64(span)).astype(np.int64)
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        g = b["g"].to_pylist()
+        bk = bucket_of(b["o"].to_numpy(zero_copy_only=False))
+        v = b["v"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"g": g, "bk": bk, "v": v})
+        agg = df.groupby(["g", "bk"], sort=False).agg(
+            sv=("v", "sum"), c=("v", "size")
+        ).reset_index()
+        return pa.Table.from_pydict(
+            {
+                "g": pa.array(agg["g"], pa.string()),
+                "bk": pa.array(agg["bk"], pa.int64()),
+                "sv": pa.array(agg["sv"], pa.int64()),
+                "c": pa.array(agg["c"], pa.int64()),
+            }
+        )
+
+    hist = (
+        keyed.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["g", "bk"])
+        .aggregate(Sum("sv", alias_name="sv"), Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    hist = hist.sort_values(["g", "bk"]).reset_index(drop=True)
+    # per-group totals + per-(group,bucket) exclusive base offsets
+    totals = {}
+    bases = {}
+    for g, sub in hist.groupby("g", sort=False):
+        sv = sub["sv"].to_numpy()
+        c = sub["c"].to_numpy()
+        n, s = int(c.sum()), int(sv.sum())
+        assert n * abs(s) < (1 << 63), (
+            "cusum_changepoint int64 contract violated: n*|S| overflows"
+        )
+        totals[g] = (n, s)
+        pc_ = np.concatenate([[0], np.cumsum(sv)[:-1]])
+        kc = np.concatenate([[0], np.cumsum(c)[:-1]])
+        for bk, p0, k0 in zip(sub["bk"], pc_, kc):
+            bases[(g, int(bk))] = (int(p0), int(k0))
+    state_ref = ray.put((totals, bases))
+
+    def with_gk(b: pa.Table) -> pa.Table:
+        bk = bucket_of(b["o"].to_numpy(zero_copy_only=False))
+        gk = pa.compute.binary_join_element_wise(
+            b["g"], pa.array(bk.astype("str")), _SEP
+        )
+        return b.append_column("gk", gk).append_column(
+            "bk", pa.array(bk, pa.int64())
+        )
+
+    def best_of_slice(group: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict(
+            {
+                "g": pa.array([], pa.string()),
+                "k": pa.array([], pa.int64()),
+                "stat": pa.array([], pa.int64()),
+                "p": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        totals_, bases_ = ray.get(state_ref)
+        g = group["g"][0].as_py()
+        bk = int(group["bk"][0].as_py())
+        n, s = totals_[g]
+        p0, k0 = bases_[(g, bk)]
+        o = group["o"].to_numpy(zero_copy_only=False)
+        t = group["t"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, o))
+        p = p0 + np.cumsum(v[order])
+        k = k0 + 1 + np.arange(o.size)
+        valid = k < n
+        if not valid.any():
+            return empty
+        stat = np.abs(n * p[valid] - k[valid] * s)
+        i = int(np.argmax(stat))  # first max -> smallest k
+        return pa.Table.from_pydict(
+            {
+                "g": pa.array([g], pa.string()),
+                "k": pa.array([int(k[valid][i])], pa.int64()),
+                "stat": pa.array([int(stat[i])], pa.int64()),
+                "p": pa.array([int(p[valid][i])], pa.int64()),
+            }
+        )
+
+    cand = (
+        keyed.map_batches(with_gk, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(best_of_slice, batch_format="pyarrow")
+        .to_pandas()
+    )
+    rows = []
+    for g, sub in cand.groupby("g", sort=False):
+        sub = sub.sort_values(["stat", "k"],
+                              ascending=[False, True])
+        best = sub.iloc[0]
+        n, s = totals[g]
+        rows.append(
+            {
+                "group": g,
+                "n": n,
+                "total_s": s,
+                "k_star": int(best["k"]),
+                "cusum_stat": int(best["stat"]),
+                "split_p": int(best["p"]),
+            }
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=["group", "n", "total_s", "k_star", "cusum_stat",
+                 "split_p"],
+    )
+    return out.sort_values("group").reset_index(drop=True)
