@@ -4583,3 +4583,203 @@ WITH li AS (
 )
 SELECT node, lbl AS label FROM r3 ORDER BY node
 """
+
+
+def _q_doc_effective_vocab(sf_dir: str):
+    """Top-20 documents by lexical diversity measured as the inverse
+    Simpson index ("effective vocabulary size") T^2 / sum(n_tok^2) —
+    the Renyi-2 diversity, chosen over Shannon entropy because its
+    sufficient statistics (T, sum of squared token counts) are exact
+    integers and the score is ONE float division, so the selection
+    and the SQL oracle agree bit-for-bit (a log-sum entropy would
+    accumulate engine-dependent rounding). Ties -> smallest doc_id.
+    Physical plan: per-doc stats are a pure per-batch map (no
+    exchange); the top-20 reduces via per-batch partial top-k, so the
+    driver sees 20 rows per block, never the corpus."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..pipelines.queries_training import _docs
+
+    def stats(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        import pyarrow as pa
+
+        ids = batch["doc_id"].to_pylist()
+        out = {"doc_id": [], "n_tokens": [], "n_distinct": [],
+               "sum_sq": []}
+        for did, text in zip(ids, batch["text"].to_pylist()):
+            c = Counter(text.split())
+            t = sum(c.values())
+            if t == 0:
+                continue
+            out["doc_id"].append(did)
+            out["n_tokens"].append(t)
+            out["n_distinct"].append(len(c))
+            out["sum_sq"].append(sum(v * v for v in c.values()))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+                "n_distinct": pa.array(out["n_distinct"], pa.int64()),
+                "sum_sq": pa.array(out["sum_sq"], pa.int64()),
+            }
+        )
+
+    def topk(batch: pa.Table) -> pa.Table:
+        import pyarrow as pa
+
+        df = batch.to_pandas()
+        df["eff_vocab"] = (
+            df["n_tokens"].astype("float64")
+            * df["n_tokens"].astype("float64")
+            / df["sum_sq"].astype("float64")
+        )
+        df = df.sort_values(
+            ["eff_vocab", "doc_id"], ascending=[False, True]
+        ).head(20)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(stats, batch_format="pyarrow")
+        .map_batches(topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = parts.sort_values(
+        ["eff_vocab", "doc_id"], ascending=[False, True]
+    ).head(20)
+    return out.reset_index(drop=True)[
+        ["doc_id", "n_tokens", "n_distinct", "sum_sq", "eff_vocab"]
+    ]
+
+
+CORPUS_QUERIES["doc_effective_vocab"] = _q_doc_effective_vocab
+CORPUS_ORACLE_SQL["doc_effective_vocab"] = """
+WITH tc AS (
+    SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    t -> t <> '')) AS tok
+          FROM documents)
+    GROUP BY doc_id, tok
+), st AS (
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(n * n) AS BIGINT) AS sum_sq
+    FROM tc GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct, sum_sq,
+       CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)
+           / CAST(sum_sq AS DOUBLE) AS eff_vocab
+FROM st
+ORDER BY eff_vocab DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+def _q_token_source_affinity(sf_dir: str):
+    """Corpus-linguistics keyness: the 20 tokens most over-represented
+    in source 'src0' relative to the rest of the corpus, scored by the
+    EXACT integer cross-product keyness = n_focus * T_rest -
+    n_rest * T_focus (the sign/magnitude core of log-odds and
+    chi-square keyword extraction, kept integer so ranking and oracle
+    agree bit-for-bit; ties -> token asc). Physical plan: per-batch
+    (token, n_focus, n_rest) partial counts -> one vocab-bounded
+    token groupby -> two-scalar totals aggregate -> per-batch partial
+    top-20, so the driver sees 20 rows per block."""
+    from collections import Counter
+
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.queries_training import _docs
+
+    FOCUS = "src0"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow as pa
+
+        nf, nr = Counter(), Counter()
+        for src, text in zip(
+            batch["source"].to_pylist(), batch["text"].to_pylist()
+        ):
+            (nf if src == FOCUS else nr).update(text.split())
+        toks = sorted(set(nf) | set(nr))
+        return pa.Table.from_pydict(
+            {
+                "token": pa.array(toks, pa.string()),
+                "n_focus": pa.array(
+                    [nf.get(t, 0) for t in toks], pa.int64()
+                ),
+                "n_rest": pa.array(
+                    [nr.get(t, 0) for t in toks], pa.int64()
+                ),
+            }
+        )
+
+    counts = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(
+            Sum("n_focus", alias_name="n_focus"),
+            Sum("n_rest", alias_name="n_rest"),
+        )
+        .materialize()  # reused: totals + scoring
+    )
+    tot = counts.aggregate(
+        Sum("n_focus", alias_name="tf"), Sum("n_rest", alias_name="tr")
+    )
+    t_focus, t_rest = int(tot["tf"]), int(tot["tr"])
+
+    def topk(batch: pa.Table) -> pa.Table:
+        import pyarrow as pa
+
+        df = batch.to_pandas()
+        df["keyness"] = (
+            df["n_focus"].astype("int64") * t_rest
+            - df["n_rest"].astype("int64") * t_focus
+        )
+        df = df.sort_values(
+            ["keyness", "token"], ascending=[False, True]
+        ).head(20)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = counts.map_batches(topk, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(
+        ["keyness", "token"], ascending=[False, True]
+    ).head(20)
+    return out.reset_index(drop=True)[
+        ["token", "n_focus", "n_rest", "keyness"]
+    ]
+
+
+CORPUS_QUERIES["token_source_affinity"] = _q_token_source_affinity
+CORPUS_ORACLE_SQL["token_source_affinity"] = """
+WITH tok AS (
+    SELECT source,
+           unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> t <> '')) AS tok
+    FROM documents
+), agg AS (
+    SELECT tok AS token,
+           CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_focus,
+           CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rest
+    FROM tok GROUP BY tok
+), tot AS (
+    SELECT CAST(sum(n_focus) AS BIGINT) AS tf,
+           CAST(sum(n_rest) AS BIGINT) AS tr
+    FROM agg
+)
+SELECT token, n_focus, n_rest,
+       CAST(n_focus * tot.tr - n_rest * tot.tf AS BIGINT) AS keyness
+FROM agg, tot
+ORDER BY keyness DESC, token ASC
+LIMIT 20
+"""
