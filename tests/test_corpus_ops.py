@@ -1386,3 +1386,48 @@ def test_cusum_changepoint_exact_vs_brute(ray_session):
     # the detected split matches the planted one where a step exists
     got = {r.group: r.k_star for r in out.itertuples()}
     assert got["a"] == 40 and got["b"] == 10
+
+
+def test_lag1_stats_boundary_stitch_vs_brute(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.window import lag1_stats
+
+    rng = np.random.default_rng(29)
+    rows = {"g": [], "o": [], "t": [], "v": []}
+    truth = {}
+    for g, n in [("x", 97), ("y", 3), ("z", 1)]:
+        vals = rng.integers(-50, 400, n).astype(np.int64)
+        order = rng.permutation(n)
+        rows["g"] += [g] * n
+        rows["o"] += (np.arange(n)[order] * 3).tolist()
+        rows["t"] += order.tolist()
+        rows["v"] += vals[order].tolist()
+        a, b = vals[:-1], vals[1:]
+        truth[g] = (
+            n, int(vals.sum()), int((vals * vals).sum()),
+            n - 1, int(a.sum()), int(b.sum()), int((a * b).sum()),
+            int(vals[0]), int(vals[-1]),
+        )
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "g": pa.array(rows["g"], pa.string()),
+                "o": pa.array(rows["o"], pa.int64()),
+                "t": pa.array(rows["t"], pa.int64()),
+                "v": pa.array(rows["v"], pa.int64()),
+            }
+        )
+    ).repartition(4)
+    # n_buckets=8 forces many boundary pairs in group x; group z has
+    # a single row (m=0); group y spans fewer buckets than exist
+    out = lag1_stats(ds, "g", "o", "t", "v", n_buckets=8)
+    assert len(out) == 3
+    for r in out.itertuples():
+        assert (
+            r.n, r.s_x, r.s_xx, r.m, r.s_a, r.s_b, r.s_ab,
+            r.first_v, r.last_v,
+        ) == truth[r.group], r.group

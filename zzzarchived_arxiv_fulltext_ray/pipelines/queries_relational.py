@@ -2539,3 +2539,122 @@ FROM best b JOIN tot t USING (event_type)
 WHERE b.rn = 1
 ORDER BY b.event_type
 """
+
+
+def _q_events_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of the cents sequence per event type
+    (``stages.window.lag1_stats``): Pearson correlation of the n-1
+    consecutive (x_{k-1}, x_k) pairs in (ts, event_id) order. All
+    sufficient statistics are exact int64 collected via the
+    contiguous-time-bucket plan (per-slice local pair sums, driver
+    stitches the O(buckets) boundary pairs); the final correlation is
+    four python-bigint products and three float ops, so the SQL
+    ``lag()`` window oracle replays it bit-for-bit. Degenerate
+    (zero-variance) sides define corr = 0.0."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ..stages.window import lag1_stats
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "event_type": b["event_type"],
+                "event_id": b["event_id"],
+                "us": pa.array(
+                    b["ts"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]")
+                    .astype(np.int64),
+                    pa.int64(),
+                ),
+                "cents": _cents(b["value"]),
+            }
+        )
+
+    st = lag1_stats(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        group_col="event_type",
+        order_col="us",
+        tiebreak_col="event_id",
+        val_col="cents",
+    )
+    rows = []
+    for r in st.itertuples():
+        m = int(r.m)
+        s_a, s_b, s_ab = int(r.s_a), int(r.s_b), int(r.s_ab)
+        s_aa = int(r.s_xx) - int(r.last_v) ** 2
+        s_bb = int(r.s_xx) - int(r.first_v) ** 2
+        num = m * s_ab - s_a * s_b
+        d1 = m * s_aa - s_a * s_a
+        d2 = m * s_bb - s_b * s_b
+        corr = (
+            float(num) / math.sqrt(float(d1) * float(d2))
+            if d1 > 0 and d2 > 0
+            else 0.0
+        )
+        rows.append(
+            {
+                "event_type": r.group,
+                "n": int(r.n),
+                "m": m,
+                "s_ab": s_ab,
+                "lag1_corr": corr,
+            }
+        )
+    return (
+        pd.DataFrame(rows,
+                     columns=["event_type", "n", "m", "s_ab",
+                              "lag1_corr"])
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+RELATIONAL_QUERIES["events_autocorr"] = _q_events_autocorr
+RELATIONAL_ORACLE_SQL["events_autocorr"] = """
+WITH o AS (
+    SELECT event_type,
+           CAST(round(value * 100) AS BIGINT) AS x,
+           lag(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY event_type
+               ORDER BY epoch_us(ts), event_id) AS prev
+    FROM events
+), st AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(prev) AS BIGINT) AS m,
+           CAST(sum(prev) AS BIGINT) AS s_a,
+           CAST(sum(CASE WHEN prev IS NOT NULL THEN x END)
+                AS BIGINT) AS s_b,
+           CAST(sum(CAST(prev AS HUGEINT) * x) AS BIGINT) AS s_ab,
+           CAST(sum(CASE WHEN prev IS NOT NULL
+                         THEN CAST(prev AS HUGEINT) * prev END)
+                AS BIGINT) AS s_aa,
+           CAST(sum(CASE WHEN prev IS NOT NULL
+                         THEN CAST(x AS HUGEINT) * x END)
+                AS BIGINT) AS s_bb
+    FROM o GROUP BY event_type
+)
+SELECT event_type, n, m, s_ab,
+       CASE WHEN (m * CAST(s_aa AS HUGEINT) -
+                  CAST(s_a AS HUGEINT) * s_a) > 0
+             AND (m * CAST(s_bb AS HUGEINT) -
+                  CAST(s_b AS HUGEINT) * s_b) > 0
+            THEN CAST(m * CAST(s_ab AS HUGEINT) -
+                      CAST(s_a AS HUGEINT) * s_b AS DOUBLE)
+                 / sqrt(CAST(m * CAST(s_aa AS HUGEINT) -
+                             CAST(s_a AS HUGEINT) * s_a AS DOUBLE)
+                        * CAST(m * CAST(s_bb AS HUGEINT) -
+                               CAST(s_b AS HUGEINT) * s_b AS DOUBLE))
+            ELSE 0.0 END AS lag1_corr
+FROM st ORDER BY event_type
+"""

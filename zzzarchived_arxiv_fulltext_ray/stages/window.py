@@ -904,3 +904,125 @@ def cusum_changepoint(
                  "split_p"],
     )
     return out.sort_values("group").reset_index(drop=True)
+
+
+def lag1_stats(
+    ds,
+    group_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    val_col: str,
+    n_buckets: int = 64,
+):
+    """Exact lag-1 (adjacent-pair) sufficient statistics per group
+    over the ``(order_col, tiebreak_col)``-ordered value sequence:
+    for the m = n-1 consecutive pairs (x_{k-1}, x_k), the int64 sums
+    Sa = sum x_{k-1}, Sb = sum x_k, Sab = sum x_{k-1}*x_k, plus n,
+    Sx, Sxx and the first/last value — everything a lag-1
+    autocorrelation (or AR(1) fit) needs, all exact so downstream
+    float math is a handful of driver-side ops a SQL ``lag()`` oracle
+    replays bit-for-bit.
+
+    Physical plan (the cusum_changepoint bucket scheme): contiguous
+    order-range buckets; each (group, bucket) task lexsorts its own
+    slice and emits ONE stats row (local pair sums + its first/last
+    value); the driver stitches the O(groups x n_buckets) boundary
+    pairs (last of bucket b with first of bucket b+1) in python ints.
+    No global sort, no whole-group shuffle. Returns a pandas
+    DataFrame (group, n, s_x, s_xx, m, s_a, s_b, s_ab, first_v,
+    last_v)."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Min
+
+    def to_keyed(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "g": pa.compute.cast(b[group_col], pa.string()),
+                "o": pa.compute.cast(b[order_col], pa.int64()),
+                "t": pa.compute.cast(b[tiebreak_col], pa.int64()),
+                "v": pa.compute.cast(b[val_col], pa.int64()),
+            }
+        )
+
+    keyed = ds.map_batches(to_keyed, batch_format="pyarrow").materialize()
+    lim = keyed.aggregate(Min("o", alias_name="lo"),
+                          Max("o", alias_name="hi"))
+    lo, hi = int(lim["lo"]), int(lim["hi"])
+    span = max(hi - lo + 1, 1)
+
+    def with_gk(b: pa.Table) -> pa.Table:
+        o = b["o"].to_numpy(zero_copy_only=False)
+        bk = ((o - lo).astype(np.uint64) * np.uint64(n_buckets)
+              // np.uint64(span)).astype(np.int64)
+        gk = pa.compute.binary_join_element_wise(
+            b["g"], pa.array(bk.astype("str")), _SEP
+        )
+        return b.append_column("gk", gk).append_column(
+            "bk", pa.array(bk, pa.int64())
+        )
+
+    def stats_of_slice(group: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict(
+            {c: pa.array([], pa.int64() if c not in ("g",)
+                         else pa.string())
+             for c in ("g", "bk", "n", "sx", "sxx", "sa", "sb",
+                       "sab", "first_v", "last_v")}
+        )
+        if group.num_rows == 0:
+            return empty
+        g = group["g"][0].as_py()
+        bk = int(group["bk"][0].as_py())
+        o = group["o"].to_numpy(zero_copy_only=False)
+        t = group["t"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        v = v[np.lexsort((t, o))]
+        a, b_ = v[:-1], v[1:]
+        return pa.Table.from_pydict(
+            {
+                "g": pa.array([g], pa.string()),
+                "bk": pa.array([bk], pa.int64()),
+                "n": pa.array([v.size], pa.int64()),
+                "sx": pa.array([int(v.sum())], pa.int64()),
+                "sxx": pa.array([int((v * v).sum())], pa.int64()),
+                "sa": pa.array([int(a.sum())], pa.int64()),
+                "sb": pa.array([int(b_.sum())], pa.int64()),
+                "sab": pa.array([int((a * b_).sum())], pa.int64()),
+                "first_v": pa.array([int(v[0])], pa.int64()),
+                "last_v": pa.array([int(v[-1])], pa.int64()),
+            }
+        )
+
+    cand = (
+        keyed.map_batches(with_gk, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(stats_of_slice, batch_format="pyarrow")
+        .to_pandas()
+    )
+    rows = []
+    for g, sub in cand.groupby("g", sort=False):
+        sub = sub.sort_values("bk")
+        n = int(sub["n"].sum())
+        sx = int(sub["sx"].sum())
+        sxx = int(sub["sxx"].sum())
+        sa, sb, sab = (int(sub["sa"].sum()), int(sub["sb"].sum()),
+                       int(sub["sab"].sum()))
+        lasts = sub["last_v"].tolist()
+        firsts = sub["first_v"].tolist()
+        for prev_last, nxt_first in zip(lasts[:-1], firsts[1:]):
+            sa += int(prev_last)
+            sb += int(nxt_first)
+            sab += int(prev_last) * int(nxt_first)
+        rows.append(
+            {
+                "group": g, "n": n, "s_x": sx, "s_xx": sxx,
+                "m": n - 1, "s_a": sa, "s_b": sb, "s_ab": sab,
+                "first_v": int(sub["first_v"].iloc[0]),
+                "last_v": int(sub["last_v"].iloc[-1]),
+            }
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=["group", "n", "s_x", "s_xx", "m", "s_a", "s_b",
+                 "s_ab", "first_v", "last_v"],
+    )
+    return out.sort_values("group").reset_index(drop=True)
