@@ -2658,3 +2658,101 @@ SELECT event_type, n, m, s_ab,
             ELSE 0.0 END AS lag1_corr
 FROM st ORDER BY event_type
 """
+
+
+def _q_events_gini(sf_dir: str):
+    """Gini coefficient of the cents distribution per event type:
+    G = (2*sum(i*x_(i)) - (n+1)*sum(x)) / (n*sum(x)) over the
+    ascending-sorted values — computed WITHOUT any sort of the rows:
+    a (type, cents) count-histogram exchange (the lang_length_median
+    idiom; the histogram is value-domain-bounded, never row-scale),
+    then the rank-weighted sum in closed form per distinct value
+    (positions p+1..p+c contribute x*(2*(c*p + c*(c+1)/2))) in
+    python bigints on the driver. Tie order cannot affect the sum
+    (equal values), so row_number in the SQL oracle replays it
+    exactly; the Gini itself is three final float ops."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {
+                "event_type": batch["event_type"],
+                "cents": _cents(batch["value"]),
+            }
+        )
+        g = t.group_by(["event_type", "cents"]).aggregate(
+            [("cents", "count")]
+        )
+        return g.rename_columns(["event_type", "cents", "c"])
+
+    hist = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    rows = []
+    for et, sub in hist.groupby("event_type", sort=True):
+        sub = sub.sort_values("cents")
+        xs = sub["cents"].astype("int64").tolist()
+        cs = sub["c"].astype("int64").tolist()
+        n = sum(cs)
+        sx = 0
+        six = 0  # sum of rank*value over the sorted multiset
+        p = 0
+        for x, c in zip(xs, cs):
+            x, c = int(x), int(c)
+            sx += x * c
+            six += x * (c * p + c * (c + 1) // 2)
+            p += c
+        num = 2 * six - (n + 1) * sx
+        rows.append(
+            {
+                "event_type": et,
+                "n": n,
+                "s_x": sx,
+                "gini_num": num,
+                "gini": float(num) / (float(n) * float(sx))
+                if n and sx
+                else 0.0,
+            }
+        )
+    return pd.DataFrame(
+        rows, columns=["event_type", "n", "s_x", "gini_num", "gini"]
+    ).reset_index(drop=True)
+
+
+RELATIONAL_QUERIES["events_gini"] = _q_events_gini
+RELATIONAL_ORACLE_SQL["events_gini"] = """
+WITH o AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+    FROM events
+), r AS (
+    SELECT event_type, x,
+           row_number() OVER (
+               PARTITION BY event_type ORDER BY x) AS i
+    FROM o
+), st AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS s_x,
+           CAST(sum(CAST(i AS HUGEINT) * x) AS HUGEINT) AS six
+    FROM r GROUP BY event_type
+)
+SELECT event_type, n, s_x,
+       CAST(2 * six - (n + 1) * CAST(s_x AS HUGEINT) AS BIGINT)
+           AS gini_num,
+       CASE WHEN n > 0 AND s_x <> 0
+            THEN CAST(2 * six - (n + 1) * CAST(s_x AS HUGEINT)
+                      AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(s_x AS DOUBLE))
+            ELSE 0.0 END AS gini
+FROM st ORDER BY event_type
+"""
