@@ -1431,3 +1431,38 @@ def test_lag1_stats_boundary_stitch_vs_brute(ray_session):
             r.n, r.s_x, r.s_xx, r.m, r.s_a, r.s_b, r.s_ab,
             r.first_v, r.last_v,
         ) == truth[r.group], r.group
+
+
+def test_weighted_kth_and_median_vs_brute(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.selection import (
+        distributed_weighted_kth,
+        distributed_weighted_median,
+    )
+
+    rng = np.random.default_rng(41)
+    vals = rng.integers(-1000, 1000, 500).astype(np.int64)
+    wts = rng.integers(0, 20, 500).astype(np.int64)  # zeros included
+    ds = rd.from_arrow(
+        pa.table({"v": pa.array(vals), "w": pa.array(wts)})
+    ).repartition(7)
+
+    order = np.argsort(vals, kind="stable")
+    sv, sw = vals[order], wts[order]
+    cw = np.cumsum(sw)
+    W = int(cw[-1])
+
+    def brute(kw):
+        return int(sv[np.searchsorted(cw, kw)])
+
+    for kw in (1, 2, W // 3, (W + 1) // 2, W - 1, W):
+        assert distributed_weighted_kth(ds, "v", "w", kw) == brute(kw)
+
+    med, tot = distributed_weighted_median(ds, "v", "w")
+    assert tot == W and med == brute((W + 1) // 2)
+
+    with pytest.raises(ValueError):
+        distributed_weighted_kth(ds, "v", "w", W + 1)

@@ -2756,3 +2756,62 @@ SELECT event_type, n, s_x,
             ELSE 0.0 END AS gini
 FROM st ORDER BY event_type
 """
+
+
+def _q_lineitem_weighted_median(sf_dir: str):
+    """Quantity-weighted median of the lineitem extended price (in
+    integer cents): the smallest price whose cumulative quantity
+    reaches ceil(W/2) — the weighted order statistic via
+    ``stages.selection.distributed_weighted_kth`` (iterative
+    value-domain bucket refinement with exact int64 WEIGHT sums in
+    the 8 KiB histogram; ~2 scans at cents domain). Nothing ever
+    sorts and no per-value state exists anywhere."""
+    import pandas as pd
+    import ray.data
+
+    from ..stages.selection import distributed_weighted_median
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_quantity"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "cents": _cents(b["l_extendedprice"]),
+                "qty": pa.compute.cast(
+                    pa.compute.round(b["l_quantity"]), pa.int64()
+                ),
+            }
+        )
+
+    keyed = li.map_batches(prep, batch_format="pyarrow").materialize()
+    median_cents, w_total = distributed_weighted_median(
+        keyed, "cents", "qty"
+    )
+    return pd.DataFrame(
+        {"w_total": [w_total], "median_cents": [median_cents]}
+    )
+
+
+RELATIONAL_QUERIES["lineitem_weighted_median"] = (
+    _q_lineitem_weighted_median
+)
+RELATIONAL_ORACLE_SQL["lineitem_weighted_median"] = """
+WITH o AS (
+    SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+           CAST(round(l_quantity) AS BIGINT) AS w
+    FROM lineitem
+), c AS (
+    SELECT x, CAST(sum(w) AS BIGINT) AS ws FROM o GROUP BY x
+), t AS (
+    SELECT CAST(sum(ws) AS BIGINT) AS tot FROM c
+), r AS (
+    SELECT x, CAST(sum(ws) OVER (ORDER BY x) AS BIGINT) AS cw FROM c
+)
+SELECT t.tot AS w_total,
+       (SELECT min(x) FROM r WHERE cw >= (t.tot + 1) // 2)
+           AS median_cents
+FROM t
+"""

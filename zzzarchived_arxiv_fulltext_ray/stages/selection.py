@@ -313,3 +313,95 @@ def distributed_kth_values(
                 active[t] = False
 
     return out
+
+
+def _range_weight_histogram(ds, col: str, wcol: str, lo: int, hi: int,
+                            num_buckets: int, width: int) -> np.ndarray:
+    """One scan: int64[num_buckets] WEIGHT sums of in-[lo, hi] values
+    (exact integer accumulation — never float bincount weights)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[col].to_numpy(zero_copy_only=False)
+        w = batch[wcol].to_numpy(zero_copy_only=False)
+        m = (x >= lo) & (x <= hi)
+        b = ((x[m] - lo) // width).astype(np.int64)
+        acc = np.zeros(num_buckets, dtype=np.int64)
+        np.add.at(acc, b, w[m])
+        return pa.Table.from_pydict(
+            {"h": pa.array([acc], pa.list_(pa.int64()))}
+        )
+
+    total = np.zeros(num_buckets, dtype=np.int64)
+    partials = ds.select_columns([col, wcol]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    for t in partials.iter_batches(batch_format="pyarrow"):
+        for row in t["h"].to_pylist():
+            total += np.asarray(row, dtype=np.int64)
+    return total
+
+
+def distributed_weighted_kth(
+    ds, col: str, wcol: str, k_w: int, num_buckets: int = 4096
+) -> int:
+    """Smallest value v whose cumulative WEIGHT (sum of ``wcol`` over
+    rows with value <= v, ascending) reaches ``k_w`` — the weighted
+    order statistic; with k_w = (W+1)//2 it is the lower weighted
+    median. Same iterative bucket-refinement plan as
+    :func:`distributed_kth_value` with weight sums in the histogram;
+    weights must be non-negative int64 (exact arithmetic contract —
+    asserted per scan via the total never decreasing)."""
+    if k_w < 1:
+        raise ValueError(f"k_w must be >= 1, got {k_w}")
+    from ray.data.aggregate import Max, Min
+
+    agg = ds.select_columns([col]).aggregate(Min(col), Max(col))
+    lo, hi = agg[f"min({col})"], agg[f"max({col})"]
+    if lo is None:
+        raise ValueError("distributed_weighted_kth: no non-null values")
+    lo, hi = int(lo), int(hi)
+    k_rem = k_w
+
+    while True:
+        span = hi - lo + 1
+        width = max(1, -(-span // num_buckets))
+        sums = _range_weight_histogram(
+            ds, col, wcol, lo, hi, num_buckets, width
+        )
+        assert (sums >= 0).all(), (
+            "distributed_weighted_kth: negative weights violate the "
+            "exact-selection contract"
+        )
+        csum = np.cumsum(sums)
+        if k_rem > int(csum[-1]):
+            raise ValueError(
+                f"k_w={k_rem} exceeds in-range weight {int(csum[-1])}"
+            )
+        b = int(np.searchsorted(csum, k_rem))
+        if b > 0:
+            k_rem -= int(csum[b - 1])
+        lo = lo + b * width
+        hi = min(hi, lo + width - 1)
+        if width == 1:
+            return lo
+
+
+def distributed_weighted_median(
+    ds, col: str, wcol: str, num_buckets: int = 4096
+) -> "tuple[int, int]":
+    """Lower weighted median: the smallest value whose cumulative
+    weight reaches ceil(W/2) (W = total weight, integer arithmetic).
+    Returns (value, W)."""
+    from ray.data.aggregate import Sum
+
+    w_total = int(
+        ds.select_columns([wcol]).aggregate(Sum(wcol, alias_name="w"))["w"]
+    )
+    if w_total <= 0:
+        raise ValueError("distributed_weighted_median: no weight")
+    k_w = (w_total + 1) // 2
+    return (
+        distributed_weighted_kth(ds, col, wcol, k_w,
+                                 num_buckets=num_buckets),
+        w_total,
+    )
