@@ -240,3 +240,76 @@ def test_lpa_empty_graph(ray_session):
     out = label_propagation(empty)
     assert out.count() == 0
     assert out.schema().names == ["node", "label"]
+
+
+# -------------------------------------------------------- random walks
+
+
+def test_random_walks_plans_agree_and_match_brute(ray_session):
+    import random
+
+    import numpy as np
+
+    from zzzarchived_arxiv_fulltext_ray.functions.shingles import (
+        _splitmix64,
+        stable_hash64,
+    )
+    from zzzarchived_arxiv_fulltext_ray.stages.graph import random_walks
+
+    rng = random.Random(7)
+    edges = list(
+        {
+            tuple(sorted(rng.sample(range(40), 2)))
+            for _ in range(120)
+        }
+    )
+    b = (
+        random_walks(_edges_ds(edges), n_steps=3, method="broadcast")
+        .to_pandas()
+        .sort_values("start")
+        .reset_index(drop=True)
+    )
+    p = (
+        random_walks(_edges_ds(edges), n_steps=3, method="partitioned")
+        .to_pandas()
+        .sort_values("start")
+        .reset_index(drop=True)
+    )
+    assert b.equals(p)
+
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    for n in adj:
+        adj[n].sort()
+    assert len(b) == len(adj)
+    seeds = np.random.default_rng(20260819).integers(
+        0, np.iinfo(np.uint64).max, size=3, dtype=np.uint64
+    )
+    for row in b.itertuples():
+        cur = row.start
+        h = np.uint64(stable_hash64(str(row.start)))
+        for t, col in enumerate(["s1", "s2", "s3"]):
+            k = int(
+                _splitmix64(np.array([h ^ seeds[t]], dtype=np.uint64))[0]
+                % np.uint64(len(adj[cur]))
+            )
+            cur = adj[cur][k]
+            assert cur == getattr(row, col)
+
+
+def test_random_walks_empty_graph(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.graph import random_walks
+
+    empty = rd.from_arrow(
+        pa.table(
+            {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+        )
+    )
+    out = random_walks(empty)
+    assert out.count() == 0
+    assert out.schema().names == ["start", "s1", "s2", "s3"]

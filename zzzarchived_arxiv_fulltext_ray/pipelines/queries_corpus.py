@@ -4783,3 +4783,105 @@ FROM agg, tot
 ORDER BY keyness DESC, token ASC
 LIMIT 20
 """
+
+
+def _walk_seeds():
+    import numpy as np
+
+    rng = np.random.default_rng(20260819)
+    return rng.integers(
+        0, np.iinfo(np.uint64).max, size=3, dtype=np.uint64
+    ).tolist()
+
+
+def _q_supplier_walks(sf_dir: str):
+    """Deterministic 3-step pseudo-random walks from every node of
+    the sparsified co-supply graph (``stages.graph.random_walks``) —
+    the node2vec/DeepWalk corpus-generation primitive made exactly
+    replayable: step t moves to the (splitmix64(md5hash(start) XOR
+    seed_t) mod degree)-th smallest neighbor, so the oracle unrolls
+    the three steps as ranked-adjacency join CTEs. Scale plan: ranked
+    adjacency via ONE hash(node) exchange, then two bucketed joins
+    per step with the walk history riding as payload columns."""
+    import pyarrow as pa
+    import ray.data
+
+    from ..stages.graph import cooccurrence_edges, random_walks
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+
+    def sample_orders(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(keys % 50 == 0))
+
+    edges = cooccurrence_edges(
+        li.map_batches(sample_orders, batch_format="pyarrow"),
+        "l_orderkey", "l_suppkey", min_count=2,
+    )
+    out = random_walks(
+        edges, n_steps=3, assume_canonical=True
+    ).to_pandas()
+    return out.sort_values("start").reset_index(drop=True)
+
+
+CORPUS_QUERIES["supplier_walks"] = _q_supplier_walks
+
+
+def _walks_oracle_sql() -> str:
+    from .queries_training import _splitmix64_sql
+
+    s0, s1, s2 = _walk_seeds()
+
+    def rn_expr(seed):
+        mix = _splitmix64_sql(f"xor(hh, {seed}::UBIGINT)")
+        return (
+            f"CAST({mix} % CAST(d.d AS UBIGINT) AS BIGINT) + 1"
+        )
+
+    return f"""
+WITH li AS (
+    SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_orderkey % 50 = 0
+), co AS (
+    SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+           count(DISTINCT a.l_orderkey) AS n
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+), e0 AS (
+    SELECT u, v FROM co WHERE n >= 2
+), inc AS (
+    SELECT u AS node, v AS nbr FROM e0
+    UNION ALL SELECT v AS node, u AS nbr FROM e0
+), deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS d FROM inc GROUP BY node
+), nbr AS (
+    SELECT node, nbr, row_number() OVER (
+        PARTITION BY node ORDER BY nbr) AS rn
+    FROM inc
+), w0 AS (
+    SELECT node AS start,
+           md5_number_upper(CAST(node AS VARCHAR)) AS hh,
+           node AS cur
+    FROM deg
+), w1 AS (
+    SELECT w0.start, w0.hh, n.nbr AS cur
+    FROM w0 JOIN deg d ON d.node = w0.cur
+    JOIN nbr n ON n.node = w0.cur AND n.rn = {rn_expr(s0)}
+), w2 AS (
+    SELECT w1.start, w1.hh, w1.cur AS s1, n.nbr AS cur
+    FROM w1 JOIN deg d ON d.node = w1.cur
+    JOIN nbr n ON n.node = w1.cur AND n.rn = {rn_expr(s1)}
+), w3 AS (
+    SELECT w2.start, w2.s1, w2.cur AS s2, n.nbr AS s3
+    FROM w2 JOIN deg d ON d.node = w2.cur
+    JOIN nbr n ON n.node = w2.cur AND n.rn = {rn_expr(s2)}
+)
+SELECT start, s1, s2, s3 FROM w3 ORDER BY start
+"""
+
+
+CORPUS_ORACLE_SQL["supplier_walks"] = _walks_oracle_sql()

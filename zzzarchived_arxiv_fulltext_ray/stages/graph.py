@@ -1824,3 +1824,232 @@ def label_propagation(
         lambda b: b.rename_columns(["node", "label"]),
         batch_format="pyarrow",
     )
+
+
+def random_walks(
+    edges_ds,
+    n_steps: int = 3,
+    seed: int = 20260819,
+    num_buckets: int = 64,
+    assume_canonical: bool = False,
+    method: str = "auto",
+    broadcast_limit: int = 2_000_000,
+):
+    """Deterministic pseudo-random walks from EVERY node of the
+    undirected graph — the random-walk corpus generator that
+    node2vec/DeepWalk-style embedding pipelines feed on, made
+    REPLAYABLE: at step t the walker that started at s steps from its
+    current node v to the k-th smallest neighbor of v, where
+    k = splitmix64(md5hash(str(s)) XOR seed_t) mod degree(v). Both
+    the hash (``stable_hash64`` == DuckDB ``md5_number_upper``) and
+    the per-step seeds (``default_rng(seed)`` draws, embeddable as
+    SQL literals) are exact-integer functions, so a SQL oracle
+    replays every step with an unrolled join chain. Returns a Ray
+    Dataset ``(start, s1, ..., s{n_steps})``.
+
+    Broadcast plan (<= ``broadcast_limit`` edges): driver CSR (sorted
+    incidence + offsets), each step one vectorized gather — zero
+    exchanges. Partitioned plan: a ranked adjacency relation
+    (node, nbr, rn) built by ONE hash(node) exchange (lexsort +
+    boundary diff per bucket) plus a degree relation; each step is
+    two bucketed hash joins — frontier x degree on the current node
+    (computes k), then a composite (cur, rn) join against the ranked
+    adjacency. Walk history rides the joins as payload columns;
+    driver state is O(1). Plans pinned equal in pytest."""
+    import ray.data as rd
+
+    from ..functions.hashing import bucket_of_column
+    from ..functions.shingles import stable_hash64
+    from .components import pin_loop_state
+    from .relational import partitioned_hash_join
+
+    edges = edges_ds if assume_canonical else _canonicalize(edges_ds)
+    edges = edges.materialize()
+    n_edges = edges.count()
+
+    cols = ["start"] + [f"s{t}" for t in range(1, n_steps + 1)]
+    empty = pa.Table.from_pydict(
+        {c: pa.array([], pa.int64()) for c in cols}
+    )
+    if n_edges == 0:
+        return rd.from_arrow(empty)
+
+    rng = np.random.default_rng(seed)
+    step_seeds = rng.integers(
+        0, np.iinfo(np.uint64).max, size=n_steps, dtype=np.uint64
+    )
+
+    if method not in ("auto", "broadcast", "partitioned"):
+        raise ValueError(f"unknown random_walks method: {method}")
+    if method == "auto":
+        method = (
+            "broadcast" if n_edges <= broadcast_limit else "partitioned"
+        )
+
+    if method == "broadcast":
+        parts = [
+            (
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False),
+            )
+            for b in edges.iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+        us = np.concatenate([p[0] for p in parts]).astype(np.int64)
+        vs = np.concatenate([p[1] for p in parts]).astype(np.int64)
+        src = np.concatenate([us, vs])
+        dst = np.concatenate([vs, us])
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        nodes, counts = np.unique(src, return_counts=True)
+        indptr = np.concatenate([[0], np.cumsum(counts)])
+        h = np.array(
+            [stable_hash64(str(int(n))) for n in nodes],
+            dtype=np.uint64,
+        )
+        cur = nodes.copy()
+        out = {"start": nodes}
+        from ..functions.shingles import _splitmix64
+
+        for t in range(n_steps):
+            ci = np.searchsorted(nodes, cur)
+            deg = counts[ci].astype(np.uint64)
+            k = (_splitmix64(h ^ step_seeds[t]) % deg).astype(np.int64)
+            cur = dst[indptr[ci] + k]
+            out[f"s{t + 1}"] = cur.copy()
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {c: pa.array(out[c], pa.int64()) for c in cols}
+            )
+        )
+
+    # ---- partitioned plan
+    def to_incidence(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array(np.concatenate([u, v]), pa.int64()),
+                "nbr": pa.array(np.concatenate([v, u]), pa.int64()),
+            }
+        )
+
+    inc = edges.map_batches(to_incidence, batch_format="pyarrow")
+
+    def with_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__b",
+            pa.array(bucket_of_column(b["node"], num_buckets), pa.int64()),
+        )
+
+    def rank_of_bucket(group: pa.Table) -> pa.Table:
+        node = group["node"].to_numpy(zero_copy_only=False)
+        if node.size == 0:
+            return pa.Table.from_pydict(
+                {
+                    "cur": pa.array([], pa.int64()),
+                    "nxt": pa.array([], pa.int64()),
+                    "rn": pa.array([], pa.int64()),
+                }
+            )
+        nbr = group["nbr"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nbr, node))
+        node, nbr = node[order], nbr[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], node[1:] != node[:-1]])
+        )
+        seg = np.repeat(np.arange(starts.size),
+                        np.diff(np.append(starts, node.size)))
+        rn = np.arange(node.size) - starts[seg] + 1
+        return pa.Table.from_pydict(
+            {
+                "cur": pa.array(node, pa.int64()),
+                "nxt": pa.array(nbr, pa.int64()),
+                "rn": pa.array(rn, pa.int64()),
+            }
+        )
+
+    ranked = (
+        inc.map_batches(with_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(rank_of_bucket, batch_format="pyarrow")
+    )
+    ranked = pin_loop_state(ranked, num_blocks=8)
+
+    from ray.data.aggregate import Sum
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        n, c = np.unique(
+            b["node"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.Table.from_pydict(
+            {"cur": pa.array(n, pa.int64()),
+             "deg": pa.array(c, pa.int64())}
+        )
+
+    degrees = (
+        inc.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("cur")
+        .aggregate(Sum("deg", alias_name="deg"))
+    )
+    degrees = pin_loop_state(degrees, num_blocks=None)
+
+    def init_frontier(b: pa.Table) -> pa.Table:
+        n = b["cur"].to_numpy(zero_copy_only=False)
+        h = np.array(
+            [stable_hash64(str(int(x))) for x in n], dtype=np.uint64
+        )
+        return pa.Table.from_pydict(
+            {
+                "start": pa.array(n, pa.int64()),
+                # int64 bit view: Ray reduces overflow raw uint64 keys
+                "h": pa.array(h.view(np.int64), pa.int64()),
+                "cur": pa.array(n, pa.int64()),
+            }
+        )
+
+    frontier = degrees.map_batches(init_frontier, batch_format="pyarrow")
+    frontier = pin_loop_state(frontier, num_blocks=8)
+
+    from ..functions.shingles import _splitmix64
+
+    for t in range(n_steps):
+        with_deg = partitioned_hash_join(
+            frontier, degrees, key="cur", num_buckets=num_buckets
+        )
+        seed_t = step_seeds[t]
+
+        def pick_rank(b: pa.Table, _s=seed_t) -> pa.Table:
+            h = b["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+            deg = b["deg"].to_numpy(zero_copy_only=False).astype(
+                np.uint64
+            )
+            rn = (_splitmix64(h ^ _s) % deg).astype(np.int64) + 1
+            return b.drop_columns(["deg"]).append_column(
+                "rn", pa.array(rn, pa.int64())
+            )
+
+        stepped = partitioned_hash_join(
+            with_deg.map_batches(pick_rank, batch_format="pyarrow"),
+            ranked,
+            key=["cur", "rn"],
+            num_buckets=num_buckets,
+        )
+
+        def advance(b: pa.Table, _t=t) -> pa.Table:
+            keep = {
+                "start": b["start"],
+                "h": b["h"],
+                "cur": b["nxt"],
+            }
+            for j in range(1, _t + 1):
+                keep[f"s{j}"] = b[f"s{j}"]
+            keep[f"s{_t + 1}"] = b["nxt"]
+            return pa.Table.from_pydict(keep)
+
+        frontier = stepped.map_batches(advance, batch_format="pyarrow")
+        frontier = pin_loop_state(frontier, num_blocks=8)
+
+    return frontier.map_batches(
+        lambda b: b.select(cols), batch_format="pyarrow"
+    )
