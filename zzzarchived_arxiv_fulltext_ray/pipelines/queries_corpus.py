@@ -4885,3 +4885,168 @@ SELECT start, s1, s2, s3 FROM w3 ORDER BY start
 
 
 CORPUS_ORACLE_SQL["supplier_walks"] = _walks_oracle_sql()
+
+
+def _q_documents_profile(sf_dir: str):
+    """Column profiler over the documents table (the ANALYZE /
+    data-quality sweep every ingest needs): per column the row count,
+    null count, EXACT distinct count, and min/max — value for int64
+    columns, character length for string columns. Physical plan: one
+    stats scan (per-batch per-column partials -> tiny groupby) plus
+    one distinct exchange that moves 8-byte md5-derived hashes
+    (strings never shuffle their payloads; int columns exchange the
+    value itself), pre-deduped per batch."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..pipelines.queries_training import _docs
+
+    INT_COLS = ["doc_id", "n_chars"]
+    STR_COLS = ["lang", "source", "text"]
+    COLS = INT_COLS + STR_COLS
+
+    ds = _docs(sf_dir, COLS).materialize()
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out = {"col_name": [], "n": [], "n_null": [], "mn": [],
+               "mx": []}
+        for c in COLS:
+            col = batch[c]
+            n, nn = len(col), col.null_count
+            if c in INT_COLS:
+                v = col.drop_null()
+                mn = pc.min(v).as_py() if len(v) else None
+                mx = pc.max(v).as_py() if len(v) else None
+            else:
+                lens = pc.utf8_length(col.drop_null())
+                mn = pc.min(lens).as_py() if len(lens) else None
+                mx = pc.max(lens).as_py() if len(lens) else None
+            if mn is None:
+                continue
+            out["col_name"].append(c)
+            out["n"].append(n)
+            out["n_null"].append(nn)
+            out["mn"].append(int(mn))
+            out["mx"].append(int(mx))
+        return pa.Table.from_pydict(
+            {
+                "col_name": pa.array(out["col_name"], pa.string()),
+                "n": pa.array(out["n"], pa.int64()),
+                "n_null": pa.array(out["n_null"], pa.int64()),
+                "mn": pa.array(out["mn"], pa.int64()),
+                "mx": pa.array(out["mx"], pa.int64()),
+            }
+        )
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("col_name")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_null", alias_name="n_null"),
+            Min("mn", alias_name="min_v"),
+            Max("mx", alias_name="max_v"),
+        )
+        .to_pandas()
+    )
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow as pa
+
+        from ..functions.shingles import stable_hash64
+
+        cols, hs = [], []
+        for c in COLS:
+            if c in INT_COLS:
+                u = np.unique(
+                    batch[c].drop_null().to_numpy(zero_copy_only=False)
+                ).astype(np.int64)
+            else:
+                u = np.unique(
+                    np.array(
+                        [
+                            stable_hash64(s)
+                            for s in batch[c].drop_null().to_pylist()
+                        ],
+                        dtype=np.uint64,
+                    ).view(np.int64)
+                )
+            cols += [c] * u.size
+            hs.append(u)
+        return pa.Table.from_pydict(
+            {
+                "col_name": pa.array(cols, pa.string()),
+                "h": pa.array(
+                    np.concatenate(hs) if hs else
+                    np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow as pa
+
+        g = batch.group_by(["col_name"]).aggregate([("h", "count")])
+        return g.rename_columns(["col_name", "d"])
+
+    distinct = (
+        ds.map_batches(hash_partial, batch_format="pyarrow")
+        .groupby(["col_name", "h"])
+        .aggregate(Count(alias_name="c"))
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("col_name")
+        .aggregate(Sum("d", alias_name="n_distinct"))
+        .to_pandas()
+    )
+    out = stats.merge(distinct, on="col_name")
+    out = out[["col_name", "n", "n_null", "n_distinct", "min_v",
+               "max_v"]]
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("col_name").reset_index(drop=True)
+
+
+CORPUS_QUERIES["documents_profile"] = _q_documents_profile
+CORPUS_ORACLE_SQL["documents_profile"] = """
+SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) - count(doc_id) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       CAST(min(doc_id) AS BIGINT) AS min_v,
+       CAST(max(doc_id) AS BIGINT) AS max_v
+FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(n_chars) AS BIGINT),
+       CAST(count(DISTINCT n_chars) AS BIGINT),
+       CAST(min(n_chars) AS BIGINT), CAST(max(n_chars) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'lang', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(lang) AS BIGINT),
+       CAST(count(DISTINCT lang) AS BIGINT),
+       CAST(min(length(lang)) AS BIGINT),
+       CAST(max(length(lang)) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'source', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(source) AS BIGINT),
+       CAST(count(DISTINCT source) AS BIGINT),
+       CAST(min(length(source)) AS BIGINT),
+       CAST(max(length(source)) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'text', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(text) AS BIGINT),
+       CAST(count(DISTINCT text) AS BIGINT),
+       CAST(min(length(text)) AS BIGINT),
+       CAST(max(length(text)) AS BIGINT)
+FROM documents
+ORDER BY col_name
+"""
