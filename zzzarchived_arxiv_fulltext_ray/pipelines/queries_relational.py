@@ -2815,3 +2815,115 @@ SELECT t.tot AS w_total,
            AS median_cents
 FROM t
 """
+
+
+def _q_events_ab_test(sf_dir: str):
+    """Two-proportion z-test on a deterministic A/B split: treatment =
+    user_id parity, conversion = user has >= 1 'purchase' event with
+    value > 250 (threshold probed non-degenerate at BOTH sf0.01 and
+    sf0.1 — the gapfill lesson: sparsity constants are sf-dependent).
+    The
+    counts (n_a, c_a, n_b, c_b) are exact integers from one
+    user-keyed Max exchange (per-batch (user, any-purchase) partials
+    pre-combined); the z statistic is the pooled-variance formula in
+    a FIXED operation order mirrored by the SQL oracle term-for-term,
+    so the doubles agree bit-for-bit."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        val = b["value"].to_numpy(zero_copy_only=False)
+        conv = (
+            np.array(
+                [t == "purchase" for t in b["event_type"].to_pylist()]
+            )
+            & (val > 250.0)
+        ).astype(np.int64)
+        df = pa.Table.from_pydict(
+            {"user_id": pa.array(uid, pa.int64()),
+             "conv": pa.array(conv, pa.int64())}
+        )
+        g = df.group_by(["user_id"]).aggregate([("conv", "max")])
+        return g.rename_columns(["user_id", "conv"])
+
+    per_user = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("conv", alias_name="conv"))
+    )
+
+    def split_partial(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        conv = b["conv"].to_numpy(zero_copy_only=False)
+        a = uid % 2 == 0
+        return pa.Table.from_pydict(
+            {
+                "n_a": pa.array([int(a.sum())], pa.int64()),
+                "c_a": pa.array([int(conv[a].sum())], pa.int64()),
+                "n_b": pa.array([int((~a).sum())], pa.int64()),
+                "c_b": pa.array([int(conv[~a].sum())], pa.int64()),
+            }
+        )
+
+    agg = per_user.map_batches(
+        split_partial, batch_format="pyarrow"
+    ).aggregate(
+        Sum("n_a", alias_name="n_a"), Sum("c_a", alias_name="c_a"),
+        Sum("n_b", alias_name="n_b"), Sum("c_b", alias_name="c_b"),
+    )
+    n_a, c_a = int(agg["n_a"]), int(agg["c_a"])
+    n_b, c_b = int(agg["n_b"]), int(agg["c_b"])
+    p_a = c_a / n_a
+    p_b = c_b / n_b
+    pp = (c_a + c_b) / (n_a + n_b)
+    var = pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b)
+    z = (p_a - p_b) / math.sqrt(var) if var > 0 else 0.0
+    return pd.DataFrame(
+        {
+            "n_a": [n_a], "c_a": [c_a], "n_b": [n_b], "c_b": [c_b],
+            "lift": [p_a - p_b], "z_stat": [z],
+        }
+    )
+
+
+RELATIONAL_QUERIES["events_ab_test"] = _q_events_ab_test
+RELATIONAL_ORACLE_SQL["events_ab_test"] = """
+WITH pu AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' AND value > 250
+                    THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY user_id
+), s AS (
+    SELECT
+        CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)
+             AS BIGINT) AS c_a,
+        CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END)
+             AS BIGINT) AS c_b
+    FROM pu
+)
+SELECT n_a, c_a, n_b, c_b,
+       CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b AS lift,
+       CASE WHEN (CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                 * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 / n_a + 1.0 / n_b) > 0
+            THEN (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b))
+            ELSE 0.0 END AS z_stat
+FROM s
+"""
