@@ -2786,3 +2786,42 @@ SELECT f2.f2_exact, est.ams_estimate,
            / CAST(f2.f2_exact AS DOUBLE) AS rel_err
 FROM f2, est
 """
+
+
+def _q_lang_confusion(sf_dir: str):
+    """Model-evaluation confusion matrix: declared lang x n-gram
+    heuristic prediction (``stages.textstage.langid_batch``), exact
+    counts. Per-batch (lang, lang_pred) partial counts pre-combine
+    before one tiny groupby — the corpus never shuffles text."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.textstage import langid_batch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["lang_label", "lang_pred"])
+            .rename_columns(["lang", "lang_pred"])
+            .group_by(["lang", "lang_pred"])
+            .aggregate([("lang_pred", "count")])
+        )
+        return g.rename_columns(["lang", "lang_pred", "n"])
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(langid_batch, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+
+
+TRAINING_QUERIES["lang_confusion"] = _q_lang_confusion
+TRAINING_ORACLE_SQL["lang_confusion"] = f"""
+SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN ({_LANGID_SQL}) p ON d.doc_id = p.doc_id
+GROUP BY d.lang, p.lang_pred
+ORDER BY d.lang, p.lang_pred
+"""
