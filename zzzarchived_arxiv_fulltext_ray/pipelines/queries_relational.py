@@ -2927,3 +2927,121 @@ SELECT n_a, c_a, n_b, c_b,
             ELSE 0.0 END AS z_stat
 FROM s
 """
+
+
+def _q_events_markov(sf_dir: str):
+    """First-order Markov transition counts over each user's
+    time-ordered event-type sequence: exact (prev_type, next_type)
+    counts plus the row-conditional transition probability (one float
+    division per cell). Physical plan: ONE coalesced exchange on
+    hash(user_id) into 64 buckets, lexsort + vectorized shift inside
+    each bucket (adjacent pairs never cross users), per-bucket pair
+    counts pre-combined before a tiny (prev, next) groupby."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import bucket_of_column
+
+    num_buckets = 64
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "us": pa.array(
+                    b["ts"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]")
+                    .astype(np.int64),
+                    pa.int64(),
+                ),
+                "event_type": b["event_type"],
+                "__b": pa.array(
+                    bucket_of_column(b["user_id"], num_buckets),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def pairs_of_bucket(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        empty = pa.Table.from_pydict(
+            {
+                "prev_type": pa.array([], pa.string()),
+                "next_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if uid.size < 2:
+            return empty
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        us = group["us"].to_numpy(zero_copy_only=False)
+        et = np.array(group["event_type"].to_pylist())
+        order = np.lexsort((eid, us, uid))
+        uid, et = uid[order], et[order]
+        same = uid[1:] == uid[:-1]
+        prev, nxt = et[:-1][same], et[1:][same]
+        if prev.size == 0:
+            return empty
+        import pandas as pd
+
+        df = (
+            pd.DataFrame({"prev_type": prev, "next_type": nxt})
+            .groupby(["prev_type", "next_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pydict(
+            {
+                "prev_type": pa.array(df["prev_type"], pa.string()),
+                "next_type": pa.array(df["next_type"], pa.string()),
+                "n": pa.array(df["n"].astype("int64"), pa.int64()),
+            }
+        )
+
+    out = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(pairs_of_bucket, batch_format="pyarrow")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    row_tot = out.groupby("prev_type")["n"].transform("sum")
+    out["p"] = out["n"].astype("float64") / row_tot.astype("float64")
+    return out.sort_values(["prev_type", "next_type"]).reset_index(
+        drop=True
+    )
+
+
+RELATIONAL_QUERIES["events_markov"] = _q_events_markov
+RELATIONAL_ORACLE_SQL["events_markov"] = """
+WITH o AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev_type
+    FROM events
+), c AS (
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM o WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       CAST(n AS DOUBLE)
+           / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+FROM c
+ORDER BY prev_type, next_type
+"""
