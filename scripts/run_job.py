@@ -59,6 +59,10 @@ def main():
     ap.add_argument("--global-dedup", action="store_true",
                     help="second-pass latest-crawl winner resolution "
                          "across shards after all shards finish")
+    ap.add_argument("--compact-target-mb", type=int, default=0,
+                    help=">0 runs a post-pass merging each shard's "
+                         "small parquet files into ~N MiB files "
+                         "(hash-verified, atomic swap per shard)")
     ap.add_argument("--watch", action="store_true",
                     help="continuous ingest: keep polling --input and "
                          "process newly arrived (settled) files via the "
@@ -157,6 +161,10 @@ def main():
         gd = mf.global_latest_crawl_pass(args.out)
         summary["global_dedup"] = gd
         summary["rows"] -= gd["rows_removed"]
+    if args.compact_target_mb > 0:
+        summary["compaction"] = mf.compact_shards(
+            args.out, target_bytes=args.compact_target_mb * 1024 * 1024
+        )
     summary["wall_sec"] = round(time.time() - t0, 1)
     summary["docs_per_sec"] = (
         round(summary["rows"] / summary["wall_sec"], 1)

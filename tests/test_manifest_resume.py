@@ -324,3 +324,40 @@ def test_watch_picks_up_arriving_files_exactly_once(
         tuple(sorted(m["input_fingerprint"].keys())) for m in status
     )
     assert sorted(len(i) for i in inputs) == [1, 2]
+
+
+def test_compact_shards_preserves_content(ray_session, sharded_input,
+                                          tmp_path):
+    out = tmp_path / "out"
+
+    def build_many_files(ds):
+        # force many small output files per shard
+        return _build(ds).repartition(6)
+
+    full = mf.run_resumable(sharded_input, build_many_files, str(out))
+    assert full["processed"] == 4
+    before = {
+        d.name: len(list(d.glob("*.parquet")))
+        for d in out.glob("shard=*") if d.is_dir()
+    }
+    assert all(n >= 6 for n in before.values()), before
+
+    summary = mf.compact_shards(str(out), target_bytes=1 << 30)
+    assert summary["shards_compacted"] == 4
+    assert summary["files_after"] == 4  # one file per shard
+    for d in out.glob("shard=*"):
+        if d.is_dir():
+            assert len(list(d.glob("*.parquet"))) == 1
+
+    # content identical (order-independent hash) and still resumable
+    resumed = mf.run_resumable(sharded_input, build_many_files, str(out))
+    assert resumed["processed"] == 0 and resumed["skipped"] == 4
+    assert resumed["content_hash"] == full["content_hash"]
+    assert resumed["rows"] == full["rows"]
+
+    # manifests record the compaction; second pass is a no-op
+    m = json.loads(next(out.glob("shard=*.manifest.json")).read_text())
+    assert m["compacted"]["files_after"] == 1
+    again = mf.compact_shards(str(out), target_bytes=1 << 30)
+    assert again["shards_compacted"] == 0
+    assert again["shards_skipped"] == 4

@@ -495,3 +495,89 @@ def watch_resumable(
         if max_polls is not None and totals["polls"] >= max_polls:
             return totals
         time.sleep(poll_sec)
+
+
+def compact_shards(
+    out_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> Dict:
+    """Post-pass output compaction: rewrite every finished shard whose
+    output holds >= ``min_files`` parquet files into
+    ceil(total_bytes / target_bytes) files — the small-files problem
+    at 100 TB (a resumable run with many shards x many write tasks
+    otherwise leaves thousands of KB-scale files that tank every
+    downstream scan).
+
+    Safety contract, per shard: the rewrite goes to a ``.tmp`` dir,
+    its ORDER-INDEPENDENT content hash (:func:`shard_digests`, same
+    columns the manifest recorded) must equal the manifest's hash
+    BEFORE the atomic rename-aside swap (the global-dedup pattern);
+    the manifest keeps its content_hash/row count (content is
+    byte-identical per hash) and gains a ``compacted`` block.
+    Shards already at one file (or below ``min_files``) are skipped.
+    Returns {shards_compacted, shards_skipped, files_before,
+    files_after}."""
+    import ray.data as rd
+
+    out = Path(out_dir)
+    summary = {
+        "shards_compacted": 0,
+        "shards_skipped": 0,
+        "files_before": 0,
+        "files_after": 0,
+    }
+    for mpath in sorted(out.glob(f"shard=*{MANIFEST_SUFFIX}")):
+        manifest = json.loads(mpath.read_text())
+        sid = manifest["shard_id"]
+        sdir = shard_out_dir(out_dir, sid)
+        if not sdir.exists():
+            continue
+        files = sorted(p for p in sdir.glob("*.parquet"))
+        summary["files_before"] += len(files)
+        total = sum(p.stat().st_size for p in files)
+        n_target = max(1, -(-total // target_bytes))
+        if len(files) < min_files or n_target >= len(files):
+            summary["shards_skipped"] += 1
+            summary["files_after"] += len(files)
+            continue
+
+        tmp_dir = sdir.with_suffix(".compact_tmp")
+        old_dir = sdir.with_suffix(".pre_compact")
+        for stale in (tmp_dir, old_dir):
+            if stale.exists():
+                shutil.rmtree(stale)
+        (
+            rd.read_parquet(str(sdir))
+            .repartition(int(n_target))
+            .write_parquet(str(tmp_dir))
+        )
+        chash, _ = shard_digests(
+            rd.read_parquet(str(tmp_dir)),
+            manifest["hash_columns"],
+            None,
+        )
+        if chash != manifest["content_hash"]:
+            shutil.rmtree(tmp_dir)
+            raise RuntimeError(
+                f"compact_shards: content hash mismatch on shard {sid} "
+                "(rewrite aborted, original output untouched)"
+            )
+        # rename-aside swap: original survives any crash point
+        sdir.rename(old_dir)
+        tmp_dir.rename(sdir)
+        shutil.rmtree(old_dir)
+
+        n_after = len(list(sdir.glob("*.parquet")))
+        manifest["compacted"] = {
+            "files_before": len(files),
+            "files_after": n_after,
+            "target_bytes": target_bytes,
+            "at": time.time(),
+        }
+        mtmp = mpath.with_suffix(".tmp")
+        mtmp.write_text(json.dumps(manifest, indent=1))
+        mtmp.rename(mpath)
+        summary["shards_compacted"] += 1
+        summary["files_after"] += n_after
+    return summary
