@@ -5050,3 +5050,83 @@ SELECT 'text', CAST(count(*) AS BIGINT),
 FROM documents
 ORDER BY col_name
 """
+
+
+def _q_lang_source_chi2(sf_dir: str):
+    """Chi-square independence test of lang x source: the contingency
+    counts are exact integers from one tiny (lang, source) groupby of
+    per-batch partials; each cell's statistic uses the integer-exact
+    form (o*N - r*c)^2 / (N*r*c) so only the per-cell division and
+    the final sum are float. Cells are summed in (lang, source) order
+    on the driver; the SQL oracle's sum order differs at ~1e-15
+    relative — far below the 6-decimal compare, the same tolerance
+    contract as pagerank. Output: one row (n, dof, chi2)."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.queries_training import _docs
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["lang", "source"])
+            .group_by(["lang", "source"])
+            .aggregate([("source", "count")])
+        )
+        return g.rename_columns(["lang", "source", "n"])
+
+    cells = (
+        _docs(sf_dir, ["lang", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    cells["n"] = cells["n"].astype("int64")
+    rows = cells.groupby("lang")["n"].sum()
+    colsums = cells.groupby("source")["n"].sum()
+    n_total = int(cells["n"].sum())
+    chi2 = 0.0
+    for r in cells.sort_values(["lang", "source"]).itertuples():
+        o, rr, cc = int(r.n), int(rows[r.lang]), int(colsums[r.source])
+        num = (o * n_total - rr * cc) ** 2  # exact python int
+        chi2 += float(num) / (float(n_total) * float(rr) * float(cc))
+    # zero-count cells of the full grid contribute e/n = r*c/N each
+    for lg, rv in rows.items():
+        for sc, cv in colsums.items():
+            if not ((cells["lang"] == lg) & (cells["source"] == sc)).any():
+                chi2 += float(int(rv) * int(cv)) / float(n_total)
+    dof = (len(rows) - 1) * (len(colsums) - 1)
+    return pd.DataFrame(
+        {"n": [n_total], "dof": [dof], "chi2": [chi2]}
+    )
+
+
+CORPUS_QUERIES["lang_source_chi2"] = _q_lang_source_chi2
+CORPUS_ORACLE_SQL["lang_source_chi2"] = """
+WITH cells AS (
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY lang, source
+), r AS (
+    SELECT lang, CAST(sum(n) AS BIGINT) AS rn FROM cells GROUP BY lang
+), c AS (
+    SELECT source, CAST(sum(n) AS BIGINT) AS cn
+    FROM cells GROUP BY source
+), t AS (
+    SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells
+), grid AS (
+    SELECT r.lang, c.source, r.rn, c.cn, t.nt,
+           coalesce(cells.n, 0) AS o
+    FROM r CROSS JOIN c CROSS JOIN t
+    LEFT JOIN cells ON cells.lang = r.lang AND cells.source = c.source
+)
+SELECT max(nt) AS n,
+       CAST((count(DISTINCT lang) - 1)
+            * (count(DISTINCT source) - 1) AS BIGINT) AS dof,
+       sum(CAST((CAST(o AS HUGEINT) * nt - CAST(rn AS HUGEINT) * cn)
+                * (CAST(o AS HUGEINT) * nt - CAST(rn AS HUGEINT) * cn)
+                AS DOUBLE)
+           / (CAST(nt AS DOUBLE) * CAST(rn AS DOUBLE)
+              * CAST(cn AS DOUBLE))) AS chi2
+FROM grid
+"""

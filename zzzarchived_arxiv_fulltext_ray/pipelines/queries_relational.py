@@ -3045,3 +3045,82 @@ SELECT prev_type, next_type, n,
 FROM c
 ORDER BY prev_type, next_type
 """
+
+
+def _q_events_benford(sf_dir: str):
+    """Benford first-digit audit of event cents (the classic
+    fabricated-data screen): exact counts per leading digit 1-9 from
+    per-batch bincount partials, next to the Benford expectation
+    p_d = log10(1 + 1/d) and each digit's standardized residual
+    (n_d - N*p_d) / sqrt(N*p_d*(1-p_d)) — a handful of float ops per
+    digit in fixed order, mirrored by the oracle. Zero/negative cents
+    are excluded (no leading digit)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cents = _cents(b["value"]).to_numpy(zero_copy_only=False)
+        cents = cents[cents > 0]
+        # leading decimal digit, vectorized: shift down by 10 until < 10
+        x = cents.copy()
+        while (x >= 10).any():
+            x = np.where(x >= 10, x // 10, x)
+        counts = np.bincount(x, minlength=10)[1:10]
+        return pa.Table.from_pydict(
+            {f"d{d}": pa.array([int(counts[d - 1])], pa.int64())
+             for d in range(1, 10)}
+        )
+
+    agg = ev.map_batches(partial, batch_format="pyarrow").aggregate(
+        *[Sum(f"d{d}", alias_name=f"d{d}") for d in range(1, 10)]
+    )
+    ns = [int(agg[f"d{d}"]) for d in range(1, 10)]
+    n_total = sum(ns)
+    rows = []
+    for d, nd in zip(range(1, 10), ns):
+        p = math.log10(1.0 + 1.0 / d)
+        e = n_total * p
+        z = (nd - e) / math.sqrt(e * (1.0 - p))
+        rows.append(
+            {"digit": d, "n": nd, "expected_p": p, "z_resid": z}
+        )
+    return pd.DataFrame(
+        rows, columns=["digit", "n", "expected_p", "z_resid"]
+    )
+
+
+RELATIONAL_QUERIES["events_benford"] = _q_events_benford
+RELATIONAL_ORACLE_SQL["events_benford"] = """
+WITH o AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), d AS (
+    SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+           AS digit
+    FROM o WHERE cents > 0
+), c AS (
+    SELECT g.digit,
+           CAST(count(d.digit) AS BIGINT) AS n
+    FROM generate_series(1, 9) g(digit)
+    LEFT JOIN d ON d.digit = g.digit
+    GROUP BY g.digit
+), t AS (
+    SELECT CAST(sum(n) AS BIGINT) AS nt FROM c
+)
+SELECT c.digit, c.n,
+       log10(1.0 + 1.0 / c.digit) AS expected_p,
+       (c.n - t.nt * log10(1.0 + 1.0 / c.digit))
+       / sqrt(t.nt * log10(1.0 + 1.0 / c.digit)
+              * (1.0 - log10(1.0 + 1.0 / c.digit))) AS z_resid
+FROM c, t
+ORDER BY c.digit
+"""
