@@ -3124,3 +3124,112 @@ SELECT c.digit, c.n,
 FROM c, t
 ORDER BY c.digit
 """
+
+
+def _q_events_winsorized_mean(sf_dir: str):
+    """Winsorized mean per event type (the standard outlier-robust
+    cleaning step): cents clipped to the per-type [p05, p95] discrete
+    quantiles (rank = ceil(q*n) integer arithmetic, DuckDB
+    quantile_disc convention, via the grouped bucket-refinement
+    selection — two lockstep multi-group passes, no sort), then the
+    clipped sum stays exact int64 and the mean is one float division.
+    Output per type: n, p05/p95 cents, winsorized sum and mean."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.selection import grouped_quantile_disc
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "event_type": b["event_type"],
+                "cents": _cents(b["value"]),
+            }
+        )
+
+    keyed = ev.map_batches(prep, batch_format="pyarrow").materialize()
+    lo_q = {g: v for g, v, _ in
+            grouped_quantile_disc(keyed, "event_type", "cents", 0.05)}
+    hi_q = {g: v for g, v, _ in
+            grouped_quantile_disc(keyed, "event_type", "cents", 0.95)}
+    import ray
+
+    bounds_ref = ray.put((lo_q, hi_q))
+
+    def clip_partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import ray
+
+        lo_m, hi_m = ray.get(bounds_ref)
+        et = b["event_type"].to_pylist()
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        lo = np.array([lo_m[t] for t in et], dtype=np.int64)
+        hi = np.array([hi_m[t] for t in et], dtype=np.int64)
+        w = np.clip(c, lo, hi)
+        import pandas as pd
+
+        df = (
+            pd.DataFrame({"event_type": et, "w": w})
+            .groupby("event_type", sort=False)
+            .agg(wsum=("w", "sum"), n=("w", "size"))
+            .reset_index()
+        )
+        return pa.Table.from_pydict(
+            {
+                "event_type": pa.array(df["event_type"], pa.string()),
+                "wsum": pa.array(df["wsum"].astype("int64"), pa.int64()),
+                "n": pa.array(df["n"].astype("int64"), pa.int64()),
+            }
+        )
+
+    out = (
+        keyed.map_batches(clip_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("wsum", alias_name="wsum"),
+                   Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["wsum"] = out["wsum"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["p05_cents"] = out["event_type"].map(lo_q).astype("int64")
+    out["p95_cents"] = out["event_type"].map(hi_q).astype("int64")
+    out["wmean"] = out["wsum"].astype("float64") / out["n"].astype(
+        "float64"
+    )
+    return (
+        out[["event_type", "n", "p05_cents", "p95_cents", "wsum",
+             "wmean"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+RELATIONAL_QUERIES["events_winsorized_mean"] = _q_events_winsorized_mean
+RELATIONAL_ORACLE_SQL["events_winsorized_mean"] = """
+WITH o AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+), q AS (
+    SELECT event_type,
+           CAST(quantile_disc(cents, 0.05) AS BIGINT) AS p05,
+           CAST(quantile_disc(cents, 0.95) AS BIGINT) AS p95,
+           CAST(count(*) AS BIGINT) AS n
+    FROM o GROUP BY event_type
+), w AS (
+    SELECT o.event_type,
+           least(greatest(o.cents, q.p05), q.p95) AS wc
+    FROM o JOIN q ON o.event_type = q.event_type
+)
+SELECT q.event_type, q.n, q.p05 AS p05_cents, q.p95 AS p95_cents,
+       CAST(sum(w.wc) AS BIGINT) AS wsum,
+       CAST(sum(w.wc) AS DOUBLE) / CAST(q.n AS DOUBLE) AS wmean
+FROM w JOIN q ON w.event_type = q.event_type
+GROUP BY q.event_type, q.n, q.p05, q.p95
+ORDER BY q.event_type
+"""
