@@ -313,3 +313,40 @@ def test_random_walks_empty_graph(ray_session):
     out = random_walks(empty)
     assert out.count() == 0
     assert out.schema().names == ["start", "s1", "s2", "s3"]
+
+
+def test_edge_triangle_support_vs_brute(ray_session):
+    import random
+
+    from zzzarchived_arxiv_fulltext_ray.stages.graph import (
+        edge_triangle_support,
+    )
+
+    rng = random.Random(19)
+    edges = list(
+        {
+            tuple(sorted(rng.sample(range(25), 2)))
+            for _ in range(80)
+        }
+    )
+    out = (
+        edge_triangle_support(_edges_ds(edges))
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    assert len(out) == len(edges)
+    for r in out.itertuples():
+        t = len(adj[r.u] & adj[r.v])
+        du, dv = len(adj[r.u]), len(adj[r.v])
+        den = du + dv - 2 - t
+        assert (r.t, r.du, r.dv) == (t, du, dv)
+        assert r.jaccard == (t / den if den > 0 else 0.0)
+
+    # an isolated edge: zero support, zero-denominator jaccard
+    iso = edge_triangle_support(_edges_ds([(100, 101)])).to_pandas()
+    assert iso.iloc[0]["t"] == 0 and iso.iloc[0]["jaccard"] == 0.0

@@ -5130,3 +5130,73 @@ SELECT max(nt) AS n,
               * CAST(cn AS DOUBLE))) AS chi2
 FROM grid
 """
+
+
+def _q_supplier_edge_jaccard(sf_dir: str):
+    """Tie strength (embeddedness) of every co-supply edge
+    (``stages.graph.edge_triangle_support``): per edge the exact
+    triangle support t = |N(u) ∩ N(v)|, both degrees, and the
+    neighbor-set Jaccard t / (du + dv - 2 - t) as one float division
+    of exact integers. The adjacency-filter twin of the
+    common-neighbor link predictor — same wedge-pair exchange, LEFT
+    join keeps zero-support edges."""
+    import pyarrow as pa
+    import ray.data
+
+    from ..stages.graph import cooccurrence_edges, edge_triangle_support
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+
+    def sample_orders(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(keys % 50 == 0))
+
+    edges = cooccurrence_edges(
+        li.map_batches(sample_orders, batch_format="pyarrow"),
+        "l_orderkey", "l_suppkey", min_count=2,
+    )
+    out = edge_triangle_support(
+        edges, assume_canonical=True
+    ).to_pandas()
+    return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+CORPUS_QUERIES["supplier_edge_jaccard"] = _q_supplier_edge_jaccard
+CORPUS_ORACLE_SQL["supplier_edge_jaccard"] = """
+WITH li AS (
+    SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_orderkey % 50 = 0
+), co AS (
+    SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+           count(DISTINCT a.l_orderkey) AS n
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+), e0 AS (
+    SELECT u, v FROM co WHERE n >= 2
+), inc AS (
+    SELECT u AS node, v AS nbr FROM e0
+    UNION ALL SELECT v AS node, u AS nbr FROM e0
+), deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS d FROM inc GROUP BY node
+), cn AS (
+    SELECT a.node AS u, b.node AS v, CAST(count(*) AS BIGINT) AS t
+    FROM inc a JOIN inc b
+      ON a.nbr = b.nbr AND a.node < b.node
+    GROUP BY 1, 2
+)
+SELECT e0.u, e0.v, coalesce(cn.t, 0) AS t,
+       da.d AS du, db.d AS dv,
+       CASE WHEN da.d + db.d - 2 - coalesce(cn.t, 0) > 0
+            THEN CAST(coalesce(cn.t, 0) AS DOUBLE)
+                 / (da.d + db.d - 2 - coalesce(cn.t, 0))
+            ELSE 0.0 END AS jaccard
+FROM e0
+LEFT JOIN cn ON cn.u = e0.u AND cn.v = e0.v
+JOIN deg da ON da.node = e0.u
+JOIN deg db ON db.node = e0.v
+ORDER BY e0.u, e0.v
+"""

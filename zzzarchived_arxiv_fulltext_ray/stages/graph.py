@@ -2053,3 +2053,210 @@ def random_walks(
     return frontier.map_batches(
         lambda b: b.select(cols), batch_format="pyarrow"
     )
+
+
+def edge_triangle_support(
+    edges_ds,
+    max_degree: int = 1024,
+    num_buckets: int = 64,
+    assume_canonical: bool = False,
+):
+    """Per-EDGE triangle support and neighbor-set Jaccard — the exact
+    tie-strength feature (embeddedness) link analysis ranks edges by:
+    for each edge (u, v), t = |N(u) ∩ N(v)| (triangles through the
+    edge) and jaccard = t / (du + dv - 2 - t), one float division of
+    exact integers (denominator is |N(u) ∪ N(v) \\ {u,v}|; 0 -> 0.0).
+    The adjacency-filter twin of :func:`common_neighbor_pairs`: same
+    wedge-pair counting (one coalesced hash(center) exchange, ordered
+    ``triu_indices`` per center, hubs over ``max_degree`` dropped and
+    logged — the shared hot-key contract), but the final join KEEPS
+    edges (left join, zero-fill) instead of anti-dropping them, then
+    two bucketed degree joins attach du/dv. Returns a Ray Dataset
+    (u, v, t, du, dv, jaccard)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import bucket_of_column
+    from .relational import partitioned_hash_join
+
+    if not assume_canonical:
+        edges_ds = _canonicalize(edges_ds)
+    edges = edges_ds.materialize()
+    import ray.data as rd
+
+    if edges.count() == 0:
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "u": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                    "t": pa.array([], pa.int64()),
+                    "du": pa.array([], pa.int64()),
+                    "dv": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        u = batch["u"].combine_chunks()
+        v = batch["v"].combine_chunks()
+        t = pa.Table.from_pydict(
+            {
+                "src": pa.chunked_array([u, v]).combine_chunks(),
+                "dst": pa.chunked_array([v, u]).combine_chunks(),
+            }
+        )
+        return pa.Table.from_pydict(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "__b": pa.array(
+                    bucket_of_column(t["src"], num_buckets), pa.int64()
+                ),
+            }
+        )
+
+    def pairs_of_bucket(group: pa.Table) -> pa.Table:
+        src = group["src"].to_numpy(zero_copy_only=False)
+        dst = group["dst"].to_numpy(zero_copy_only=False)
+        empty = pa.Table.from_pydict(
+            {
+                "u": pa.array([], pa.int64()),
+                "v": pa.array([], pa.int64()),
+                "cn": pa.array([], pa.int64()),
+            }
+        )
+        if src.size == 0:
+            return empty
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], src[1:] != src[:-1]])
+        )
+        ends = np.append(starts[1:], src.size)
+        out_u, out_v = [], []
+        for s, e in zip(starts, ends):
+            d = e - s
+            if d > max_degree:
+                logger.warning(
+                    "edge_triangle_support: dropping hub center=%s "
+                    "with degree %d (max_degree=%d)",
+                    src[s], d, max_degree,
+                )
+                continue
+            if d < 2:
+                continue
+            ii, jj = np.triu_indices(d, k=1)
+            out_u.append(dst[s:e][ii])
+            out_v.append(dst[s:e][jj])
+        if not out_u:
+            return empty
+        n_pairs = sum(a.size for a in out_u)
+        return pa.Table.from_pydict(
+            {
+                "u": pa.array(np.concatenate(out_u), pa.int64()),
+                "v": pa.array(np.concatenate(out_v), pa.int64()),
+                "cn": pa.array(np.ones(n_pairs, np.int64)),
+            }
+        )
+
+    scored = (
+        edges.map_batches(symmetrize, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(pairs_of_bucket, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Sum("cn", alias_name="t"))
+    ).materialize()
+
+    if scored.schema() is None:
+        scored = rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "u": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                    "t": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    with_t = partitioned_hash_join(
+        edges, scored, key=["u", "v"], how="left",
+        num_buckets=num_buckets,
+    ).map_batches(
+        lambda b: pa.Table.from_pydict(
+            {
+                "u": b["u"],
+                "v": b["v"],
+                "t": pa.compute.fill_null(
+                    pa.compute.cast(b["t"], pa.int64()), 0
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        n, c = np.unique(both, return_counts=True)
+        return pa.Table.from_pydict(
+            {"node": pa.array(n, pa.int64()),
+             "d": pa.array(c, pa.int64())}
+        )
+
+    degrees = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="d"))
+    )
+
+    with_du = partitioned_hash_join(
+        with_t.map_batches(
+            lambda b: b.rename_columns(["node", "v", "t"]),
+            batch_format="pyarrow",
+        ),
+        degrees,
+        key="node",
+        num_buckets=num_buckets,
+    ).map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"u": b["node"], "node": b["v"], "t": b["t"],
+             "du": b["d"]}
+        ),
+        batch_format="pyarrow",
+    )
+    with_both = partitioned_hash_join(
+        with_du,
+        degrees.map_batches(
+            lambda b: b.rename_columns(["node", "dv"]),
+            batch_format="pyarrow",
+        ),
+        key="node",
+        num_buckets=num_buckets,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = b["t"].to_numpy(zero_copy_only=False)
+        du = b["du"].to_numpy(zero_copy_only=False)
+        dv = b["dv"].to_numpy(zero_copy_only=False)
+        denom = du + dv - 2 - t
+        jac = np.where(
+            denom > 0, t.astype(np.float64) / denom.astype(np.float64),
+            0.0,
+        )
+        return pa.Table.from_pydict(
+            {
+                "u": b["u"],
+                "v": b["node"],
+                "t": b["t"],
+                "du": b["du"],
+                "dv": b["dv"],
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+    return with_both.map_batches(finish, batch_format="pyarrow")
