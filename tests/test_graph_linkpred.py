@@ -350,3 +350,46 @@ def test_edge_triangle_support_vs_brute(ray_session):
     # an isolated edge: zero support, zero-denominator jaccard
     iso = edge_triangle_support(_edges_ds([(100, 101)])).to_pandas()
     assert iso.iloc[0]["t"] == 0 and iso.iloc[0]["jaccard"] == 0.0
+
+
+def test_ktruss_peel_vs_brute(ray_session):
+    import random
+
+    from zzzarchived_arxiv_fulltext_ray.stages.graph import ktruss_peel
+
+    rng = random.Random(23)
+    edges = list(
+        {
+            tuple(sorted(rng.sample(range(20), 2)))
+            for _ in range(70)
+        }
+    )
+
+    def brute(es, k, rounds):
+        es = set(es)
+        t_of = {}
+        for _ in range(rounds):
+            adj = {}
+            for u, v in es:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+            t_of = {
+                (u, v): len(adj[u] & adj[v]) for u, v in es
+            }
+            kept = {e for e in es if t_of[e] >= k - 2}
+            if kept == es:
+                break
+            es = kept
+            if not es:
+                return {}
+        return {e: t_of[e] for e in es}
+
+    for k in (3, 4, 5):
+        want = brute(edges, k, 2)
+        out = ktruss_peel(
+            _edges_ds(edges), k=k, rounds=2
+        ).to_pandas()
+        got = {
+            (int(r.u), int(r.v)): int(r.t) for r in out.itertuples()
+        }
+        assert got == want, k

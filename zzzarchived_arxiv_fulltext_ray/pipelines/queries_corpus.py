@@ -5200,3 +5200,78 @@ JOIN deg da ON da.node = e0.u
 JOIN deg db ON db.node = e0.v
 ORDER BY e0.u, e0.v
 """
+
+
+def _q_supplier_ktruss(sf_dir: str):
+    """Two rounds of 3-truss peeling on the sparsified co-supply graph
+    (``stages.graph.ktruss_peel``): drop every edge with triangle
+    support < 1 and recompute on the survivors — the edge-grain
+    cohesion twin of supplier_kcore, with the same fixed-round +
+    no-op-early-stop contract that lets the oracle unroll each round
+    as one common-neighbor CTE + filter. Surviving edges carry their
+    final-round support."""
+    import pyarrow as pa
+    import ray.data
+
+    from ..stages.graph import cooccurrence_edges, ktruss_peel
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+
+    def sample_orders(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(keys % 50 == 0))
+
+    edges = cooccurrence_edges(
+        li.map_batches(sample_orders, batch_format="pyarrow"),
+        "l_orderkey", "l_suppkey", min_count=2,
+    )
+    out = ktruss_peel(
+        edges, k=3, rounds=2, assume_canonical=True
+    ).to_pandas()
+    if len(out) == 0:
+        return out
+    return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+CORPUS_QUERIES["supplier_ktruss"] = _q_supplier_ktruss
+CORPUS_ORACLE_SQL["supplier_ktruss"] = """
+WITH li AS (
+    SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_orderkey % 50 = 0
+), co AS (
+    SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+           count(DISTINCT a.l_orderkey) AS n
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+), e0 AS (
+    SELECT u, v FROM co WHERE n >= 2
+), inc1 AS (
+    SELECT u AS node, v AS nbr FROM e0
+    UNION ALL SELECT v AS node, u AS nbr FROM e0
+), cn1 AS (
+    SELECT a.node AS u, b.node AS v, CAST(count(*) AS BIGINT) AS t
+    FROM inc1 a JOIN inc1 b
+      ON a.nbr = b.nbr AND a.node < b.node
+    GROUP BY 1, 2
+), e1 AS (
+    SELECT e0.u, e0.v FROM e0
+    JOIN cn1 ON cn1.u = e0.u AND cn1.v = e0.v
+    WHERE cn1.t >= 1
+), inc2 AS (
+    SELECT u AS node, v AS nbr FROM e1
+    UNION ALL SELECT v AS node, u AS nbr FROM e1
+), cn2 AS (
+    SELECT a.node AS u, b.node AS v, CAST(count(*) AS BIGINT) AS t
+    FROM inc2 a JOIN inc2 b
+      ON a.nbr = b.nbr AND a.node < b.node
+    GROUP BY 1, 2
+)
+SELECT e1.u, e1.v, cn2.t FROM e1
+JOIN cn2 ON cn2.u = e1.u AND cn2.v = e1.v
+WHERE cn2.t >= 1
+ORDER BY e1.u, e1.v
+"""

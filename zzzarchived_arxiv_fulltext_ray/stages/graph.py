@@ -2260,3 +2260,70 @@ def edge_triangle_support(
         )
 
     return with_both.map_batches(finish, batch_format="pyarrow")
+
+
+def ktruss_peel(
+    edges_ds,
+    k: int = 4,
+    rounds: int = 2,
+    num_buckets: int = 64,
+    assume_canonical: bool = False,
+    max_degree: int = 1024,
+):
+    """``rounds`` iterations of k-truss peeling: repeatedly drop every
+    edge whose triangle SUPPORT (common-neighbor count) is below
+    k - 2, recomputing support on the surviving edge set each round —
+    the edge-grain cohesion analogue of :func:`kcore_peel`, with the
+    same SQL-expressibility contract (FIXED round count + no-op early
+    stop -> the oracle unrolls each round as one common-neighbor CTE
+    + one filter). Support comes from the
+    :func:`edge_triangle_support` wedge-pair exchange; each round the
+    surviving edges are re-pinned (constant block count + severed
+    lineage — the iterative-Dataset contract). Returns a Ray Dataset
+    (u, v, t) of surviving edges with their final-round support."""
+    import ray.data as rd
+
+    from .components import pin_loop_state
+
+    if not assume_canonical:
+        edges_ds = _canonicalize(edges_ds)
+    edges = pin_loop_state(edges_ds, num_blocks=8)
+    n_cur = edges.count()
+
+    empty = pa.Table.from_pydict(
+        {
+            "u": pa.array([], pa.int64()),
+            "v": pa.array([], pa.int64()),
+            "t": pa.array([], pa.int64()),
+        }
+    )
+    if n_cur == 0:
+        return rd.from_arrow(empty)
+
+    thresh = k - 2
+    last = None
+    for _ in range(rounds):
+        supported = edge_triangle_support(
+            edges, max_degree=max_degree, num_buckets=num_buckets,
+            assume_canonical=True,
+        ).map_batches(
+            lambda b: b.select(["u", "v", "t"]), batch_format="pyarrow"
+        )
+        kept = supported.filter(expr=f"t >= {thresh}")
+        kept = pin_loop_state(kept, num_blocks=8)
+        n_kept = kept.count()
+        if n_kept == 0:
+            return rd.from_arrow(empty)
+        converged = n_kept == n_cur
+        last, n_cur = kept, n_kept
+        # next round's support recomputes on the bare edge set (the
+        # carried t would collide with the join's support column)
+        edges = pin_loop_state(
+            kept.map_batches(
+                lambda b: b.select(["u", "v"]), batch_format="pyarrow"
+            ),
+            num_blocks=8,
+        )
+        if converged:
+            break  # support can only change when edges dropped
+    return last
