@@ -5275,3 +5275,95 @@ JOIN cn2 ON cn2.u = e1.u AND cn2.v = e1.v
 WHERE cn2.t >= 1
 ORDER BY e1.u, e1.v
 """
+
+
+def _q_supplier_diameter(sf_dir: str):
+    """Two-sweep eccentricity (the classic diameter lower-bound
+    heuristic): BFS from the minimum-id node, hop to the farthest
+    reached node (ties -> smallest id), BFS again from there and
+    report its eccentricity — two ``stages.graph.bfs_hops`` runs
+    (hop-truncated at 8, which keeps the recursive-CTE oracle finite
+    and both engines identically truncated). The farthest-node argmax
+    stays distributed (one Max aggregate + one filtered Min — the
+    hops table never lands on the driver)."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Max, Min
+
+    from ..stages.graph import bfs_hops, cooccurrence_edges
+
+    H = 8
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+
+    def sample_orders(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(keys % 50 == 0))
+
+    edges = cooccurrence_edges(
+        li.map_batches(sample_orders, batch_format="pyarrow"),
+        "l_orderkey", "l_suppkey", min_count=2,
+    ).materialize()
+
+    seed = int(edges.aggregate(Min("u", alias_name="m"))["m"])
+    sweep1 = bfs_hops(
+        edges, [seed], max_hops=H, assume_canonical=True
+    ).materialize()
+    mh1 = int(sweep1.aggregate(Max("hops", alias_name="m"))["m"])
+    far = int(
+        sweep1.filter(expr=f"hops == {mh1}")
+        .aggregate(Min("node", alias_name="m"))["m"]
+    )
+    sweep2 = bfs_hops(
+        edges, [far], max_hops=H, assume_canonical=True
+    )
+    ecc = int(sweep2.aggregate(Max("hops", alias_name="m"))["m"])
+    import pandas as pd
+
+    return pd.DataFrame(
+        {"seed": [seed], "far_node": [far], "eccentricity": [ecc]}
+    )
+
+
+CORPUS_QUERIES["supplier_diameter"] = _q_supplier_diameter
+CORPUS_ORACLE_SQL["supplier_diameter"] = """
+WITH RECURSIVE li AS (
+    SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_orderkey % 50 = 0
+), co AS (
+    SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+           count(DISTINCT a.l_orderkey) AS n
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+), e AS (
+    SELECT u, v FROM co WHERE n >= 2
+), bi AS (
+    SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+), w1(node, hop) AS (
+    SELECT (SELECT min(u) FROM e), 0
+    UNION
+    SELECT bi.dst, w1.hop + 1
+    FROM w1 JOIN bi ON bi.src = w1.node
+    WHERE w1.hop < 8
+), h1 AS (
+    SELECT node, min(hop) AS hops FROM w1 GROUP BY node
+), far AS (
+    SELECT node FROM h1
+    ORDER BY hops DESC, node ASC LIMIT 1
+), w2(node, hop) AS (
+    SELECT (SELECT node FROM far), 0
+    UNION
+    SELECT bi.dst, w2.hop + 1
+    FROM w2 JOIN bi ON bi.src = w2.node
+    WHERE w2.hop < 8
+), h2 AS (
+    SELECT node, min(hop) AS hops FROM w2 GROUP BY node
+)
+SELECT (SELECT min(u) FROM e) AS seed,
+       (SELECT node FROM far) AS far_node,
+       (SELECT CAST(max(hops) AS BIGINT) FROM h2) AS eccentricity
+"""
