@@ -2825,3 +2825,172 @@ FROM documents d JOIN ({_LANGID_SQL}) p ON d.doc_id = p.doc_id
 GROUP BY d.lang, p.lang_pred
 ORDER BY d.lang, p.lang_pred
 """
+
+
+def _q_token_hapax(sf_dir: str):
+    """Hapax legomena census (the vocabulary-growth / data-quality
+    stat): total tokens, vocabulary size, tokens occurring exactly
+    once / twice, and the hapax share of the vocabulary — exact
+    integers from the token groupby (per-batch partial counts), the
+    share one float division."""
+    from collections import Counter
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = Counter()
+        for t in batch["text"].to_pylist():
+            counts.update(t.split())
+        return pa.Table.from_pydict(
+            {
+                "token": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def census(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "n_tokens": pa.array([int(n.sum())], pa.int64()),
+                "vocab": pa.array([int(n.size)], pa.int64()),
+                "hapax": pa.array([int((n == 1).sum())], pa.int64()),
+                "dis": pa.array([int((n == 2).sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(census, batch_format="pyarrow")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("vocab", alias_name="vocab"),
+            Sum("hapax", alias_name="hapax"),
+            Sum("dis", alias_name="dis"),
+        )
+    )
+    n_tokens, vocab = int(agg["n_tokens"]), int(agg["vocab"])
+    hapax, dis = int(agg["hapax"]), int(agg["dis"])
+    return pd.DataFrame(
+        {
+            "n_tokens": [n_tokens],
+            "vocab": [vocab],
+            "hapax": [hapax],
+            "dis_legomena": [dis],
+            "hapax_share": [hapax / vocab if vocab else 0.0],
+        }
+    )
+
+
+TRAINING_QUERIES["token_hapax"] = _q_token_hapax
+TRAINING_ORACLE_SQL["token_hapax"] = """
+WITH tc AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    t -> t <> '')) AS tok
+          FROM documents)
+    GROUP BY tok
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS hapax,
+       CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dis_legomena,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS hapax_share
+FROM tc
+"""
+
+
+def _q_token_zipf_fit(sf_dir: str):
+    """Zipf's-law fit: OLS slope/intercept of ln(freq) on ln(rank)
+    over the top-50 tokens (rank by count desc, token asc — an exact
+    integer selection via partial top-k, so both engines regress the
+    SAME 50 points). The regression runs on the driver over 50 rows
+    with the explicit sufficient-sum formula; the oracle spells the
+    identical sums (sum order differs at ~1e-15 — the documented
+    pagerank tolerance, far below the 6-decimal compare)."""
+    import math
+
+    from collections import Counter
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = Counter()
+        for t in batch["text"].to_pylist():
+            counts.update(t.split())
+        return pa.Table.from_pydict(
+            {
+                "token": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "token"], ascending=[False, True]
+        ).head(50)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    top = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["n", "token"], ascending=[False, True])
+        .head(50)
+        .reset_index(drop=True)
+    )
+    k = len(top)
+    sx = sy = sxy = sxx = 0.0
+    for rank, n in enumerate(top["n"].astype("int64"), start=1):
+        x, y = math.log(float(rank)), math.log(float(int(n)))
+        sx += x
+        sy += y
+        sxy += x * y
+        sxx += x * x
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    intercept = (sy - slope * sx) / k
+    return pd.DataFrame(
+        {"k": [k], "zipf_slope": [slope], "zipf_intercept": [intercept]}
+    )
+
+
+TRAINING_QUERIES["token_zipf_fit"] = _q_token_zipf_fit
+TRAINING_ORACLE_SQL["token_zipf_fit"] = """
+WITH tc AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    t -> t <> '')) AS tok
+          FROM documents)
+    GROUP BY tok
+), top AS (
+    SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rank
+    FROM tc ORDER BY n DESC, tok ASC LIMIT 50
+), pts AS (
+    SELECT ln(CAST(rank AS DOUBLE)) AS x,
+           ln(CAST(n AS DOUBLE)) AS y
+    FROM top
+), s AS (
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * y) AS sxy, sum(x * x) AS sxx
+    FROM pts
+)
+SELECT k,
+       (k * sxy - sx * sy) / (k * sxx - sx * sx) AS zipf_slope,
+       (sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k
+           AS zipf_intercept
+FROM s
+"""
