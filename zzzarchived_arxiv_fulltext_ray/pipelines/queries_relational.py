@@ -3233,3 +3233,133 @@ FROM w JOIN q ON w.event_type = q.event_type
 GROUP BY q.event_type, q.n, q.p05, q.p95
 ORDER BY q.event_type
 """
+
+
+def _q_events_interarrival(sf_dir: str):
+    """Inter-arrival-time distribution: per-user adjacent gaps (whole
+    seconds, integer floor) bucketed by bit length (log2 bands — the
+    standard latency-histogram shape), with exact counts and the
+    exact integer gap sum per band. One coalesced hash(user) exchange
+    (lexsort + shift, pairs never cross users), per-bucket bincount
+    partials, tiny band groupby. The oracle reuses the pure-SQL
+    bit-length smear from the HLL toolkit."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import bucket_of_column
+
+    num_buckets = 64
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "us": pa.array(
+                    b["ts"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]")
+                    .astype(np.int64),
+                    pa.int64(),
+                ),
+                "__b": pa.array(
+                    bucket_of_column(b["user_id"], num_buckets),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def gaps_of_bucket(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        empty = pa.Table.from_pydict(
+            {
+                "band": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "gap_sum": pa.array([], pa.int64()),
+            }
+        )
+        if uid.size < 2:
+            return empty
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        us = group["us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        uid, us = uid[order], us[order]
+        same = uid[1:] == uid[:-1]
+        gap_s = ((us[1:] - us[:-1]) // 1_000_000)[same]
+        if gap_s.size == 0:
+            return empty
+        band = np.zeros(gap_s.size, dtype=np.int64)
+        nz = gap_s > 0
+        band[nz] = np.frexp(gap_s[nz].astype(np.float64))[1]
+        import pandas as pd
+
+        df = (
+            pd.DataFrame({"band": band, "g": gap_s})
+            .groupby("band", sort=False)
+            .agg(n=("g", "size"), gap_sum=("g", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pydict(
+            {
+                "band": pa.array(df["band"].astype("int64"), pa.int64()),
+                "n": pa.array(df["n"].astype("int64"), pa.int64()),
+                "gap_sum": pa.array(
+                    df["gap_sum"].astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(gaps_of_bucket, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("gap_sum", alias_name="gap_sum"))
+        .to_pandas()
+    )
+    for c in ("band", "n", "gap_sum"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("band").reset_index(drop=True)
+
+
+def _interarrival_oracle_sql() -> str:
+    from .queries_training import _bitlen_smear_sql
+
+    # band = bit_length(gap_s) for gap_s > 0, else 0 — identical to
+    # numpy frexp's exponent for positive ints
+    return f"""
+WITH o AS (
+    SELECT user_id, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev
+    FROM events
+), g AS (
+    SELECT CAST((us - prev) // 1000000 AS BIGINT) AS gap_s
+    FROM o WHERE prev IS NOT NULL
+), b AS (
+    SELECT gap_s,
+           CASE WHEN gap_s > 0
+                THEN CAST({_bitlen_smear_sql("CAST(gap_s AS UBIGINT)")}
+                     AS BIGINT)
+                ELSE 0 END AS band
+    FROM g
+)
+SELECT band, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(gap_s) AS BIGINT) AS gap_sum
+FROM b GROUP BY band ORDER BY band
+"""
+
+
+RELATIONAL_QUERIES["events_interarrival"] = _q_events_interarrival
+RELATIONAL_ORACLE_SQL["events_interarrival"] = _interarrival_oracle_sql()
