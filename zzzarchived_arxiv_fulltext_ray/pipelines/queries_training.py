@@ -2994,3 +2994,126 @@ SELECT k,
            AS zipf_intercept
 FROM s
 """
+
+
+def _q_doc_ngram_novelty(sf_dir: str):
+    """Novelty curve for dataset curation (memorization analysis):
+    per document, the count of its distinct word 3-gram shingles and
+    how many appear for the FIRST time in doc_id order (shingle's
+    minimum doc_id == this doc), novelty = the ratio. Exchanges move
+    only 8-byte shingle hashes: one groupby(hash) Min(doc_id) for
+    first appearances + one tiny per-doc count — the
+    events_cumulative_users first-appearance pattern on the
+    dedup-family shingle grain. Docs with zero shingles are excluded
+    (no ratio), mirroring the oracle's WHERE."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Min, Sum
+
+    from ..functions.shingles import shingle_hashes
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids, hs, tot_ids, tot_ns = [], [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            h = shingle_hashes(text)
+            if h.size == 0:
+                continue
+            ids.append(np.full(h.size, did, dtype=np.int64))
+            hs.append(h.view(np.int64))
+            tot_ids.append(did)
+            tot_ns.append(h.size)
+        if not ids:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "h": pa.array([], pa.int64()),
+                }
+            )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(np.concatenate(ids), pa.int64()),
+                "h": pa.array(np.concatenate(hs), pa.int64()),
+            }
+        )
+
+    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    ).materialize()  # reused: totals + first-appearance
+
+    def tot_partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d, c = np.unique(
+            batch["doc_id"].to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(d, pa.int64()),
+             "n_shingles": pa.array(c, pa.int64())}
+        )
+
+    totals = (
+        rows.map_batches(tot_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_shingles", alias_name="n_shingles"))
+        .to_pandas()
+    )
+
+    def novel_partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d, c = np.unique(
+            batch["d0"].to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(d, pa.int64()),
+             "n_novel": pa.array(c, pa.int64())}
+        )
+
+    novel = (
+        rows.groupby("h")
+        .aggregate(Min("doc_id", alias_name="d0"))
+        .map_batches(novel_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_novel", alias_name="n_novel"))
+        .to_pandas()
+    )
+    out = totals.merge(novel, on="doc_id", how="left")
+    out["n_novel"] = out["n_novel"].fillna(0).astype("int64")
+    out["n_shingles"] = out["n_shingles"].astype("int64")
+    out["novelty"] = out["n_novel"].astype("float64") / out[
+        "n_shingles"
+    ].astype("float64")
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "n_shingles", "n_novel", "novelty"]
+    ]
+
+
+TRAINING_QUERIES["doc_ngram_novelty"] = _q_doc_ngram_novelty
+TRAINING_ORACLE_SQL["doc_ngram_novelty"] = (
+    "WITH " + _SHINGLE_CTE + """
+, ex AS (
+    SELECT doc_id, unnest(s) AS shv FROM sh
+), tot AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+    FROM ex GROUP BY doc_id
+), fa AS (
+    SELECT shv, min(doc_id) AS d0 FROM ex GROUP BY shv
+), nov AS (
+    SELECT d0 AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+    FROM fa GROUP BY d0
+)
+SELECT t.doc_id, t.n_shingles,
+       CAST(coalesce(nov.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(coalesce(nov.n_novel, 0) AS DOUBLE)
+           / CAST(t.n_shingles AS DOUBLE) AS novelty
+FROM tot t LEFT JOIN nov ON nov.doc_id = t.doc_id
+WHERE t.n_shingles > 0
+ORDER BY t.doc_id
+"""
+)
