@@ -351,6 +351,15 @@ def test_edge_triangle_support_vs_brute(ray_session):
     iso = edge_triangle_support(_edges_ds([(100, 101)])).to_pandas()
     assert iso.iloc[0]["t"] == 0 and iso.iloc[0]["jaccard"] == 0.0
 
+    # partitioned plan pinned identical to the broadcast fast path
+    part = (
+        edge_triangle_support(_edges_ds(edges), method="partitioned")
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    assert part.equals(out)
+
 
 def test_ktruss_peel_vs_brute(ray_session):
     import random

@@ -2060,6 +2060,8 @@ def edge_triangle_support(
     max_degree: int = 1024,
     num_buckets: int = 64,
     assume_canonical: bool = False,
+    method: str = "auto",
+    broadcast_limit: int = 2_000_000,
 ):
     """Per-EDGE triangle support and neighbor-set Jaccard — the exact
     tie-strength feature (embeddedness) link analysis ranks edges by:
@@ -2072,7 +2074,13 @@ def edge_triangle_support(
     logged — the shared hot-key contract), but the final join KEEPS
     edges (left join, zero-fill) instead of anti-dropping them, then
     two bucketed degree joins attach du/dv. Returns a Ray Dataset
-    (u, v, t, du, dv, jaccard)."""
+    (u, v, t, du, dv, jaccard).
+
+    Broadcast plan (<= ``broadcast_limit`` edges, the family's auto
+    crossover): edges pulled once, support via one sorted-adjacency
+    sweep on the driver — the three bucketed joins are pure fixed
+    exchange cost at small graph sizes (measured 21.6 s at sf0.1 for
+    a 548-edge graph, vs <2 s broadcast)."""
     from ray.data.aggregate import Sum
 
     from ..functions.hashing import bucket_of_column
@@ -2082,6 +2090,91 @@ def edge_triangle_support(
         edges_ds = _canonicalize(edges_ds)
     edges = edges_ds.materialize()
     import ray.data as rd
+
+    if method not in ("auto", "broadcast", "partitioned"):
+        raise ValueError(
+            f"unknown edge_triangle_support method: {method}"
+        )
+    n_edges = edges.count()
+    if method == "auto":
+        method = (
+            "broadcast" if n_edges <= broadcast_limit else "partitioned"
+        )
+
+    if n_edges and method == "broadcast":
+        parts = [
+            (
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False),
+            )
+            for b in edges.iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+        us = np.concatenate([p[0] for p in parts]).astype(np.int64)
+        vs = np.concatenate([p[1] for p in parts]).astype(np.int64)
+        src_a = np.concatenate([us, vs])
+        dst_a = np.concatenate([vs, us])
+        order = np.lexsort((dst_a, src_a))
+        src_a, dst_a = src_a[order], dst_a[order]
+        nodes, counts = np.unique(src_a, return_counts=True)
+        indptr = np.concatenate([[0], np.cumsum(counts)])
+        # support per canonical edge, fully vectorized: per-center
+        # ordered neighbor pairs packed into dense-index int64 keys
+        # (ui * n + vi; n_nodes < 3e9 by the int64 contract), counted
+        # with one np.unique, looked up per edge via searchsorted
+        pair_u, pair_v = [], []
+        for ci in range(nodes.size):
+            d = int(counts[ci])
+            if d > max_degree:
+                logger.warning(
+                    "edge_triangle_support: dropping hub center=%s "
+                    "with degree %d (max_degree=%d)",
+                    nodes[ci], d, max_degree,
+                )
+                continue
+            if d < 2:
+                continue
+            nb = dst_a[indptr[ci]: indptr[ci + 1]]
+            ii, jj = np.triu_indices(d, k=1)
+            pair_u.append(nb[ii])
+            pair_v.append(nb[jj])
+        n_nodes = nodes.size
+        if pair_u:
+            pu = np.searchsorted(nodes, np.concatenate(pair_u))
+            pv = np.searchsorted(nodes, np.concatenate(pair_v))
+            packed = pu * np.int64(n_nodes) + pv
+            uniq, cnt = np.unique(packed, return_counts=True)
+        else:
+            uniq = np.empty(0, np.int64)
+            cnt = np.empty(0, np.int64)
+        eu = np.searchsorted(nodes, us)
+        ev = np.searchsorted(nodes, vs)
+        ekey = eu * np.int64(n_nodes) + ev
+        pos = np.searchsorted(uniq, ekey)
+        hit = (pos < uniq.size) & (uniq[np.minimum(pos, max(uniq.size - 1, 0))] == ekey) if uniq.size else np.zeros(ekey.size, bool)
+        t_arr = np.zeros(ekey.size, dtype=np.int64)
+        if uniq.size:
+            t_arr[hit] = cnt[pos[hit]]
+        du = counts[eu].astype(np.int64)
+        dv = counts[ev].astype(np.int64)
+        denom = du + dv - 2 - t_arr
+        jac = np.where(
+            denom > 0,
+            t_arr.astype(np.float64) / denom.astype(np.float64),
+            0.0,
+        )
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "u": pa.array(us, pa.int64()),
+                    "v": pa.array(vs, pa.int64()),
+                    "t": pa.array(t_arr, pa.int64()),
+                    "du": pa.array(du, pa.int64()),
+                    "dv": pa.array(dv, pa.int64()),
+                    "jaccard": pa.array(jac, pa.float64()),
+                }
+            )
+        )
 
     if edges.count() == 0:
         return rd.from_arrow(
