@@ -5367,3 +5367,115 @@ SELECT (SELECT min(u) FROM e) AS seed,
        (SELECT node FROM far) AS far_node,
        (SELECT CAST(max(hops) AS BIGINT) FROM h2) AS eccentricity
 """
+
+
+def _q_embedding_quantize(sf_dir: str):
+    """Symmetric int8 scalar quantization of the embedding table (the
+    standard ANN-index compression step): per-dimension scale =
+    max |v| over the corpus (one Max exchange over per-batch
+    partials), code = floor(v * 127 / scale + 0.5) — floor-based
+    rounding chosen over banker's so BOTH engines produce identical
+    codes from the same float32->double values — and per-dimension
+    EXACT integer code statistics (sum, min, max) plus the float
+    scale. Two projected scans, 64-row output; vectors never leave
+    their batch."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    ).materialize()
+
+    def absmax_partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        m = np.stack(
+            [np.asarray(x, dtype=np.float64)
+             for x in b["embedding"].to_pylist()]
+        )
+        am = np.abs(m).max(axis=0)
+        return pa.Table.from_pydict(
+            {
+                "dim": pa.array(np.arange(am.size), pa.int64()),
+                "am": pa.array(am, pa.float64()),
+            }
+        )
+
+    scales = (
+        ds.map_batches(absmax_partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Max("am", alias_name="scale"))
+        .to_pandas()
+        .sort_values("dim")
+    )
+    import ray
+
+    scale_ref = ray.put(scales["scale"].to_numpy())
+
+    def code_partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import ray
+
+        s = ray.get(scale_ref)
+        m = np.stack(
+            [np.asarray(x, dtype=np.float64)
+             for x in b["embedding"].to_pylist()]
+        )
+        codes = np.floor(m * 127.0 / s + 0.5).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "dim": pa.array(np.arange(s.size), pa.int64()),
+                "sum_codes": pa.array(codes.sum(axis=0), pa.int64()),
+                "min_code": pa.array(codes.min(axis=0), pa.int64()),
+                "max_code": pa.array(codes.max(axis=0), pa.int64()),
+            }
+        )
+
+    stats = (
+        ds.map_batches(code_partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(
+            Sum("sum_codes", alias_name="sum_codes"),
+            Min("min_code", alias_name="min_code"),
+            Max("max_code", alias_name="max_code"),
+        )
+        .to_pandas()
+    )
+    out = scales.merge(stats, on="dim")
+    for c in ("dim", "sum_codes", "min_code", "max_code"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("dim").reset_index(drop=True)[
+        ["dim", "scale", "sum_codes", "min_code", "max_code"]
+    ]
+
+
+CORPUS_QUERIES["embedding_quantize"] = _q_embedding_quantize
+CORPUS_ORACLE_SQL["embedding_quantize"] = """
+WITH dims AS (
+    SELECT range AS i FROM range(1, 65)
+), vals AS (
+    SELECT d.i - 1 AS dim,
+           CAST(list_extract(e.embedding, d.i) AS DOUBLE) AS v
+    FROM read_parquet_embeddings e CROSS JOIN dims d
+), sc AS (
+    SELECT dim, max(abs(v)) AS scale FROM vals GROUP BY dim
+), codes AS (
+    SELECT vals.dim,
+           CAST(floor(vals.v * 127.0 / sc.scale + 0.5) AS BIGINT)
+               AS code
+    FROM vals JOIN sc ON sc.dim = vals.dim
+)
+SELECT codes.dim, sc.scale,
+       CAST(sum(code) AS BIGINT) AS sum_codes,
+       CAST(min(code) AS BIGINT) AS min_code,
+       CAST(max(code) AS BIGINT) AS max_code
+FROM codes JOIN sc ON sc.dim = codes.dim
+GROUP BY codes.dim, sc.scale
+ORDER BY codes.dim
+"""
+CORPUS_ORACLE_SQL["embedding_quantize"] = CORPUS_ORACLE_SQL[
+    "embedding_quantize"
+].replace("read_parquet_embeddings", "embeddings")
