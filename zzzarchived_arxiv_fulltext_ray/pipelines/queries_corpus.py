@@ -5479,3 +5479,129 @@ ORDER BY codes.dim
 CORPUS_ORACLE_SQL["embedding_quantize"] = CORPUS_ORACLE_SQL[
     "embedding_quantize"
 ].replace("read_parquet_embeddings", "embeddings")
+
+
+def _q_embedding_pca_top(sf_dir: str):
+    """Top principal component of the embedding table by THREE fixed
+    power iterations (the pagerank contract: fixed rounds +
+    deterministic start + mirrored float op order make an iterative
+    float algorithm SQL-replayable): sufficient stats are ONE pass —
+    the 64x64 Gram matrix G = X^T X and the mean vector mu from
+    per-batch partials — then the driver iterates
+    w = G v / n - mu (mu . v); v <- w / ||w|| from v0 = 1/8, and
+    reports the final loadings and ||w|| (the eigenvalue estimate).
+    The corpus never moves: the exchange is 64x64 doubles per batch."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    D = 64
+
+    def gram_partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        m = np.stack(
+            [np.asarray(x, dtype=np.float64)
+             for x in b["embedding"].to_pylist()]
+        )
+        g = m.T @ m
+        s = m.sum(axis=0)
+        cols = {"n": pa.array([m.shape[0]], pa.int64())}
+        for i in range(D):
+            cols[f"s{i}"] = pa.array([float(s[i])], pa.float64())
+        for i in range(D):
+            for j in range(i, D):
+                cols[f"g{i}_{j}"] = pa.array(
+                    [float(g[i, j])], pa.float64()
+                )
+        return pa.Table.from_pydict(cols)
+
+    aggs = [Sum("n", alias_name="n")]
+    aggs += [Sum(f"s{i}", alias_name=f"s{i}") for i in range(D)]
+    aggs += [
+        Sum(f"g{i}_{j}", alias_name=f"g{i}_{j}")
+        for i in range(D)
+        for j in range(i, D)
+    ]
+    agg = ds.map_batches(
+        gram_partial, batch_format="pyarrow", batch_size=None
+    ).aggregate(*aggs)
+    n = int(agg["n"])
+    mu = np.array([agg[f"s{i}"] for i in range(D)]) / n
+    G = np.zeros((D, D))
+    for i in range(D):
+        for j in range(i, D):
+            G[i, j] = G[j, i] = float(agg[f"g{i}_{j}"])
+
+    v = np.full(D, 0.125)
+    lam = 0.0
+    for _ in range(3):
+        w = G @ v / n - mu * float(mu @ v)
+        lam = float(np.sqrt(w @ w))
+        v = w / lam
+    return pd.DataFrame(
+        {
+            "dim": np.arange(D, dtype=np.int64),
+            "loading": v,
+            "eigenvalue": np.full(D, lam),
+        }
+    )
+
+
+CORPUS_QUERIES["embedding_pca_top"] = _q_embedding_pca_top
+
+
+def _pca_oracle_sql() -> str:
+    # three unrolled power iterations over the 64x64 Gram CTE
+    it = """
+, w{K} AS (
+    SELECT g.i AS dim,
+           sum(g.g * v{P}.v) / t.n
+           - m.mu * (SELECT sum(m2.mu * v{P}b.v)
+                     FROM mu m2 JOIN v{P} v{P}b ON v{P}b.dim = m2.i)
+               AS w
+    FROM gram g
+    JOIN v{P} ON v{P}.dim = g.j
+    JOIN mu m ON m.i = g.i
+    CROSS JOIN tot t
+    GROUP BY g.i, m.mu, t.n
+), n{K} AS (
+    SELECT sqrt(sum(w * w)) AS nrm FROM w{K}
+), v{K} AS (
+    SELECT dim, w / n{K}.nrm AS v FROM w{K}, n{K}
+)"""
+    body = """
+WITH dims AS (
+    SELECT range AS i FROM range(1, 65)
+), vals AS (
+    SELECT e.vec_id AS rid, d.i - 1 AS dim,
+           CAST(list_extract(e.embedding, d.i) AS DOUBLE) AS v
+    FROM embeddings e CROSS JOIN dims d
+), tot AS (
+    SELECT CAST(count(DISTINCT rid) AS BIGINT) AS n FROM vals
+), mu AS (
+    SELECT dim AS i, sum(v) / t.n AS mu
+    FROM vals CROSS JOIN tot t GROUP BY dim, t.n
+), gram AS (
+    SELECT a.dim AS i, b.dim AS j, sum(a.v * b.v) AS g
+    FROM vals a JOIN vals b ON a.rid = b.rid
+    GROUP BY a.dim, b.dim
+), v0 AS (
+    SELECT i - 1 AS dim, 0.125 AS v FROM range(1, 65) r(i)
+)"""
+    for k in (1, 2, 3):
+        body += it.format(K=k, P=k - 1)
+    body += """
+SELECT v3.dim, v3.v AS loading, n3.nrm AS eigenvalue
+FROM v3, n3 ORDER BY v3.dim
+"""
+    return body
+
+
+CORPUS_ORACLE_SQL["embedding_pca_top"] = _pca_oracle_sql()
