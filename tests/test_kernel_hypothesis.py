@@ -175,3 +175,42 @@ def test_intra_doc_dup_property(texts):
         assert out["chars_dup"][i].as_py() == sum(
             len(l) for l in lines
         ) - sum(len(l) for l in set(lines))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2**64 - 1), st.integers(1, 1000)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.data(),
+)
+@_settings
+def test_ams_sketch_additive_under_arbitrary_splits(items, data):
+    """AMS merge law: any split of any stream into two parts merges
+    to the same Z vector and estimate as the whole stream — including
+    duplicate keys landing on both sides."""
+    import numpy as np
+
+    from zzzarchived_arxiv_fulltext_ray.functions.sketches import AMSSketch
+
+    hashes = np.array([h for h, _ in items], dtype=np.uint64)
+    counts = np.array([c for _, c in items], dtype=np.int64)
+
+    whole = AMSSketch(depth=5, width=4)
+    whole.add_hashes(hashes, counts)
+
+    split = data.draw(
+        st.lists(
+            st.integers(0, 1), min_size=len(items), max_size=len(items)
+        )
+    )
+    mask = np.array(split, dtype=bool)
+    a, b = AMSSketch(depth=5, width=4), AMSSketch(depth=5, width=4)
+    a.add_hashes(hashes[mask], counts[mask])
+    b.add_hashes(hashes[~mask], counts[~mask])
+    merged = a.merge(b)
+    assert np.array_equal(merged.z, whole.z)
+    assert merged.estimate_num() == whole.estimate_num()
