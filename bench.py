@@ -164,8 +164,14 @@ def headline(ray) -> dict:
 def query_suite() -> dict:
     import __ray_entry__ as entrymod
 
+    # GRAFT_ONLY_QUERIES="q1,q2" restricts the suite (dev iteration);
+    # unset = every query, the cross-round-comparable default
+    only = os.environ.get("GRAFT_ONLY_QUERIES", "")
+    only_set = {q.strip() for q in only.split(",") if q.strip()}
     timings = {}
     for name, fn in entrymod.queries().items():
+        if only_set and name not in only_set:
+            continue
         t0 = time.time()
         fn(SF_DIR)
         timings[name] = round(time.time() - t0, 3)
