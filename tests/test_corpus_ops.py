@@ -1466,3 +1466,33 @@ def test_weighted_kth_and_median_vs_brute(ray_session):
 
     with pytest.raises(ValueError):
         distributed_weighted_kth(ds, "v", "w", W + 1)
+
+
+def test_morton2_bit_exact_and_locality():
+    import numpy as np
+
+    from zzzarchived_arxiv_fulltext_ray.functions.hashing import morton2
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 2**32, 500, dtype=np.uint64)
+    b = rng.integers(0, 2**32, 500, dtype=np.uint64)
+
+    def brute(x, y):
+        out = 0
+        for i in range(32):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    m = morton2(a, b)
+    for i in range(0, 500, 37):
+        assert int(m[i]) == brute(int(a[i]), int(b[i]))
+
+    # locality: points inside one aligned 2^k x 2^k tile share the
+    # morton prefix above 2k bits — the pruning property a Z-order
+    # layout exploits (a hash layout scatters the same tile)
+    xs = rng.integers(0, 256, 200, dtype=np.uint64) + 512
+    ys = rng.integers(0, 256, 200, dtype=np.uint64) + 1024
+    codes = morton2(xs, ys)
+    prefixes = set((codes >> np.uint64(16)).tolist())
+    assert len(prefixes) == 1

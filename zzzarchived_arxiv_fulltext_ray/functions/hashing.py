@@ -78,3 +78,24 @@ def bucket_of_column(col, num_buckets: int) -> np.ndarray:
     """int64 bucket id in [0, num_buckets) per element of an Arrow
     (chunked) array — the engine's standard exchange partitioner."""
     return (hash64_column(col) % np.uint64(num_buckets)).astype(np.int64)
+
+
+def morton2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Z-order (Morton) interleave of two uint32 arrays into uint64 —
+    the space-filling-curve key for multi-column locality
+    partitioning: sorting/bucketing by ``morton2(x, y)`` co-locates
+    rows close in BOTH dimensions, so a 2-D range predicate prunes
+    contiguous key ranges instead of scanning a hash layout. ``a``
+    takes the even bit positions (bit i of a -> bit 2i), ``b`` the
+    odd. Pure wrapping uint64 magic-bits spread, vectorized; exact
+    integers, so a SQL oracle replays codes with a 32-term bit sum."""
+    def spread(x: np.ndarray) -> np.ndarray:
+        x = x.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+        x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+        x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+        x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+        x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+        return x
+
+    return spread(np.asarray(a)) | (spread(np.asarray(b)) << np.uint64(1))

@@ -5605,3 +5605,119 @@ FROM v3, n3 ORDER BY v3.dim
 
 
 CORPUS_ORACLE_SQL["embedding_pca_top"] = _pca_oracle_sql()
+
+
+def _q_doc_zorder_layout(sf_dir: str):
+    """Space-filling-curve storage layout
+    (``functions.hashing.morton2``): every document keyed by the
+    Z-order interleave of (n_chars, doc_id) — the multi-column
+    locality alternative to a hash layout (a 2-D range predicate
+    prunes contiguous Morton ranges instead of scanning every
+    bucket). Emits the 16-bucket assignment histogram (bucket = top 4
+    Morton bits) plus per-bucket EXACT n_chars min/max — the range
+    tightness a pruner would exploit; exact integers end to end. The
+    oracle replays the interleave with a 32-term bit sum. Morton
+    codes are int64 bit-views of the uint64 (the engine's standard
+    unsigned-key convention). Raw values are first normalized to the
+    16-bit grid v * 65536 // (max + 1) (exact integer arithmetic from
+    one Max aggregate) so the bucket prefix is populated at ANY scale
+    factor — raw ids never reach the top Morton bits (the
+    sf-dependent-witness lesson)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..functions.hashing import morton2
+    from ..pipelines.queries_training import _docs
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"]).materialize()
+    mx = docs.aggregate(Max("doc_id"), Max("n_chars"))
+    max_did = int(mx["max(doc_id)"])
+    max_nc = int(mx["max(n_chars)"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+        a = (nc.astype(np.uint64) * np.uint64(65536)
+             // np.uint64(max_nc + 1))
+        b = (did.astype(np.uint64) * np.uint64(65536)
+             // np.uint64(max_did + 1))
+        m = morton2(a, b)
+        bucket = (m >> np.uint64(28)).astype(np.int64)
+        df = (
+            pd.DataFrame({"bucket": bucket, "nc": nc})
+            .groupby("bucket", sort=False)
+            .agg(n=("nc", "size"), nc_min=("nc", "min"),
+                 nc_max=("nc", "max"))
+            .reset_index()
+        )
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(df["bucket"], pa.int64()),
+                "n": pa.array(df["n"].astype("int64"), pa.int64()),
+                "nc_min": pa.array(
+                    df["nc_min"].astype("int64"), pa.int64()
+                ),
+                "nc_max": pa.array(
+                    df["nc_max"].astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        docs
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("nc_min", alias_name="nc_min"),
+            Max("nc_max", alias_name="nc_max"),
+        )
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+CORPUS_QUERIES["doc_zorder_layout"] = _q_doc_zorder_layout
+
+
+def _zorder_oracle_sql() -> str:
+    # morton(a, b) over 16-bit max-normalized values:
+    # bit i of a=norm(n_chars) -> 2i, of b=norm(doc_id) -> 2i+1
+    terms_a = " + ".join(
+        f"(((a >> {i}) & 1) << {2 * i})" for i in range(17)
+    )
+    terms_b = " + ".join(
+        f"(((b >> {i}) & 1) << {2 * i + 1})" for i in range(17)
+    )
+    return f"""
+WITH mxs AS (
+    SELECT max(doc_id) AS max_did, max(n_chars) AS max_nc
+    FROM documents
+), nrm AS (
+    SELECT doc_id, n_chars,
+           n_chars * 65536 // (mxs.max_nc + 1) AS a,
+           doc_id * 65536 // (mxs.max_did + 1) AS b
+    FROM documents, mxs
+), m AS (
+    SELECT doc_id, n_chars,
+           CAST({terms_a} AS UBIGINT) + CAST({terms_b} AS UBIGINT)
+               AS morton
+    FROM nrm
+)
+SELECT CAST(morton >> 28 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(n_chars) AS BIGINT) AS nc_min,
+       CAST(max(n_chars) AS BIGINT) AS nc_max
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
+CORPUS_ORACLE_SQL["doc_zorder_layout"] = _zorder_oracle_sql()
