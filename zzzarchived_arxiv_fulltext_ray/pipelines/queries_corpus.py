@@ -5721,3 +5721,126 @@ FROM m GROUP BY 1 ORDER BY 1
 
 
 CORPUS_ORACLE_SQL["doc_zorder_layout"] = _zorder_oracle_sql()
+
+
+def _q_label_separation(sf_dir: str):
+    """Cluster-separation matrix for the labeled embeddings: mean
+    squared distance from every label-a vector to every label-b
+    centroid, computed from ONE pass of per-label sufficient stats
+    (n, per-dim sum, total squared norm) via
+    E|v - mu_b|^2 = q_a/n_a - 2 mu_a.mu_b + |mu_b|^2 — the corpus
+    never moves twice and no per-pair scan exists. Diagonal entries
+    are the intra-cluster variances, off-diagonal the separation —
+    the exact-sufficient-stats silhouette precursor (a discrete
+    nearest-centroid count would risk float-boundary flips; smooth
+    sums do not)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    D = 64
+
+    def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        lab = np.asarray(b["label"].to_pylist(), dtype=np.int64)
+        m = np.stack(
+            [np.asarray(x, dtype=np.float64)
+             for x in b["embedding"].to_pylist()]
+        )
+        rows = {"label": [], "n": [], "q": []}
+        scols = {f"s{i}": [] for i in range(D)}
+        for lv in np.unique(lab):
+            sel = m[lab == lv]
+            rows["label"].append(int(lv))
+            rows["n"].append(int(sel.shape[0]))
+            rows["q"].append(float((sel * sel).sum()))
+            s = sel.sum(axis=0)
+            for i in range(D):
+                scols[f"s{i}"].append(float(s[i]))
+        cols = {
+            "label": pa.array(rows["label"], pa.int64()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "q": pa.array(rows["q"], pa.float64()),
+        }
+        for i in range(D):
+            cols[f"s{i}"] = pa.array(scols[f"s{i}"], pa.float64())
+        return pa.Table.from_pydict(cols)
+
+    aggs = [Sum("n", alias_name="n"), Sum("q", alias_name="q")]
+    aggs += [Sum(f"s{i}", alias_name=f"s{i}") for i in range(D)]
+    st = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(*aggs)
+        .to_pandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    labels = st["label"].astype("int64").tolist()
+    n = st["n"].astype("int64").to_numpy()
+    q = st["q"].to_numpy()
+    s = st[[f"s{i}" for i in range(D)]].to_numpy()
+    mu = s / n[:, None]
+    rows = []
+    for ia, la in enumerate(labels):
+        for ib, lb in enumerate(labels):
+            msd = (
+                q[ia] / n[ia]
+                - 2.0 * float(mu[ia] @ mu[ib])
+                + float(mu[ib] @ mu[ib])
+            )
+            rows.append(
+                {
+                    "label_a": la,
+                    "label_b": lb,
+                    "n_a": int(n[ia]),
+                    "msd": msd,
+                }
+            )
+    return pd.DataFrame(
+        rows, columns=["label_a", "label_b", "n_a", "msd"]
+    )
+
+
+CORPUS_QUERIES["label_separation"] = _q_label_separation
+CORPUS_ORACLE_SQL["label_separation"] = """
+WITH dims AS (
+    SELECT range AS i FROM range(1, 65)
+), vals AS (
+    SELECT e.vec_id AS rid, e.label, d.i - 1 AS dim,
+           CAST(list_extract(e.embedding, d.i) AS DOUBLE) AS v
+    FROM embeddings e CROSS JOIN dims d
+), st AS (
+    SELECT label,
+           CAST(count(DISTINCT rid) AS BIGINT) AS n,
+           sum(v * v) AS q
+    FROM vals GROUP BY label
+), mu AS (
+    SELECT vals.label, vals.dim,
+           sum(vals.v) / st.n AS mu
+    FROM vals JOIN st ON st.label = vals.label
+    GROUP BY vals.label, vals.dim, st.n
+), dots AS (
+    SELECT a.label AS la, b.label AS lb,
+           sum(a.mu * b.mu) AS dab
+    FROM mu a JOIN mu b ON a.dim = b.dim
+    GROUP BY a.label, b.label
+)
+SELECT sa.label AS label_a, sb.label AS label_b,
+       sa.n AS n_a,
+       sa.q / sa.n - 2.0 * dab.dab + dbb.dab AS msd
+FROM st sa
+JOIN st sb ON TRUE
+JOIN dots dab ON dab.la = sa.label AND dab.lb = sb.label
+JOIN dots dbb ON dbb.la = sb.label AND dbb.lb = sb.label
+ORDER BY label_a, label_b
+"""
