@@ -3363,3 +3363,153 @@ FROM b GROUP BY band ORDER BY band
 
 RELATIONAL_QUERIES["events_interarrival"] = _q_events_interarrival
 RELATIONAL_ORACLE_SQL["events_interarrival"] = _interarrival_oracle_sql()
+
+
+def _q_events_type_xcorr(sf_dir: str):
+    """Lead-lag cross-correlation of the 'click' and 'purchase'
+    daily-count series at lags 0..2 days (does click activity predict
+    purchases?): the two series come from one (day, type) count
+    aggregate over the full calendar-day spine (explicit zeros, the
+    gapfill pattern), so every sufficient statistic is an exact
+    integer and each correlation is a handful of float ops mirrored
+    by the oracle. Pairs are (click[d], purchase[d+lag]) over the
+    days where both positions exist."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    DAY_US = 86_400_000_000
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        et = np.asarray(b["event_type"].to_pylist())
+        us = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        day = us // DAY_US
+        keep = (et == "click") | (et == "purchase")
+        df = (
+            pd.DataFrame({"day": day[keep], "et": et[keep]})
+            .groupby(["day", "et"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pydict(
+            {
+                "day": pa.array(df["day"].astype("int64"), pa.int64()),
+                "et": pa.array(df["et"], pa.string()),
+                "n": pa.array(df["n"].astype("int64"), pa.int64()),
+            }
+        )
+
+    counts = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "et"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    lim = ev.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {
+                "d": pa.array(
+                    b["ts"].to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]").astype(np.int64)
+                    // DAY_US,
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).aggregate(Min("d", alias_name="lo"), Max("d", alias_name="hi"))
+    lo, hi = int(lim["lo"]), int(lim["hi"])
+    days = np.arange(lo, hi + 1)
+    series = {}
+    for et in ("click", "purchase"):
+        sub = counts[counts["et"] == et]
+        arr = np.zeros(days.size, dtype=np.int64)
+        idx = sub["day"].astype("int64").to_numpy() - lo
+        arr[idx] = sub["n"].astype("int64").to_numpy()
+        series[et] = arr
+    x, y = series["click"], series["purchase"]
+    rows = []
+    for lag in (0, 1, 2):
+        a = x[: days.size - lag].astype(object)
+        b_ = y[lag:].astype(object)
+        m = len(a)
+        sa, sb = int(sum(a)), int(sum(b_))
+        sab = int(sum(a * b_))
+        saa = int(sum(a * a))
+        sbb = int(sum(b_ * b_))
+        num = m * sab - sa * sb
+        d1 = m * saa - sa * sa
+        d2 = m * sbb - sb * sb
+        corr = (
+            float(num) / math.sqrt(float(d1) * float(d2))
+            if d1 > 0 and d2 > 0
+            else 0.0
+        )
+        rows.append(
+            {"lag": lag, "n_days": m, "s_ab": sab, "xcorr": corr}
+        )
+    return pd.DataFrame(rows, columns=["lag", "n_days", "s_ab",
+                                       "xcorr"])
+
+
+RELATIONAL_QUERIES["events_type_xcorr"] = _q_events_type_xcorr
+RELATIONAL_ORACLE_SQL["events_type_xcorr"] = """
+WITH b AS (
+    SELECT epoch_us(ts) // 86400000000 AS day, event_type FROM events
+), lim AS (
+    SELECT min(day) AS lo, max(day) AS hi FROM b
+), spine AS (
+    SELECT unnest(generate_series(lo, hi)) AS day FROM lim
+), c AS (
+    SELECT s.day,
+           CAST(coalesce(sum(CASE WHEN b.event_type = 'click'
+                                  THEN 1 END), 0) AS BIGINT) AS x,
+           CAST(coalesce(sum(CASE WHEN b.event_type = 'purchase'
+                                  THEN 1 END), 0) AS BIGINT) AS y
+    FROM spine s LEFT JOIN b ON b.day = s.day
+    GROUP BY s.day
+), lags AS (
+    SELECT unnest(generate_series(0, 2)) AS lag
+), pairs AS (
+    SELECT l.lag, a.x, bb.y
+    FROM lags l
+    JOIN c a ON TRUE
+    JOIN c bb ON bb.day = a.day + l.lag
+), st AS (
+    SELECT lag,
+           CAST(count(*) AS BIGINT) AS m,
+           CAST(sum(x) AS BIGINT) AS sa,
+           CAST(sum(y) AS BIGINT) AS sb,
+           CAST(sum(CAST(x AS HUGEINT) * y) AS BIGINT) AS sab,
+           CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS saa,
+           CAST(sum(CAST(y AS HUGEINT) * y) AS BIGINT) AS sbb
+    FROM pairs GROUP BY lag
+)
+SELECT lag, m AS n_days, sab AS s_ab,
+       CASE WHEN (m * CAST(saa AS HUGEINT) -
+                  CAST(sa AS HUGEINT) * sa) > 0
+             AND (m * CAST(sbb AS HUGEINT) -
+                  CAST(sb AS HUGEINT) * sb) > 0
+            THEN CAST(m * CAST(sab AS HUGEINT) -
+                      CAST(sa AS HUGEINT) * sb AS DOUBLE)
+                 / sqrt(CAST(m * CAST(saa AS HUGEINT) -
+                             CAST(sa AS HUGEINT) * sa AS DOUBLE)
+                        * CAST(m * CAST(sbb AS HUGEINT) -
+                               CAST(sb AS HUGEINT) * sb AS DOUBLE))
+            ELSE 0.0 END AS xcorr
+FROM st ORDER BY lag
+"""
