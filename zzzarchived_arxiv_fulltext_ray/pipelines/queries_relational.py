@@ -3513,3 +3513,167 @@ SELECT lag, m AS n_days, sab AS s_ab,
             ELSE 0.0 END AS xcorr
 FROM st ORDER BY lag
 """
+
+
+def _q_events_survival(sf_dir: str):
+    """Kaplan-Meier adoption curve: time (days) from each user's
+    first event to their first high-value purchase (value > 250 — the
+    threshold probed non-degenerate at both scales); users who never
+    adopt are right-censored at their last event. Per-user (T, event)
+    reduces from one groupby of conditional-min partials; the KM
+    table (distinct event times, day-bounded) builds from a tiny
+    (T, n_event, n_censor) histogram, with exact integer risk sets
+    (suffix sums) and the survival product multiplied SEQUENTIALLY in
+    ascending-time order — DuckDB's windowed product() evaluates in
+    ORDER BY order, so the doubles match factor for factor."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Max, Min
+
+    DAY_US = 86_400_000_000
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        day = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64) // DAY_US
+        )
+        et = np.asarray(b["event_type"].to_pylist())
+        val = b["value"].to_numpy(zero_copy_only=False)
+        adopt = (et == "purchase") & (val > 250.0)
+        big = np.int64(1) << 40
+        df = pd.DataFrame(
+            {
+                "user_id": uid,
+                "f": day,
+                "l": day,
+                # adoption day, +inf-sentinel when this row is not one
+                "p": np.where(adopt, day, big),
+            }
+        ).groupby("user_id", sort=False).agg(
+            f=("f", "min"), l=("l", "max"), p=("p", "min")
+        ).reset_index()
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(
+                    df["user_id"].astype("int64"), pa.int64()
+                ),
+                "f": pa.array(df["f"].astype("int64"), pa.int64()),
+                "l": pa.array(df["l"].astype("int64"), pa.int64()),
+                "p": pa.array(df["p"].astype("int64"), pa.int64()),
+            }
+        )
+
+    per_user = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Min("f", alias_name="f"),
+            Max("l", alias_name="l"),
+            Min("p", alias_name="p"),
+        )
+    )
+
+    def km_partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        f = b["f"].to_numpy(zero_copy_only=False)
+        l = b["l"].to_numpy(zero_copy_only=False)
+        p = b["p"].to_numpy(zero_copy_only=False)
+        big = np.int64(1) << 40
+        observed = p < big
+        t = np.where(observed, p - f, l - f)
+        df = (
+            pd.DataFrame({"t": t, "e": observed.astype(np.int64)})
+            .groupby("t", sort=False)
+            .agg(n_event=("e", "sum"), n_total=("e", "size"))
+            .reset_index()
+        )
+        return pa.Table.from_pydict(
+            {
+                "t": pa.array(df["t"].astype("int64"), pa.int64()),
+                "n_event": pa.array(
+                    df["n_event"].astype("int64"), pa.int64()
+                ),
+                "n_total": pa.array(
+                    df["n_total"].astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        per_user.map_batches(km_partial, batch_format="pyarrow")
+        .groupby("t")
+        .aggregate(
+            Sum("n_event", alias_name="n_event"),
+            Sum("n_total", alias_name="n_total"),
+        )
+        .to_pandas()
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+    total = int(hist["n_total"].sum())
+    # risk set at t = users with (their time) >= t: suffix sums
+    suffix_below = np.concatenate(
+        [[0], np.cumsum(hist["n_total"].astype("int64"))[:-1]]
+    )
+    hist["n_risk"] = total - suffix_below
+    rows = []
+    s = 1.0
+    for r in hist.itertuples():
+        d, n = int(r.n_event), int(r.n_risk)
+        if d == 0:
+            continue
+        s = s * (1.0 - d / n)
+        rows.append(
+            {"t": int(r.t), "n_risk": n, "n_event": d, "survival": s}
+        )
+    return pd.DataFrame(
+        rows, columns=["t", "n_risk", "n_event", "survival"]
+    )
+
+
+RELATIONAL_QUERIES["events_survival"] = _q_events_survival
+RELATIONAL_ORACLE_SQL["events_survival"] = """
+WITH u AS (
+    SELECT user_id,
+           epoch_us(min(ts)) // 86400000000 AS f,
+           epoch_us(max(ts)) // 86400000000 AS l,
+           min(CASE WHEN event_type = 'purchase' AND value > 250
+                    THEN epoch_us(ts) // 86400000000 END) AS p
+    FROM events GROUP BY user_id
+), tl AS (
+    SELECT CASE WHEN p IS NOT NULL THEN p - f ELSE l - f END AS t,
+           CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS e
+    FROM u
+), h AS (
+    SELECT t, CAST(sum(e) AS BIGINT) AS n_event,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM tl GROUP BY t
+), r AS (
+    SELECT t, n_event,
+           CAST((SELECT sum(n_total) FROM h h2 WHERE h2.t >= h.t)
+                AS BIGINT) AS n_risk
+    FROM h
+), km AS (
+    SELECT t, n_risk, n_event,
+           product(1.0 - CAST(n_event AS DOUBLE) / n_risk)
+               OVER (ORDER BY t) AS survival
+    FROM r WHERE n_event > 0
+)
+SELECT t, n_risk, n_event, survival FROM km ORDER BY t
+"""
