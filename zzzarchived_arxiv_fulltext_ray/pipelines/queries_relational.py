@@ -3677,3 +3677,208 @@ WITH u AS (
 )
 SELECT t, n_risk, n_event, survival FROM km ORDER BY t
 """
+
+
+def _q_events_logrank(sf_dir: str):
+    """Log-rank test between the two A/B arms' adoption curves (the
+    canonical survival-curve comparison, composing events_survival's
+    time-to-adoption with events_ab_test's parity split): at each
+    event time the observed arm-A events minus the hypergeometric
+    expectation d*n1/n, variance d*(n1/n)*(1-n1/n)*(n-d)/(n-1).
+    Risk sets and observed counts are exact integers from one tiny
+    (t, arm) histogram + suffix sums; the expectation/variance
+    contributions are per-row float expressions summed in ascending-t
+    order (documented pagerank sum-order tolerance), and
+    z = (O1 - E1) / sqrt(V)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    DAY_US = 86_400_000_000
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        day = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64) // DAY_US
+        )
+        et = np.asarray(b["event_type"].to_pylist())
+        val = b["value"].to_numpy(zero_copy_only=False)
+        adopt = (et == "purchase") & (val > 250.0)
+        big = np.int64(1) << 40
+        df = pd.DataFrame(
+            {
+                "user_id": uid,
+                "f": day,
+                "l": day,
+                "p": np.where(adopt, day, big),
+            }
+        ).groupby("user_id", sort=False).agg(
+            f=("f", "min"), l=("l", "max"), p=("p", "min")
+        ).reset_index()
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(
+                    df["user_id"].astype("int64"), pa.int64()
+                ),
+                "f": pa.array(df["f"].astype("int64"), pa.int64()),
+                "l": pa.array(df["l"].astype("int64"), pa.int64()),
+                "p": pa.array(df["p"].astype("int64"), pa.int64()),
+            }
+        )
+
+    per_user = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Min("f", alias_name="f"),
+            Max("l", alias_name="l"),
+            Min("p", alias_name="p"),
+        )
+    )
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        f = b["f"].to_numpy(zero_copy_only=False)
+        l = b["l"].to_numpy(zero_copy_only=False)
+        p = b["p"].to_numpy(zero_copy_only=False)
+        big = np.int64(1) << 40
+        observed = p < big
+        t = np.where(observed, p - f, l - f)
+        arm = (uid % 2).astype(np.int64)
+        df = (
+            pd.DataFrame(
+                {"t": t, "arm": arm,
+                 "e": observed.astype(np.int64)}
+            )
+            .groupby(["t", "arm"], sort=False)
+            .agg(n_event=("e", "sum"), n_total=("e", "size"))
+            .reset_index()
+        )
+        return pa.Table.from_pydict(
+            {
+                "t": pa.array(df["t"].astype("int64"), pa.int64()),
+                "arm": pa.array(df["arm"].astype("int64"), pa.int64()),
+                "n_event": pa.array(
+                    df["n_event"].astype("int64"), pa.int64()
+                ),
+                "n_total": pa.array(
+                    df["n_total"].astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    hist = (
+        per_user.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["t", "arm"])
+        .aggregate(
+            Sum("n_event", alias_name="n_event"),
+            Sum("n_total", alias_name="n_total"),
+        )
+        .to_pandas()
+    )
+    piv = hist.pivot_table(
+        index="t", columns="arm",
+        values=["n_event", "n_total"], aggfunc="sum", fill_value=0,
+    ).sort_index()
+    times = piv.index.to_numpy()
+    d1 = piv.get(("n_event", 0), pd.Series(0, index=piv.index)).to_numpy()
+    d2 = piv.get(("n_event", 1), pd.Series(0, index=piv.index)).to_numpy()
+    c1 = piv.get(("n_total", 0), pd.Series(0, index=piv.index)).to_numpy()
+    c2 = piv.get(("n_total", 1), pd.Series(0, index=piv.index)).to_numpy()
+    tot1, tot2 = int(c1.sum()), int(c2.sum())
+    below1 = np.concatenate([[0], np.cumsum(c1)[:-1]])
+    below2 = np.concatenate([[0], np.cumsum(c2)[:-1]])
+    o1 = 0
+    e1 = 0.0
+    var = 0.0
+    k = 0
+    for i in range(times.size):
+        d = int(d1[i] + d2[i])
+        if d == 0:
+            continue
+        n1 = tot1 - int(below1[i])
+        n = n1 + tot2 - int(below2[i])
+        if n <= 0:
+            continue
+        k += 1
+        o1 += int(d1[i])
+        e1 = e1 + d * (n1 / n)  # mirrors SQL d * (n1_double / n)
+        if n > 1:
+            var = var + d * (n1 / n) * (1 - n1 / n) * (n - d) / (
+                n - 1
+            )
+    z = (o1 - e1) / math.sqrt(var) if var > 0 else 0.0
+    return pd.DataFrame(
+        {
+            "n_event_times": [k],
+            "o1": [o1],
+            "e1": [e1],
+            "var_sum": [var],
+            "z_stat": [z],
+        }
+    )
+
+
+RELATIONAL_QUERIES["events_logrank"] = _q_events_logrank
+RELATIONAL_ORACLE_SQL["events_logrank"] = """
+WITH u AS (
+    SELECT user_id, user_id % 2 AS arm,
+           epoch_us(min(ts)) // 86400000000 AS f,
+           epoch_us(max(ts)) // 86400000000 AS l,
+           min(CASE WHEN event_type = 'purchase' AND value > 250
+                    THEN epoch_us(ts) // 86400000000 END) AS p
+    FROM events GROUP BY user_id
+), tl AS (
+    SELECT arm,
+           CASE WHEN p IS NOT NULL THEN p - f ELSE l - f END AS t,
+           CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS e
+    FROM u
+), h AS (
+    SELECT t,
+           CAST(sum(CASE WHEN arm = 0 THEN e ELSE 0 END) AS BIGINT)
+               AS d1,
+           CAST(sum(e) AS BIGINT) AS d,
+           CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1,
+           CAST(count(*) AS BIGINT) AS c
+    FROM tl GROUP BY t
+), r AS (
+    SELECT t, d1, d,
+           CAST((SELECT sum(c1) FROM h h2 WHERE h2.t >= h.t)
+                AS BIGINT) AS n1,
+           CAST((SELECT sum(c) FROM h h2 WHERE h2.t >= h.t)
+                AS BIGINT) AS n
+    FROM h WHERE d > 0
+), s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_event_times,
+           CAST(sum(d1) AS BIGINT) AS o1,
+           sum(d * CAST(n1 AS DOUBLE) / n) AS e1,
+           sum(CASE WHEN n > 1
+                    THEN d * (CAST(n1 AS DOUBLE) / n)
+                         * (1 - CAST(n1 AS DOUBLE) / n)
+                         * CAST(n - d AS DOUBLE) / (n - 1)
+                    ELSE 0.0 END) AS var_sum
+    FROM r
+)
+SELECT n_event_times, o1, e1, var_sum,
+       CASE WHEN var_sum > 0
+            THEN (o1 - e1) / sqrt(var_sum) ELSE 0.0 END AS z_stat
+FROM s
+"""
