@@ -3882,3 +3882,236 @@ SELECT n_event_times, o1, e1, var_sum,
             THEN (o1 - e1) / sqrt(var_sum) ELSE 0.0 END AS z_stat
 FROM s
 """
+
+
+def _q_events_ks_test(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov distance between the arms'
+    cents distributions, EXACTLY: D = max_v |F1(v) - F2(v)| computed
+    as the integer maximum of |c1(v)*n2 - c2(v)*n1| over the merged
+    value domain (cumulative counts from one (cents, arm) histogram),
+    so the argmax and the distance numerator are exact int64 and D is
+    one float division; ties -> smallest value. The classic
+    distribution-drift detector, shuffle = one value histogram."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        cents = _cents(b["value"]).to_numpy(zero_copy_only=False)
+        df = (
+            pd.DataFrame(
+                {"cents": cents, "arm": (uid % 2).astype(np.int64)}
+            )
+            .groupby(["cents", "arm"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pydict(
+            {
+                "cents": pa.array(df["cents"].astype("int64"),
+                                  pa.int64()),
+                "arm": pa.array(df["arm"].astype("int64"), pa.int64()),
+                "n": pa.array(df["n"].astype("int64"), pa.int64()),
+            }
+        )
+
+    hist = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["cents", "arm"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    piv = hist.pivot_table(
+        index="cents", columns="arm", values="n", aggfunc="sum",
+        fill_value=0,
+    ).sort_index()
+    c1 = np.cumsum(piv.get(0, pd.Series(0, index=piv.index)).to_numpy())
+    c2 = np.cumsum(piv.get(1, pd.Series(0, index=piv.index)).to_numpy())
+    n1, n2 = int(c1[-1]), int(c2[-1])
+    diff = np.abs(
+        c1.astype(object) * n2 - c2.astype(object) * n1
+    )
+    i = int(np.argmax(diff))  # first max -> smallest value
+    d_num = int(diff[i])
+    return pd.DataFrame(
+        {
+            "n_a": [n1],
+            "n_b": [n2],
+            "ks_at_cents": [int(piv.index[i])],
+            "ks_num": [d_num],
+            "ks_stat": [float(d_num) / float(n1 * n2)],
+        }
+    )
+
+
+RELATIONAL_QUERIES["events_ks_test"] = _q_events_ks_test
+RELATIONAL_ORACLE_SQL["events_ks_test"] = """
+WITH o AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+           user_id % 2 AS arm
+    FROM events
+), h AS (
+    SELECT cents,
+           CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS a,
+           CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS b
+    FROM o GROUP BY cents
+), c AS (
+    SELECT cents,
+           CAST(sum(a) OVER (ORDER BY cents) AS BIGINT) AS ca,
+           CAST(sum(b) OVER (ORDER BY cents) AS BIGINT) AS cb
+    FROM h
+), t AS (
+    SELECT CAST(max(ca) AS BIGINT) AS n1, CAST(max(cb) AS BIGINT) AS n2
+    FROM c
+), d AS (
+    SELECT c.cents,
+           abs(c.ca * CAST(t.n2 AS HUGEINT)
+               - c.cb * CAST(t.n1 AS HUGEINT)) AS dn
+    FROM c, t
+), best AS (
+    SELECT cents, dn FROM d ORDER BY dn DESC, cents ASC LIMIT 1
+)
+SELECT t.n1 AS n_a, t.n2 AS n_b,
+       best.cents AS ks_at_cents,
+       CAST(best.dn AS BIGINT) AS ks_num,
+       CAST(best.dn AS DOUBLE) / CAST(t.n1 * t.n2 AS DOUBLE)
+           AS ks_stat
+FROM best, t
+"""
+
+
+def _q_events_mannwhitney(sf_dir: str):
+    """Mann-Whitney U (Wilcoxon rank-sum) between the arms' cents
+    distributions with tie handling: midranks kept EXACT by doubling
+    (the doc_spearman device — 2*midrank = 2*c_below + c_at + 1 is an
+    integer), so U1 = R1 - n1(n1+1)/2 is an exact integer computed
+    from the same (cents, arm) histogram as the KS test; the normal
+    approximation with tie correction is a handful of float ops on
+    exact integer sums, mirrored term-for-term by the oracle."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        cents = _cents(b["value"]).to_numpy(zero_copy_only=False)
+        df = (
+            pd.DataFrame(
+                {"cents": cents, "arm": (uid % 2).astype(np.int64)}
+            )
+            .groupby(["cents", "arm"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pydict(
+            {
+                "cents": pa.array(df["cents"].astype("int64"),
+                                  pa.int64()),
+                "arm": pa.array(df["arm"].astype("int64"), pa.int64()),
+                "n": pa.array(df["n"].astype("int64"), pa.int64()),
+            }
+        )
+
+    hist = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["cents", "arm"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    piv = hist.pivot_table(
+        index="cents", columns="arm", values="n", aggfunc="sum",
+        fill_value=0,
+    ).sort_index()
+    a = piv.get(0, pd.Series(0, index=piv.index)).to_numpy().astype(object)
+    b_ = piv.get(1, pd.Series(0, index=piv.index)).to_numpy().astype(object)
+    tot = a + b_
+    below = np.concatenate([[0], np.cumsum(tot)[:-1]])
+    # doubled midrank of each distinct value: 2*below + at + 1
+    dr = 2 * below + tot + 1
+    r1_doubled = int((a * dr).sum())
+    n1, n2 = int(a.sum()), int(b_.sum())
+    n = n1 + n2
+    u1_doubled = r1_doubled - n1 * (n1 + 1)  # 2*U1
+    tie_sum = int((tot * tot * tot - tot).sum())
+    mu = n1 * (n2 / 2.0)
+    var = (
+        (n1 / 12.0) * n2
+        * ((n + 1) - tie_sum / (float(n) * (n - 1)))
+    )
+    z = (u1_doubled / 2.0 - mu) / math.sqrt(var) if var > 0 else 0.0
+    return pd.DataFrame(
+        {
+            "n_a": [n1],
+            "n_b": [n2],
+            "u1_doubled": [u1_doubled],
+            "tie_sum": [tie_sum],
+            "z_stat": [z],
+        }
+    )
+
+
+RELATIONAL_QUERIES["events_mannwhitney"] = _q_events_mannwhitney
+RELATIONAL_ORACLE_SQL["events_mannwhitney"] = """
+WITH o AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+           user_id % 2 AS arm
+    FROM events
+), h AS (
+    SELECT cents,
+           CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS a,
+           CAST(count(*) AS BIGINT) AS tot
+    FROM o GROUP BY cents
+), c AS (
+    SELECT cents, a, tot,
+           CAST(sum(tot) OVER (ORDER BY cents) - tot AS BIGINT)
+               AS below
+    FROM h
+), s AS (
+    SELECT CAST(sum(a) AS BIGINT) AS n1,
+           CAST(sum(tot - a) AS BIGINT) AS n2,
+           CAST(sum(a * (2 * CAST(below AS HUGEINT) + tot + 1))
+                AS BIGINT) AS r1_doubled,
+           CAST(sum(CAST(tot AS HUGEINT) * tot * tot - tot)
+                AS BIGINT) AS tie_sum
+    FROM c
+)
+SELECT n1 AS n_a, n2 AS n_b,
+       CAST(r1_doubled - n1 * (n1 + 1) AS BIGINT) AS u1_doubled,
+       tie_sum,
+       CASE WHEN (CAST(n1 AS DOUBLE) / 12.0) * n2
+                 * ((n1 + n2 + 1)
+                    - tie_sum / (CAST(n1 + n2 AS DOUBLE)
+                                 * (n1 + n2 - 1))) > 0
+            THEN (CAST(r1_doubled - n1 * (n1 + 1) AS DOUBLE) / 2.0
+                  - n1 * (CAST(n2 AS DOUBLE) / 2.0))
+                 / sqrt((CAST(n1 AS DOUBLE) / 12.0) * n2
+                        * ((n1 + n2 + 1)
+                           - tie_sum / (CAST(n1 + n2 AS DOUBLE)
+                                        * (n1 + n2 - 1))))
+            ELSE 0.0 END AS z_stat
+FROM s
+"""
