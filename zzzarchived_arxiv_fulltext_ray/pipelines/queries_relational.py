@@ -4115,3 +4115,121 @@ SELECT n1 AS n_a, n2 AS n_b,
             ELSE 0.0 END AS z_stat
 FROM s
 """
+
+
+def _q_events_anova(sf_dir: str):
+    """One-way ANOVA of cents across the five event types: between /
+    within sums of squares from exact integer sufficient statistics
+    (n_g, sum, sum-of-squares per type — one tiny groupby of
+    per-batch partials), F = (SSB/(k-1)) / (SSW/(n-k)) as a fixed
+    sequence of float ops on those integers, mirrored by the oracle.
+    SSB = sum_g S_g^2/n_g - S^2/n and SSW = Q - sum_g S_g^2/n_g keep
+    every term a float of exact ints."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        et = b["event_type"].to_pylist()
+        c = _cents(b["value"]).to_numpy(zero_copy_only=False)
+        df = (
+            pd.DataFrame({"et": et, "c": c, "q": c.astype(object) * c})
+            .groupby("et", sort=False)
+            .agg(n=("c", "size"), s=("c", "sum"), q=("q", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pydict(
+            {
+                "event_type": pa.array(df["et"], pa.string()),
+                "n": pa.array(df["n"].astype("int64"), pa.int64()),
+                "s": pa.array(df["s"].astype("int64"), pa.int64()),
+                "q": pa.array(df["q"].astype("int64"), pa.int64()),
+            }
+        )
+
+    st = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("q", alias_name="q"),
+        )
+        .to_pandas()
+        .sort_values("event_type")
+    )
+    ns = st["n"].astype("int64").tolist()
+    ss = st["s"].astype("int64").tolist()
+    qs_ = st["q"].astype("int64").tolist()
+    k = len(ns)
+    n = sum(ns)
+    s_tot = sum(ss)
+    q_tot = sum(qs_)
+    grp_term = 0.0
+    for ni, si in zip(ns, ss):
+        # float(s^2) BEFORE dividing — mirrors SQL's
+        # CAST(s*s AS DOUBLE)/n (s^2 exceeds 2^53 at scale, so the
+        # double conversion point matters); summed in event_type
+        # order, mirrored by the oracle's ordered window sum
+        grp_term = grp_term + float(si * si) / ni
+    ssb = grp_term - float(s_tot * s_tot) / n
+    ssw = q_tot - grp_term
+    f = (ssb / (k - 1)) / (ssw / (n - k)) if ssw > 0 and k > 1 else 0.0
+    return pd.DataFrame(
+        {
+            "k": [k],
+            "n": [n],
+            "ssb": [ssb],
+            "ssw": [ssw],
+            "f_stat": [f],
+        }
+    )
+
+
+RELATIONAL_QUERIES["events_anova"] = _q_events_anova
+RELATIONAL_ORACLE_SQL["events_anova"] = """
+WITH g AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS s,
+           CAST(sum(CAST(round(value * 100) AS HUGEINT)
+                    * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS q
+    FROM events GROUP BY event_type
+), acc AS (
+    SELECT sum(CAST(CAST(s AS HUGEINT) * s AS DOUBLE) / g.n)
+               OVER (ORDER BY event_type) AS cgt,
+           row_number() OVER (ORDER BY event_type) AS rn
+    FROM g
+), gt AS (
+    SELECT cgt AS grp_term FROM acc ORDER BY rn DESC LIMIT 1
+), t AS (
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(n) AS BIGINT) AS n,
+           CAST(sum(s) AS BIGINT) AS s_tot,
+           CAST(sum(q) AS BIGINT) AS q_tot,
+           (SELECT grp_term FROM gt) AS grp_term
+    FROM g
+)
+SELECT k, n,
+       grp_term - CAST(CAST(s_tot AS HUGEINT) * s_tot AS DOUBLE) / n
+           AS ssb,
+       CAST(q_tot AS DOUBLE) - grp_term AS ssw,
+       CASE WHEN CAST(q_tot AS DOUBLE) - grp_term > 0 AND k > 1
+            THEN ((grp_term
+                   - CAST(CAST(s_tot AS HUGEINT) * s_tot AS DOUBLE)
+                     / n) / (k - 1))
+                 / ((CAST(q_tot AS DOUBLE) - grp_term) / (n - k))
+            ELSE 0.0 END AS f_stat
+FROM t
+"""
