@@ -4233,3 +4233,162 @@ SELECT k, n,
             ELSE 0.0 END AS f_stat
 FROM t
 """
+
+
+def _perm_seeds():
+    import numpy as np
+
+    rng = np.random.default_rng(777_2026)
+    return rng.integers(
+        0, np.iinfo(np.uint64).max, size=20, dtype=np.uint64
+    ).tolist()
+
+
+def _q_events_permutation_test(sf_dir: str):
+    """Exact randomization test for the arm difference in mean event
+    cents: 20 DETERMINISTIC label reassignments (arm of user under
+    permutation b = bit 0 of splitmix64(md5hash(user) xor seed_b) —
+    the random-walk replayability device applied to inference), and
+    every "is this permutation at least as extreme" decision made in
+    EXACT integer arithmetic by cross-multiplying the rational mean
+    differences (|s1*n2 - s2*n1| scaled by the other split's n1*n2,
+    HUGEINT-ranged) — no float ever influences a count. p = (k+1)/(B+1).
+    One scan computes all 21 splits' sums (a 20-seed sign matrix per
+    batch); the exchange is 84 integers."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..functions.shingles import _splitmix64, stable_hash64
+
+    seeds = np.array(_perm_seeds(), dtype=np.uint64)
+    B = seeds.size
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow as pa
+
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        cents = _cents(b["value"]).to_numpy(zero_copy_only=False)
+        h = np.array(
+            [stable_hash64(str(int(u))) for u in uid], dtype=np.uint64
+        )
+        cols = {}
+        # observed split: parity
+        a0 = uid % 2 == 0
+        cols["s1_obs"] = [int(cents[a0].sum())]
+        cols["n1_obs"] = [int(a0.sum())]
+        cols["s_all"] = [int(cents.sum())]
+        cols["n_all"] = [int(cents.size)]
+        for j in range(B):
+            arm = (
+                _splitmix64(h ^ seeds[j]) & np.uint64(1)
+            ).astype(bool)
+            cols[f"s1_{j}"] = [int(cents[arm].sum())]
+            cols[f"n1_{j}"] = [int(arm.sum())]
+        return pa.Table.from_pydict(
+            {k: pa.array(v, pa.int64()) for k, v in cols.items()}
+        )
+
+    aggs = [
+        Sum(c, alias_name=c)
+        for c in ["s1_obs", "n1_obs", "s_all", "n_all"]
+    ] + [
+        Sum(f"{p}_{j}", alias_name=f"{p}_{j}")
+        for j in range(B)
+        for p in ("s1", "n1")
+    ]
+    agg = ev.map_batches(partial, batch_format="pyarrow").aggregate(
+        *aggs
+    )
+    s_all, n_all = int(agg["s_all"]), int(agg["n_all"])
+
+    def diff_parts(s1, n1):
+        s2, n2 = s_all - s1, n_all - n1
+        return abs(s1 * n2 - s2 * n1), n1 * n2
+
+    o_num, o_den = diff_parts(int(agg["s1_obs"]), int(agg["n1_obs"]))
+    k = 0
+    for j in range(B):
+        p_num, p_den = diff_parts(
+            int(agg[f"s1_{j}"]), int(agg[f"n1_{j}"])
+        )
+        # |p_num/p_den| >= |o_num/o_den|  (exact cross-multiply)
+        if p_num * o_den >= o_num * p_den:
+            k += 1
+    return pd.DataFrame(
+        {
+            "n_perms": [B],
+            "obs_diff": [float(o_num) / float(o_den)],
+            "n_extreme": [k],
+            "p_value": [(k + 1) / (B + 1)],
+        }
+    )
+
+
+RELATIONAL_QUERIES["events_permutation_test"] = (
+    _q_events_permutation_test
+)
+
+
+def _perm_oracle_sql() -> str:
+    from .queries_training import _splitmix64_sql
+
+    seed_values = ", ".join(
+        f"({j}, {s}::UBIGINT)" for j, s in enumerate(_perm_seeds())
+    )
+    mix = _splitmix64_sql("xor(md5_number_upper("
+                          "CAST(user_id AS VARCHAR)), sd.seed)")
+    return f"""
+WITH o AS (
+    SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+), tot AS (
+    SELECT CAST(sum(cents) AS BIGINT) AS s_all,
+           CAST(count(*) AS BIGINT) AS n_all
+    FROM o
+), obs AS (
+    SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN cents ELSE 0 END)
+                AS BIGINT) AS s1,
+           CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n1
+    FROM o
+), perms AS (
+    SELECT sd.j,
+           CAST(sum(CASE WHEN ({mix} % 2) = 1::UBIGINT
+                         THEN cents ELSE 0 END) AS BIGINT) AS s1,
+           CAST(sum(CASE WHEN ({mix} % 2) = 1::UBIGINT
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n1
+    FROM o CROSS JOIN (VALUES {seed_values}) sd(j, seed)
+    GROUP BY sd.j
+), od AS (
+    SELECT abs(obs.s1 * CAST(tot.n_all - obs.n1 AS HUGEINT)
+               - (tot.s_all - obs.s1) * CAST(obs.n1 AS HUGEINT))
+               AS num,
+           CAST(obs.n1 AS HUGEINT) * (tot.n_all - obs.n1) AS den
+    FROM obs, tot
+), pd_ AS (
+    SELECT j,
+           abs(p.s1 * CAST(tot.n_all - p.n1 AS HUGEINT)
+               - (tot.s_all - p.s1) * CAST(p.n1 AS HUGEINT)) AS num,
+           CAST(p.n1 AS HUGEINT) * (tot.n_all - p.n1) AS den
+    FROM perms p, tot
+)
+SELECT 20 AS n_perms,
+       CAST(od.num AS DOUBLE) / CAST(od.den AS DOUBLE) AS obs_diff,
+       CAST((SELECT count(*) FROM pd_
+             WHERE pd_.num * od.den >= od.num * pd_.den)
+            AS BIGINT) AS n_extreme,
+       CAST((SELECT count(*) FROM pd_
+             WHERE pd_.num * od.den >= od.num * pd_.den) + 1
+            AS DOUBLE) / 21 AS p_value
+FROM od
+"""
+
+
+RELATIONAL_ORACLE_SQL["events_permutation_test"] = _perm_oracle_sql()
