@@ -5392,10 +5392,9 @@ def _q_embedding_quantize(sf_dir: str):
     def absmax_partial(b: pa.Table) -> pa.Table:
         import numpy as np
 
-        m = np.stack(
-            [np.asarray(x, dtype=np.float64)
-             for x in b["embedding"].to_pylist()]
-        )
+        from ..stages.similarity import _matrix_of
+
+        m = _matrix_of(b)  # zero-copy Arrow child-buffer reshape
         am = np.abs(m).max(axis=0)
         return pa.Table.from_pydict(
             {
@@ -5419,11 +5418,10 @@ def _q_embedding_quantize(sf_dir: str):
         import numpy as np
         import ray
 
+        from ..stages.similarity import _matrix_of
+
         s = ray.get(scale_ref)
-        m = np.stack(
-            [np.asarray(x, dtype=np.float64)
-             for x in b["embedding"].to_pylist()]
-        )
+        m = _matrix_of(b)
         codes = np.floor(m * 127.0 / s + 0.5).astype(np.int64)
         return pa.Table.from_pydict(
             {
@@ -5506,10 +5504,9 @@ def _q_embedding_pca_top(sf_dir: str):
     def gram_partial(b: pa.Table) -> pa.Table:
         import numpy as np
 
-        m = np.stack(
-            [np.asarray(x, dtype=np.float64)
-             for x in b["embedding"].to_pylist()]
-        )
+        from ..stages.similarity import _matrix_of
+
+        m = _matrix_of(b)
         g = m.T @ m
         s = m.sum(axis=0)
         cols = {"n": pa.array([m.shape[0]], pa.int64())}
@@ -5751,11 +5748,10 @@ def _q_label_separation(sf_dir: str):
         import pandas as pd
         import pyarrow as pa
 
-        lab = np.asarray(b["label"].to_pylist(), dtype=np.int64)
-        m = np.stack(
-            [np.asarray(x, dtype=np.float64)
-             for x in b["embedding"].to_pylist()]
-        )
+        from ..stages.similarity import _matrix_of
+
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _matrix_of(b)
         rows = {"label": [], "n": [], "q": []}
         scols = {f"s{i}": [] for i in range(D)}
         for lv in np.unique(lab):

@@ -4275,9 +4275,13 @@ def _q_events_permutation_test(sf_dir: str):
 
         uid = b["user_id"].to_numpy(zero_copy_only=False)
         cents = _cents(b["value"]).to_numpy(zero_copy_only=False)
+        # hash each DISTINCT user once (events repeat users heavily;
+        # per-row hashlib would be the batch's hot loop at scale)
+        uniq, inv = np.unique(uid, return_inverse=True)
         h = np.array(
-            [stable_hash64(str(int(u))) for u in uid], dtype=np.uint64
-        )
+            [stable_hash64(str(int(u))) for u in uniq],
+            dtype=np.uint64,
+        )[inv]
         cols = {}
         # observed split: parity
         a0 = uid % 2 == 0
