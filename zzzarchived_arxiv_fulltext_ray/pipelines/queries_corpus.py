@@ -5501,6 +5501,8 @@ def _q_embedding_pca_top(sf_dir: str):
 
     D = 64
 
+    iu, ju = np.triu_indices(D)
+
     def gram_partial(b: pa.Table) -> pa.Table:
         import numpy as np
 
@@ -5509,32 +5511,29 @@ def _q_embedding_pca_top(sf_dir: str):
         m = _matrix_of(b)
         g = m.T @ m
         s = m.sum(axis=0)
-        cols = {"n": pa.array([m.shape[0]], pa.int64())}
-        for i in range(D):
-            cols[f"s{i}"] = pa.array([float(s[i])], pa.float64())
-        for i in range(D):
-            for j in range(i, D):
-                cols[f"g{i}_{j}"] = pa.array(
-                    [float(g[i, j])], pa.float64()
-                )
-        return pa.Table.from_pydict(cols)
+        # ONE packed row per block: [n, mean sums, upper-tri gram] —
+        # a 2,081-column Sum aggregate costs ~35 s in scheduler
+        # overhead alone (measured); the packed-vector driver fold is
+        # the selection-histogram idiom and reduces in milliseconds
+        payload = np.concatenate(
+            [[float(m.shape[0])], s, g[iu, ju]]
+        )
+        return pa.Table.from_pydict(
+            {"h": pa.array([payload], pa.list_(pa.float64()))}
+        )
 
-    aggs = [Sum("n", alias_name="n")]
-    aggs += [Sum(f"s{i}", alias_name=f"s{i}") for i in range(D)]
-    aggs += [
-        Sum(f"g{i}_{j}", alias_name=f"g{i}_{j}")
-        for i in range(D)
-        for j in range(i, D)
-    ]
-    agg = ds.map_batches(
+    total = None
+    for t in ds.map_batches(
         gram_partial, batch_format="pyarrow", batch_size=None
-    ).aggregate(*aggs)
-    n = int(agg["n"])
-    mu = np.array([agg[f"s{i}"] for i in range(D)]) / n
+    ).iter_batches(batch_format="pyarrow"):
+        for row in t["h"].to_pylist():
+            v = np.asarray(row, dtype=np.float64)
+            total = v if total is None else total + v
+    n = int(total[0])
+    mu = total[1: 1 + D] / n
     G = np.zeros((D, D))
-    for i in range(D):
-        for j in range(i, D):
-            G[i, j] = G[j, i] = float(agg[f"g{i}_{j}"])
+    G[iu, ju] = total[1 + D:]
+    G[ju, iu] = total[1 + D:]
 
     v = np.full(D, 0.125)
     lam = 0.0
