@@ -4396,3 +4396,148 @@ FROM od
 
 
 RELATIONAL_ORACLE_SQL["events_permutation_test"] = _perm_oracle_sql()
+
+
+def _q_events_lorenz(sf_dir: str):
+    """Lorenz curve deciles of per-user spend (the curve behind
+    events_gini): users ranked by (total cents, user_id) via the
+    grouped ranking primitive (histogram + searchsorted, no global
+    sort), NTILE(10) by the exact integer arithmetic, then exact
+    per-decile user counts and cents sums; the cumulative share is a
+    running float ratio of exact integers computed in decile order on
+    the driver over 10 rows."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.window import grouped_row_number, ntile_of_rank
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = (
+            pd.DataFrame(
+                {
+                    "user_id": b["user_id"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "cents": _cents(b["value"]).to_numpy(
+                        zero_copy_only=False
+                    ),
+                }
+            )
+            .groupby("user_id", sort=False)["cents"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(
+                    df["user_id"].astype("int64"), pa.int64()
+                ),
+                "cents": pa.array(
+                    df["cents"].astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    totals = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("cents", alias_name="total"))
+        .map_batches(
+            lambda b: b.append_column(
+                "grp", pa.array(["all"] * b.num_rows, pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    ranked, hist = grouped_row_number(
+        totals, "grp", "user_id", "total", with_hist=True
+    )
+    n_users = int(hist["n"].sum())
+
+    def tile(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rnk = batch["rnk"].to_numpy(zero_copy_only=False)
+        t = ntile_of_rank(rnk, n_users, 10)
+        import pandas as pd
+
+        df = (
+            pd.DataFrame(
+                {
+                    "decile": t,
+                    "total": batch["key"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                }
+            )
+            .groupby("decile", sort=False)
+            .agg(n_users=("total", "size"), cents=("total", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pydict(
+            {
+                "decile": pa.array(
+                    df["decile"].astype("int64"), pa.int64()
+                ),
+                "n_users": pa.array(
+                    df["n_users"].astype("int64"), pa.int64()
+                ),
+                "cents": pa.array(
+                    df["cents"].astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        ranked.map_batches(tile, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(
+            Sum("n_users", alias_name="n_users"),
+            Sum("cents", alias_name="cents"),
+        )
+        .to_pandas()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    total_cents = int(out["cents"].sum())
+    cum = 0
+    shares = []
+    for c in out["cents"]:
+        cum += int(c)
+        shares.append(cum / total_cents)
+    out["cum_share"] = shares
+    return out
+
+
+RELATIONAL_QUERIES["events_lorenz"] = _q_events_lorenz
+RELATIONAL_ORACLE_SQL["events_lorenz"] = """
+WITH u AS (
+    SELECT user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total
+    FROM events GROUP BY user_id
+), t AS (
+    SELECT total,
+           CAST(ntile(10) OVER (ORDER BY total, user_id) AS BIGINT)
+               AS decile
+    FROM u
+), d AS (
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(total) AS BIGINT) AS cents
+    FROM t GROUP BY decile
+)
+SELECT decile, n_users, cents,
+       CAST(sum(cents) OVER (ORDER BY decile) AS DOUBLE)
+           / (SELECT CAST(sum(cents) AS DOUBLE) FROM d) AS cum_share
+FROM d ORDER BY decile
+"""
