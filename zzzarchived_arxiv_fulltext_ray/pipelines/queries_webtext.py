@@ -1528,3 +1528,122 @@ FROM c
 ORDER BY doc_id
 """
 )
+
+
+def _q_doc_score_auc(sf_dir: str):
+    """Ranking-quality AUC of the hashed-linear scorer at separating
+    English documents: every doc ranked by (score ASC, doc_id) via
+    the sort-based global row_number (exact, near-unique float keys),
+    then AUC = (R_en - n_en(n_en+1)/2) / (n_en * n_rest) from the
+    EXACT integer rank sum of the English docs — ties broken by
+    doc_id identically in both engines (scores are bit-equal because
+    the scorer itself is oracle-replayed; under a float tie this is
+    row_number-AUC, documented). The lang flag joins back via one
+    bucketed hash join; rank-sum partials reduce as three integers."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.relational import partitioned_hash_join
+    from ..stages.webtext import HashedLinearScorer
+    from ..stages.window import global_row_number_sorted
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"]).materialize()
+
+    scored = docs.map_batches(
+        HashedLinearScorer,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    ranked = global_row_number_sorted(
+        scored, id_col="doc_id", key_col="score", descending=False
+    ).map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"doc_id": b["id"], "rnk": b["rnk"]}
+        ),
+        batch_format="pyarrow",
+    )
+    flags = docs.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {
+                "doc_id": b["doc_id"],
+                "is_en": pa.compute.cast(
+                    pa.compute.equal(b["lang"], "en"), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = partitioned_hash_join(
+        ranked, flags, key="doc_id", num_buckets=32
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rnk = b["rnk"].to_numpy(zero_copy_only=False)
+        en = b["is_en"].to_numpy(zero_copy_only=False).astype(bool)
+        return pa.Table.from_pydict(
+            {
+                "r_en": pa.array([int(rnk[en].sum())], pa.int64()),
+                "n_en": pa.array([int(en.sum())], pa.int64()),
+                "n_all": pa.array([int(en.size)], pa.int64()),
+            }
+        )
+
+    agg = joined.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("r_en", alias_name="r_en"),
+        Sum("n_en", alias_name="n_en"),
+        Sum("n_all", alias_name="n_all"),
+    )
+    r_en, n_en, n_all = (
+        int(agg["r_en"]), int(agg["n_en"]), int(agg["n_all"])
+    )
+    n_rest = n_all - n_en
+    u_en = r_en - n_en * (n_en + 1) // 2
+    return pd.DataFrame(
+        {
+            "n_en": [n_en],
+            "n_rest": [n_rest],
+            "rank_sum_en": [r_en],
+            "auc": [u_en / (n_en * n_rest) if n_en and n_rest
+                    else 0.0],
+        }
+    )
+
+
+WEBTEXT_QUERIES["doc_score_auc"] = _q_doc_score_auc
+WEBTEXT_ORACLE_SQL["doc_score_auc"] = """
+WITH toks AS (
+    SELECT doc_id, lang,
+           list_filter(regexp_split_to_array(text, '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+), sc AS (
+    SELECT doc_id, lang,
+           CASE WHEN len(t) = 0 THEN 0.0
+                ELSE list_sum(list_transform(t,
+                     x -> ((length(x) * 2654435761) % 1000) / 1000.0
+                          - 0.5)) / len(t) END AS score
+    FROM toks
+), r AS (
+    SELECT doc_id, lang,
+           row_number() OVER (ORDER BY score ASC, doc_id ASC) AS rnk
+    FROM sc
+), s AS (
+    SELECT CAST(sum(CASE WHEN lang = 'en' THEN rnk ELSE 0 END)
+                AS BIGINT) AS r_en,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_en,
+           CAST(count(*) AS BIGINT) AS n_all
+    FROM r
+)
+SELECT n_en, n_all - n_en AS n_rest, r_en AS rank_sum_en,
+       CASE WHEN n_en > 0 AND n_all - n_en > 0
+            THEN CAST(r_en - n_en * (n_en + 1) // 2 AS DOUBLE)
+                 / CAST(n_en * (n_all - n_en) AS DOUBLE)
+            ELSE 0.0 END AS auc
+FROM s
+"""
