@@ -4541,3 +4541,153 @@ SELECT decile, n_users, cents,
            / (SELECT CAST(sum(cents) AS DOUBLE) FROM d) AS cum_share
 FROM d ORDER BY decile
 """
+
+
+def _q_events_entropy_rate(sf_dir: str):
+    """Entropy rate of the per-user event-type Markov chain (the
+    information measure on top of events_markov's transition counts):
+    H = -sum_s pi(s) sum_t p(t|s) log2 p(t|s) with pi the empirical
+    row distribution — transition counts exact integers from the same
+    one-exchange plan; the 25-term log sum is accumulated in
+    (prev, next) sorted order on the driver and by an ORDERED window
+    sum in the oracle (the ANOVA device), each term float ops of
+    exact ints in mirrored association."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import bucket_of_column
+
+    num_buckets = 64
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "us": pa.array(
+                    b["ts"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]")
+                    .astype(np.int64),
+                    pa.int64(),
+                ),
+                "event_type": b["event_type"],
+                "__b": pa.array(
+                    bucket_of_column(b["user_id"], num_buckets),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def pairs_of_bucket(group: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        empty = pa.Table.from_pydict(
+            {
+                "prev_type": pa.array([], pa.string()),
+                "next_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if uid.size < 2:
+            return empty
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        us = group["us"].to_numpy(zero_copy_only=False)
+        et = np.array(group["event_type"].to_pylist())
+        order = np.lexsort((eid, us, uid))
+        uid, et = uid[order], et[order]
+        same = uid[1:] == uid[:-1]
+        prev, nxt = et[:-1][same], et[1:][same]
+        if prev.size == 0:
+            return empty
+        df = (
+            pd.DataFrame({"prev_type": prev, "next_type": nxt})
+            .groupby(["prev_type", "next_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pydict(
+            {
+                "prev_type": pa.array(df["prev_type"], pa.string()),
+                "next_type": pa.array(df["next_type"], pa.string()),
+                "n": pa.array(df["n"].astype("int64"), pa.int64()),
+            }
+        )
+
+    cells = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(pairs_of_bucket, batch_format="pyarrow")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    cells["n"] = cells["n"].astype("int64")
+    total = int(cells["n"].sum())
+    row_tot = cells.groupby("prev_type")["n"].sum().to_dict()
+    h = 0.0
+    for r in cells.itertuples():
+        n = int(r.n)
+        rt = int(row_tot[r.prev_type])
+        # pi(s)*p(t|s) = n/total; term = -(n/total)*log2(n/rt)
+        h = h + -(n / total) * math.log2(n / rt)
+    return pd.DataFrame(
+        {
+            "n_transitions": [total],
+            "n_cells": [len(cells)],
+            "entropy_rate_bits": [h],
+        }
+    )
+
+
+RELATIONAL_QUERIES["events_entropy_rate"] = _q_events_entropy_rate
+RELATIONAL_ORACLE_SQL["events_entropy_rate"] = """
+WITH o AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev_type
+    FROM events
+), c AS (
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM o WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+), t AS (
+    SELECT CAST(sum(n) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM c
+), rt AS (
+    SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_n
+    FROM c GROUP BY prev_type
+), terms AS (
+    SELECT c.prev_type, c.next_type,
+           -(CAST(c.n AS DOUBLE) / t.total)
+               * log2(CAST(c.n AS DOUBLE) / rt.row_n) AS term
+    FROM c JOIN rt ON rt.prev_type = c.prev_type
+    CROSS JOIN t
+), acc AS (
+    SELECT sum(term) OVER (
+               ORDER BY prev_type, next_type) AS ch,
+           row_number() OVER (
+               ORDER BY prev_type, next_type) AS rn
+    FROM terms
+)
+SELECT t.total AS n_transitions, t.n_cells,
+       (SELECT ch FROM acc ORDER BY rn DESC LIMIT 1)
+           AS entropy_rate_bits
+FROM t
+"""

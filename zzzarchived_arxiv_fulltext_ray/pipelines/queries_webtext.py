@@ -1647,3 +1647,128 @@ SELECT n_en, n_all - n_en AS n_rest, r_en AS rank_sum_en,
             ELSE 0.0 END AS auc
 FROM s
 """
+
+
+def _q_doc_score_gains(sf_dir: str):
+    """Gains/lift table for the hashed-linear scorer: documents
+    bucketed into deciles by (score DESC, doc_id) rank — rank-based
+    binning, so every bin edge is exact integer arithmetic over the
+    sort-based global row_number (value-based bins would inherit
+    float-boundary risk) — with exact per-decile English counts and
+    the cumulative recall curve as running ratios of exact integers.
+    The model-eval companion of doc_score_auc."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.relational import partitioned_hash_join
+    from ..stages.webtext import HashedLinearScorer
+    from ..stages.window import global_row_number_sorted, ntile_of_rank
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"]).materialize()
+    scored = docs.map_batches(
+        HashedLinearScorer, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    ranked = global_row_number_sorted(
+        scored, id_col="doc_id", key_col="score", descending=True
+    )
+    n_all = int(docs.count())
+    ranked = ranked.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"doc_id": b["id"], "rnk": b["rnk"]}
+        ),
+        batch_format="pyarrow",
+    )
+    flags = docs.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {
+                "doc_id": b["doc_id"],
+                "is_en": pa.compute.cast(
+                    pa.compute.equal(b["lang"], "en"), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = partitioned_hash_join(
+        ranked, flags, key="doc_id", num_buckets=32
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        rnk = b["rnk"].to_numpy(zero_copy_only=False)
+        en = b["is_en"].to_numpy(zero_copy_only=False)
+        dec = ntile_of_rank(rnk, n_all, 10)
+        df = (
+            pd.DataFrame({"decile": dec, "en": en})
+            .groupby("decile", sort=False)
+            .agg(n=("en", "size"), n_en=("en", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pydict(
+            {
+                "decile": pa.array(
+                    df["decile"].astype("int64"), pa.int64()
+                ),
+                "n": pa.array(df["n"].astype("int64"), pa.int64()),
+                "n_en": pa.array(
+                    df["n_en"].astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("n_en", alias_name="n_en"))
+        .to_pandas()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    tot_en = int(out["n_en"].sum())
+    cum = 0
+    rec = []
+    for v in out["n_en"]:
+        cum += int(v)
+        rec.append(cum / tot_en if tot_en else 0.0)
+    out["cum_recall"] = rec
+    return out
+
+
+WEBTEXT_QUERIES["doc_score_gains"] = _q_doc_score_gains
+WEBTEXT_ORACLE_SQL["doc_score_gains"] = """
+WITH toks AS (
+    SELECT doc_id, lang,
+           list_filter(regexp_split_to_array(text, '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+), sc AS (
+    SELECT doc_id, lang,
+           CASE WHEN len(t) = 0 THEN 0.0
+                ELSE list_sum(list_transform(t,
+                     x -> ((length(x) * 2654435761) % 1000) / 1000.0
+                          - 0.5)) / len(t) END AS score
+    FROM toks
+), r AS (
+    SELECT lang,
+           CAST(ntile(10) OVER (ORDER BY score DESC, doc_id ASC)
+                AS BIGINT) AS decile
+    FROM sc
+), d AS (
+    SELECT decile, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_en
+    FROM r GROUP BY decile
+)
+SELECT decile, n, n_en,
+       CAST(sum(n_en) OVER (ORDER BY decile) AS DOUBLE)
+           / (SELECT CAST(sum(n_en) AS DOUBLE) FROM d) AS cum_recall
+FROM d ORDER BY decile
+"""
