@@ -5839,3 +5839,149 @@ JOIN dots dab ON dab.la = sa.label AND dab.lb = sb.label
 JOIN dots dbb ON dbb.la = sb.label AND dbb.lb = sb.label
 ORDER BY label_a, label_b
 """
+
+
+def _q_label_pca_top(sf_dir: str):
+    """GROUPED top principal component — one eigenvector per label
+    (class-conditional structure): the embedding_pca_top machinery
+    with the sufficient stats keyed by label. Each batch folds its
+    per-label [n, mean sums, upper-tri gram] into one packed
+    list<double> row per label present (the packed-vector idiom — a
+    per-column aggregate at 10 labels x 2,081 stats would be
+    hopeless); the driver reduces label-wise and runs the three
+    mirrored power iterations per label. Oracle = the unrolled
+    iteration CTEs joined on (label, dim)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    D = 64
+    iu, ju = np.triu_indices(D)
+
+    def gram_partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow as pa
+
+        from ..stages.similarity import _matrix_of
+
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        m = _matrix_of(b)
+        labs, payloads = [], []
+        for lv in np.unique(lab):
+            sel = m[lab == lv]
+            g = sel.T @ sel
+            payloads.append(
+                np.concatenate(
+                    [[float(sel.shape[0])], sel.sum(axis=0),
+                     g[iu, ju]]
+                )
+            )
+            labs.append(int(lv))
+        return pa.Table.from_pydict(
+            {
+                "label": pa.array(labs, pa.int64()),
+                "h": pa.array(payloads, pa.list_(pa.float64())),
+            }
+        )
+
+    totals = {}
+    for t in ds.map_batches(
+        gram_partial, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
+        for lv, row in zip(t["label"].to_pylist(), t["h"].to_pylist()):
+            v = np.asarray(row, dtype=np.float64)
+            totals[lv] = v if lv not in totals else totals[lv] + v
+
+    rows = []
+    for lv in sorted(totals):
+        tot = totals[lv]
+        n = int(tot[0])
+        mu = tot[1: 1 + D] / n
+        G = np.zeros((D, D))
+        G[iu, ju] = tot[1 + D:]
+        G[ju, iu] = tot[1 + D:]
+        v = np.full(D, 0.125)
+        lam = 0.0
+        for _ in range(3):
+            w = G @ v / n - mu * float(mu @ v)
+            lam = float(np.sqrt(w @ w))
+            v = w / lam
+        for d in range(D):
+            rows.append(
+                {
+                    "label": lv,
+                    "dim": d,
+                    "loading": v[d],
+                    "eigenvalue": lam,
+                }
+            )
+    return pd.DataFrame(
+        rows, columns=["label", "dim", "loading", "eigenvalue"]
+    )
+
+
+CORPUS_QUERIES["label_pca_top"] = _q_label_pca_top
+
+
+def _label_pca_oracle_sql() -> str:
+    it = """
+, d{P} AS (
+    SELECT m2.label, sum(m2.mu * vb.v) AS dot
+    FROM mu m2 JOIN v{P} vb
+      ON vb.label = m2.label AND vb.dim = m2.i
+    GROUP BY m2.label
+), w{K} AS (
+    SELECT g.label, g.i AS dim,
+           sum(g.g * v{P}.v) / t.n - m.mu * d{P}.dot AS w
+    FROM gram g
+    JOIN v{P} ON v{P}.label = g.label AND v{P}.dim = g.j
+    JOIN mu m ON m.label = g.label AND m.i = g.i
+    JOIN tot t ON t.label = g.label
+    JOIN d{P} ON d{P}.label = g.label
+    GROUP BY g.label, g.i, m.mu, t.n, d{P}.dot
+), n{K} AS (
+    SELECT label, sqrt(sum(w * w)) AS nrm FROM w{K} GROUP BY label
+), v{K} AS (
+    SELECT w{K}.label, dim, w / n{K}.nrm AS v
+    FROM w{K} JOIN n{K} ON n{K}.label = w{K}.label
+)"""
+    body = """
+WITH dims AS (
+    SELECT range AS i FROM range(1, 65)
+), vals AS (
+    SELECT e.vec_id AS rid, e.label, d.i - 1 AS dim,
+           CAST(list_extract(e.embedding, d.i) AS DOUBLE) AS v
+    FROM embeddings e CROSS JOIN dims d
+), tot AS (
+    SELECT label, CAST(count(DISTINCT rid) AS BIGINT) AS n
+    FROM vals GROUP BY label
+), mu AS (
+    SELECT vals.label, dim AS i, sum(v) / t.n AS mu
+    FROM vals JOIN tot t ON t.label = vals.label
+    GROUP BY vals.label, dim, t.n
+), gram AS (
+    SELECT a.label, a.dim AS i, b.dim AS j, sum(a.v * b.v) AS g
+    FROM vals a JOIN vals b
+      ON a.rid = b.rid AND a.label = b.label
+    GROUP BY a.label, a.dim, b.dim
+), v0 AS (
+    SELECT t.label, d.i - 1 AS dim, 0.125 AS v
+    FROM tot t CROSS JOIN dims d
+)"""
+    for k in (1, 2, 3):
+        body += it.format(K=k, P=k - 1)
+    body += """
+SELECT v3.label, v3.dim, v3.v AS loading, n3.nrm AS eigenvalue
+FROM v3 JOIN n3 ON n3.label = v3.label
+ORDER BY v3.label, v3.dim
+"""
+    return body
+
+
+CORPUS_ORACLE_SQL["label_pca_top"] = _label_pca_oracle_sql()
