@@ -4691,3 +4691,150 @@ SELECT t.total AS n_transitions, t.n_cells,
            AS entropy_rate_bits
 FROM t
 """
+
+
+def _poisson1_thresholds():
+    """Exact uint64 inverse-CDF thresholds for Poisson(1) truncated
+    at 6: T_k = floor(CDF(k) * 2^64); a uniform 64-bit hash u maps to
+    weight = smallest k with u < T_k (tail -> 6). Deterministic
+    float64 arithmetic, embedded as literals in the SQL oracle."""
+    import math
+
+    cdf = 0.0
+    out = []
+    for k in range(7):
+        cdf += math.exp(-1.0) / math.factorial(k)
+        out.append(min(int(cdf * 2.0**64), (1 << 64) - 1))
+    return out
+
+
+def _q_events_bootstrap_ci(sf_dir: str):
+    """Percentile-bootstrap CI for the mean event cents via 20
+    DETERMINISTIC Poisson(1) resamples (the permutation-test device
+    applied to estimation): replicate b weights each event by the
+    Poisson inverse-CDF of splitmix64(md5hash(event_id) xor seed_b)
+    against exact uint64 thresholds, so every resample is replayable;
+    replicate means are single divisions of exact integer (weighted
+    sum, weight count) pairs, bit-equal across engines, and the CI
+    bounds are order statistics of those 20 bit-equal doubles
+    (ties impossible in practice; ordering identical). One scan
+    computes all 20 replicates' sums — a 40-integer exchange."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..functions.shingles import _splitmix64, stable_hash64
+
+    rng = np.random.default_rng(424_777)
+    seeds = rng.integers(
+        0, np.iinfo(np.uint64).max, size=20, dtype=np.uint64
+    )
+    B = seeds.size
+    thr = np.array(_poisson1_thresholds(), dtype=np.uint64)
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow as pa
+
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        cents = _cents(b["value"]).to_numpy(zero_copy_only=False)
+        h = np.array(
+            [stable_hash64(str(int(e))) for e in eid],
+            dtype=np.uint64,
+        )
+        cols = {
+            "s_obs": pa.array([int(cents.sum())], pa.int64()),
+            "n_obs": pa.array([int(cents.size)], pa.int64()),
+        }
+        for j in range(B):
+            u = _splitmix64(h ^ seeds[j])
+            w = np.minimum(
+                np.searchsorted(thr, u, side="right"), 6
+            ).astype(np.int64)
+            cols[f"s_{j}"] = pa.array(
+                [int((w * cents).sum())], pa.int64()
+            )
+            cols[f"w_{j}"] = pa.array([int(w.sum())], pa.int64())
+        return pa.Table.from_pydict(cols)
+
+    aggs = [Sum("s_obs", alias_name="s_obs"),
+            Sum("n_obs", alias_name="n_obs")]
+    aggs += [
+        Sum(f"{p}_{j}", alias_name=f"{p}_{j}")
+        for j in range(B)
+        for p in ("s", "w")
+    ]
+    agg = ev.map_batches(partial, batch_format="pyarrow").aggregate(
+        *aggs
+    )
+    means = []
+    for j in range(B):
+        s, w = int(agg[f"s_{j}"]), int(agg[f"w_{j}"])
+        means.append(s / w if w else 0.0)
+    means_sorted = sorted(means)
+    return pd.DataFrame(
+        {
+            "n_reps": [B],
+            "obs_mean": [int(agg["s_obs"]) / int(agg["n_obs"])],
+            "ci_lo": [means_sorted[0]],
+            "ci_hi": [means_sorted[-1]],
+        }
+    )
+
+
+RELATIONAL_QUERIES["events_bootstrap_ci"] = _q_events_bootstrap_ci
+
+
+def _bootstrap_oracle_sql() -> str:
+    import numpy as np
+
+    from .queries_training import _splitmix64_sql
+
+    rng = np.random.default_rng(424_777)
+    seeds = rng.integers(
+        0, np.iinfo(np.uint64).max, size=20, dtype=np.uint64
+    ).tolist()
+    seed_values = ", ".join(
+        f"({j}, {s}::UBIGINT)" for j, s in enumerate(seeds)
+    )
+    thr = _poisson1_thresholds()
+    mix = _splitmix64_sql(
+        "xor(md5_number_upper(CAST(event_id AS VARCHAR)), sd.seed)"
+    )
+    w_case = "CASE "
+    for k, t in enumerate(thr):
+        w_case += f"WHEN u < {t}::UBIGINT THEN {k} "
+    w_case += "ELSE 6 END"
+    return f"""
+WITH o AS (
+    SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+), obs AS (
+    SELECT CAST(sum(cents) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM o
+), wts AS (
+    SELECT j, cents, {w_case} AS w
+    FROM (SELECT sd.j AS j, o.cents, {mix} AS u
+          FROM o CROSS JOIN (VALUES {seed_values}) sd(j, seed)) q
+), reps AS (
+    SELECT j,
+           CAST(sum(CAST(w AS BIGINT) * cents) AS BIGINT) AS s,
+           CAST(sum(w) AS BIGINT) AS wsum
+    FROM wts GROUP BY j
+), means AS (
+    SELECT j, CAST(s AS DOUBLE) / wsum AS m FROM reps
+)
+SELECT 20 AS n_reps,
+       (SELECT CAST(s AS DOUBLE) / n FROM obs) AS obs_mean,
+       (SELECT min(m) FROM means) AS ci_lo,
+       (SELECT max(m) FROM means) AS ci_hi
+"""
+
+
+RELATIONAL_ORACLE_SQL["events_bootstrap_ci"] = _bootstrap_oracle_sql()
