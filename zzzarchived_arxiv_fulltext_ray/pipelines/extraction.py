@@ -28,6 +28,7 @@ def extraction_pipeline(
     derive_psv: bool = True,
     giant_threshold_bytes: Optional[int] = None,
     materialize_for_split: bool = True,
+    extractor_cls: type = ExtractorPool,
 ):
     """Build the lazy extraction graph over a pages Dataset.
 
@@ -50,7 +51,7 @@ def extraction_pipeline(
         # task stage would contend with the pool for cores (it costs
         # more CPU than the cascade itself on text-heavy corpora)
         return stream.map_batches(
-            ExtractorPool,
+            extractor_cls,
             fn_constructor_kwargs={"derive_psv": derive_psv},
             batch_format="pyarrow",
             batch_size=pool_batch_size,
