@@ -197,9 +197,17 @@ def neardup_components(
         # pin ONCE so the count does not execute the (expensive)
         # candidate+verify plan a first time and the chosen method a
         # second time — both consumers read the same materialized refs
+        from . import plan as plan_choice
+
         pairs_ds = pin_loop_state(pairs_ds, num_blocks=None)
         n = pairs_ds.count()
-        method = "driver" if n <= driver_max_pairs else "distributed"
+        method = (
+            "driver"
+            if plan_choice.choose_broadcast(
+                n, driver_max_pairs, est_row_bytes=16
+            )
+            else "distributed"
+        )
     if method == "driver":
         return rd.from_arrow(_components_driver(pairs_ds))
     if method == "distributed":
@@ -252,9 +260,17 @@ def canonical_filter(
 
     losers = _losers_ds(components_ds)
     if method == "auto":
+        from . import plan as plan_choice
+
         losers = pin_loop_state(losers, num_blocks=None)
         n = losers.count()
-        method = "broadcast" if n <= broadcast_max_losers else "partitioned"
+        method = (
+            "broadcast"
+            if plan_choice.choose_broadcast(
+                n, broadcast_max_losers, est_row_bytes=8
+            )
+            else "partitioned"
+        )
 
     if method == "partitioned":
         return partitioned_hash_join(

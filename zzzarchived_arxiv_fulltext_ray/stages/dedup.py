@@ -253,6 +253,12 @@ def latest_crawl_shuffle(ds):
 
 
 def latest_crawl(ds, method: str = "broadcast"):
+    from . import plan as plan_choice
+
+    if plan_choice.force_partitioned():
+        # GRAFT_FORCE_PARTITIONED=1: gate-level coverage of the
+        # shuffle twin (pinned equal to broadcast in tests)
+        method = "shuffle"
     if method == "broadcast":
         return latest_crawl_broadcast(ds)
     if method == "shuffle":

@@ -32,6 +32,8 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
+from . import plan as plan_choice
+
 logger = logging.getLogger(__name__)
 
 
@@ -142,7 +144,11 @@ def triangle_stats(
         raise ValueError(f"unknown triangle_stats method: {method}")
     if method == "auto":
         method = (
-            "broadcast" if n_edges <= broadcast_limit else "partitioned"
+            "broadcast"
+            if plan_choice.choose_broadcast(
+                n_edges, broadcast_limit, est_row_bytes=16
+            )
+            else "partitioned"
         )
 
     # -- degrees: batch-local partial counts -> one small groupby
@@ -500,7 +506,11 @@ def bfs_hops(
         raise ValueError(f"unknown bfs_hops method: {method}")
     if method == "auto":
         method = (
-            "broadcast" if n_edges <= broadcast_limit else "partitioned"
+            "broadcast"
+            if plan_choice.choose_broadcast(
+                n_edges, broadcast_limit, est_row_bytes=16
+            )
+            else "partitioned"
         )
 
     if n_edges == 0:
@@ -718,7 +728,11 @@ def kcore_peel(
         raise ValueError(f"unknown kcore_peel method: {method}")
     if method == "auto":
         method = (
-            "broadcast" if n_edges <= broadcast_limit else "partitioned"
+            "broadcast"
+            if plan_choice.choose_broadcast(
+                n_edges, broadcast_limit, est_row_bytes=16
+            )
+            else "partitioned"
         )
 
     if method == "broadcast":
@@ -992,7 +1006,11 @@ def local_clustering(
         raise ValueError(f"unknown local_clustering method: {method}")
     if method == "auto":
         method = (
-            "broadcast" if n_edges <= broadcast_limit else "partitioned"
+            "broadcast"
+            if plan_choice.choose_broadcast(
+                n_edges, broadcast_limit, est_row_bytes=16
+            )
+            else "partitioned"
         )
 
     def deg_partial(batch: pa.Table) -> pa.Table:
@@ -1472,7 +1490,9 @@ def degree_assortativity(
             }
         )
 
-    if n_nodes <= broadcast_nodes:
+    if plan_choice.choose_broadcast(
+        n_nodes, broadcast_nodes, est_row_bytes=16
+    ):
         # small-graph fast path (the latest_crawl-style crossover):
         # the degree table broadcasts once and both endpoint degrees
         # attach in ONE edge scan — zero degree-join exchanges.
@@ -1615,7 +1635,11 @@ def label_propagation(
         raise ValueError(f"unknown label_propagation method: {method}")
     if method == "auto":
         method = (
-            "broadcast" if n_edges <= broadcast_limit else "partitioned"
+            "broadcast"
+            if plan_choice.choose_broadcast(
+                n_edges, broadcast_limit, est_row_bytes=16
+            )
+            else "partitioned"
         )
 
     if method == "broadcast":
@@ -1883,7 +1907,11 @@ def random_walks(
         raise ValueError(f"unknown random_walks method: {method}")
     if method == "auto":
         method = (
-            "broadcast" if n_edges <= broadcast_limit else "partitioned"
+            "broadcast"
+            if plan_choice.choose_broadcast(
+                n_edges, broadcast_limit, est_row_bytes=16
+            )
+            else "partitioned"
         )
 
     if method == "broadcast":
@@ -2098,7 +2126,11 @@ def edge_triangle_support(
     n_edges = edges.count()
     if method == "auto":
         method = (
-            "broadcast" if n_edges <= broadcast_limit else "partitioned"
+            "broadcast"
+            if plan_choice.choose_broadcast(
+                n_edges, broadcast_limit, est_row_bytes=16
+            )
+            else "partitioned"
         )
 
     if n_edges and method == "broadcast":

@@ -151,6 +151,11 @@ def token_budget_select(
 
     Returns a pandas frame (id_col, group_col, n_tokens) sorted by id.
     """
+    from . import plan as plan_choice
+
+    if plan_choice.force_partitioned():
+        boundary = "distributed"
+
     from ray.data.aggregate import Sum
 
     hashed = docs_ds.map_batches(

@@ -574,9 +574,17 @@ def neardup_pairs(
             # untransformed read — no scan; transformed inputs fall
             # back to a projected scan as before
             n_docs = docs_ds.count()
+            # memory-aware crossover: the broadcast state is one
+            # num_perm x uint64 signature per doc, so fat signatures
+            # (large num_perm) flip to partitioned before the row
+            # limit does; GRAFT_FORCE_PARTITIONED=1 always flips
+            from . import plan as plan_choice
+
             verify = (
                 "broadcast"
-                if n_docs <= broadcast_max_docs
+                if plan_choice.choose_broadcast(
+                    n_docs, broadcast_max_docs, est_row_bytes=num_perm * 8
+                )
                 else "partitioned"
             )
     if verify == "counts":

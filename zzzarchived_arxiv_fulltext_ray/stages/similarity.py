@@ -266,6 +266,10 @@ def embedding_neardup(
     ``method``: "blockpair" (default; partitioned theta join, exact at
     any scale) or "broadcast" (small-corpus fast path). Sub-quadratic
     approximate: :func:`embedding_neardup_lsh`."""
+    from . import plan as plan_choice
+
+    if plan_choice.force_partitioned():
+        method = "blockpair"
     if method == "blockpair":
         return embedding_neardup_blockpair(emb_ds, threshold, num_blocks)
     if method == "broadcast":

@@ -187,6 +187,11 @@ def decontaminate(
     """
     import ray
 
+    from . import plan as plan_choice
+
+    if plan_choice.force_partitioned():
+        plan = "partitioned"
+
     shingled_bench = bench_ds.map_batches(
         lambda b: shingle_hash_batch(b, n=n), batch_format="pyarrow"
     )

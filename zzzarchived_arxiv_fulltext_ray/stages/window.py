@@ -610,8 +610,12 @@ def grouped_rank_dense(ds, part_col: str, key_col: str,
     if method == "auto":
         from .components import pin_loop_state
 
+        from . import plan as plan_choice
+
         hist_ds = pin_loop_state(hist_ds, num_blocks=None)
-        if hist_ds.count() > max_hist_pairs:
+        if not plan_choice.choose_broadcast(
+            hist_ds.count(), max_hist_pairs, est_row_bytes=16
+        ):
             return grouped_rank_sorted(
                 ds, part_col, key_col,
                 descending=descending, with_pct=with_pct,
