@@ -5,6 +5,12 @@ the matching ``oracle_sql()`` through DuckDB, then compares row count,
 column names and an order-insensitive value hash.
 
 Usage: python scripts/check_oracle.py [sf_dir] [--only q1,q2,...]
+                                      [--json out.json]
+
+``--json`` (or ``GRAFT_ORACLE_JSON=path``) writes a per-query artifact
+{name: {rows, oracle_rows, cols_match, hash_match, secs, oracled}} so
+rounds can diff the full 200-query surface (the driver's
+CORRECTNESS_r{N}.json only samples 50).
 """
 
 import sys
@@ -15,11 +21,18 @@ import pandas as pd
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import os
+
 ONLY = None
 _argv = list(sys.argv[1:])
 if "--only" in _argv:
     i = _argv.index("--only")
     ONLY = set(_argv[i + 1].split(","))
+    del _argv[i : i + 2]
+JSON_OUT = os.environ.get("GRAFT_ORACLE_JSON") or None
+if "--json" in _argv:
+    i = _argv.index("--json")
+    JSON_OUT = _argv[i + 1]
     del _argv[i : i + 2]
 SF_DIR = _argv[0] if _argv else "/root/testdata/sf0.01"
 TABLES = (
@@ -95,12 +108,20 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    report = {}
+    import time
+
     for name, fn in qs.items():
         if ONLY is not None and name not in ONLY:
             continue
+        t0 = time.perf_counter()
         got = to_pandas(fn(SF_DIR))
+        secs = round(time.perf_counter() - t0, 3)
         if name not in oracles:
             print(f"{name:28s} rows={len(got):6d}  (no oracle: rows-only)")
+            report[name] = {
+                "rows": len(got), "oracled": False, "secs": secs,
+            }
             continue
         want = con.execute(oracles[name]).fetchdf()
         gh, wh = value_hash(got), value_hash(want)
@@ -110,6 +131,11 @@ def main():
         status = "OK " if (ok_rows and ok_cols and ok_hash) else "FAIL"
         if status == "FAIL":
             failures += 1
+        report[name] = {
+            "rows": len(got), "oracle_rows": len(want),
+            "cols_match": ok_cols, "hash_match": ok_hash,
+            "oracled": True, "secs": secs,
+        }
         print(
             f"{name:28s} {status} rows {len(got)}/{len(want)} "
             f"cols {ok_cols} hash {gh}/{wh}"
@@ -121,6 +147,23 @@ def main():
             )
             diff = merged[merged["_merge"] != "both"]
             print(diff.head(6).to_string())
+    if JSON_OUT:
+        import json
+
+        with open(JSON_OUT, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "forced_partitioned": os.environ.get(
+                        "GRAFT_FORCE_PARTITIONED", ""
+                    ) not in ("", "0"),
+                    "n_queries": len(report),
+                    "n_failures": failures,
+                    "queries": report,
+                },
+                f, indent=1, sort_keys=True,
+            )
+        print(f"wrote {JSON_OUT}")
     ray.shutdown()
     sys.exit(1 if failures else 0)
 
