@@ -209,6 +209,44 @@ def split_http_response(payload: bytes) -> Tuple[Dict[str, str], bytes]:
     return headers, body
 
 
+def record_to_page_fields(
+    headers: Dict[str, str], payload: bytes
+) -> Optional[Tuple[str, Optional[datetime], bytes, str, str]]:
+    """One parsed WARC record -> pages-schema fields
+    ``(url, warc_ts|None, html, text, lang)``; None for non-response
+    records.
+
+    * ``lang`` comes from Common Crawl's
+      ``WARC-Identified-Content-Language`` WARC header when present.
+    * ``text/plain`` HTTP responses route to the ``text`` column
+      (they ARE extracted text already); the cascade treats a
+      text-column fallback and a sniffed KIND_TEXT payload
+      identically (``cascade.py`` KIND_EMPTY/KIND_TEXT arms both call
+      ``_gate(raw, source, "text", None)``), so this is a
+      representation choice, not a semantic fork — it keeps
+      ``n_bytes`` (payload size) parity with text-column sources.
+    """
+    if headers.get("WARC-Type", "response") != "response":
+        return None
+    http_headers, body = split_http_response(payload)
+    url = headers.get("WARC-Target-URI", "")
+    ts = parse_warc_date(headers.get("WARC-Date", ""))
+    lang = headers.get("WARC-Identified-Content-Language", "")
+    ctype = http_headers.get("Content-Type", "").lower()
+    if ctype.startswith("text/plain"):
+        from . import sniff as sniff_mod
+
+        text = (
+            sniff_mod.decode_payload(
+                body, sniff_mod.detect_charset(body)
+            )
+            if body
+            else ""
+        )
+        return url, ts, b"", text, lang
+    return url, ts, body, "", lang
+
+
 def parse_warc_date(value: str) -> Optional[datetime]:
     """WARC-Date (ISO-8601 Zulu) -> naive UTC datetime (Arrow/DuckDB
     timestamps are UTC-naive here)."""
@@ -227,7 +265,10 @@ def build_record(
     date: str = "2024-01-01T00:00:00Z",
     record_type: str = "response",
     content_type: str = "text/html",
+    extra_headers: Optional[Dict[str, str]] = None,
 ) -> bytes:
+    """``extra_headers`` adds WARC (not HTTP) header lines — e.g.
+    Common Crawl's ``WARC-Identified-Content-Language``."""
     http = (
         b"HTTP/1.1 200 OK" + _CRLF
         + b"Content-Type: " + content_type.encode() + _CRLF
@@ -235,11 +276,15 @@ def build_record(
         + _CRLF
         + body
     )
+    extra = b""
+    for k, v in (extra_headers or {}).items():
+        extra += k.encode() + b": " + v.encode() + _CRLF
     headers = (
         WARC_VERSION + _CRLF
         + b"WARC-Type: " + record_type.encode() + _CRLF
         + b"WARC-Target-URI: " + url.encode() + _CRLF
         + b"WARC-Date: " + date.encode() + _CRLF
+        + extra
         + b"Content-Length: " + str(len(http)).encode() + _CRLF
         + _CRLF
     )
@@ -247,12 +292,18 @@ def build_record(
 
 
 def build_warc(
-    records: List[Tuple[str, bytes, str]], gzip_members: bool = False
+    records: List[Tuple], gzip_members: bool = False
 ) -> bytes:
-    """records = [(url, body, iso_date)] -> a WARC byte stream."""
+    """records = [(url, body, iso_date[, extra_headers[, content_type]])]
+    -> a WARC byte stream."""
     chunks = []
-    for url, body, date in records:
-        raw = build_record(url, body, date)
+    for rec in records:
+        url, body, date = rec[0], rec[1], rec[2]
+        extra = rec[3] if len(rec) > 3 else None
+        ctype = rec[4] if len(rec) > 4 else "text/html"
+        raw = build_record(
+            url, body, date, extra_headers=extra, content_type=ctype
+        )
         if gzip_members:
             co = zlib.compressobj(wbits=31)
             raw = co.compress(raw) + co.flush()

@@ -300,25 +300,25 @@ def read_pages_from_warc(paths):
     from ..functions import warc as warc_mod
 
     def to_pages(batch: pa.Table) -> pa.Table:
-        urls, stamps, payloads = [], [], []
+        urls, stamps, payloads, texts, langs = [], [], [], [], []
         for blob in batch["bytes"].to_pylist():
             for headers, payload in warc_mod.iter_warc_records(blob):
-                if headers.get("WARC-Type", "response") != "response":
+                fields = warc_mod.record_to_page_fields(headers, payload)
+                if fields is None:
                     continue
-                _, body = warc_mod.split_http_response(payload)
-                urls.append(headers.get("WARC-Target-URI", ""))
-                stamps.append(
-                    warc_mod.parse_warc_date(headers.get("WARC-Date", ""))
-                    or BASE_TS
-                )
-                payloads.append(body)
+                url, ts, html, text, lang = fields
+                urls.append(url)
+                stamps.append(ts or BASE_TS)
+                payloads.append(html)
+                texts.append(text)
+                langs.append(lang)
         return pa.Table.from_pydict(
             {
                 "url": urls,
                 "warc_ts": stamps,
                 "html": payloads,
-                "text": [""] * len(urls),
-                "lang": [""] * len(urls),
+                "text": texts,
+                "lang": langs,
             },
             schema=PAGES_SCHEMA,
         )

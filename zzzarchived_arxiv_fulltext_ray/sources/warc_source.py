@@ -24,24 +24,24 @@ DEFAULT_BLOCK_ROWS = 512
 
 
 def _records_to_pages(records) -> pa.Table:
-    urls, stamps, payloads = [], [], []
+    urls, stamps, payloads, texts, langs = [], [], [], [], []
     for headers, payload in records:
-        if headers.get("WARC-Type", "response") != "response":
+        fields = warc_mod.record_to_page_fields(headers, payload)
+        if fields is None:
             continue
-        _, body = warc_mod.split_http_response(payload)
-        urls.append(headers.get("WARC-Target-URI", ""))
-        stamps.append(
-            warc_mod.parse_warc_date(headers.get("WARC-Date", ""))
-            or BASE_TS
-        )
-        payloads.append(body)
+        url, ts, html, text, lang = fields
+        urls.append(url)
+        stamps.append(ts or BASE_TS)
+        payloads.append(html)
+        texts.append(text)
+        langs.append(lang)
     return pa.Table.from_pydict(
         {
             "url": urls,
             "warc_ts": stamps,
             "html": payloads,
-            "text": [""] * len(urls),
-            "lang": [""] * len(urls),
+            "text": texts,
+            "lang": langs,
         },
         schema=PAGES_SCHEMA,
     )
@@ -98,4 +98,92 @@ def read_pages_from_warc_stream(
         raise RuntimeError("FileBasedDatasource API unavailable")
     return ray.data.read_datasource(
         WarcDatasource(paths, chunk_bytes=chunk_bytes, block_rows=block_rows)
+    )
+
+
+# -- pages -> WARC (synthetic crawl segments for the WARC-native
+# headline witness and for tests) ------------------------------------
+
+def pages_batch_to_warc_bytes(
+    batch: pa.Table, gzip_members: bool = True
+) -> bytes:
+    """One pages-schema batch -> one WARC byte stream.
+
+    Inverse of :func:`_records_to_pages` under the documented mapping:
+    non-empty ``html`` rides as the HTTP body (content-type by sniff:
+    pdf/binary/html), text-only rows ride as ``text/plain`` bodies,
+    ``lang`` rides Common Crawl's ``WARC-Identified-Content-Language``
+    WARC header. Round-tripping a pages table through
+    ``build -> read_pages_from_warc_stream`` reproduces it row-for-row
+    (see tests/test_warc.py::test_pages_warc_roundtrip).
+    """
+    from ..functions import sniff as sniff_mod
+
+    records = []
+    for url, ts, html, text, lang in zip(
+        batch["url"].to_pylist(),
+        batch["warc_ts"].to_pylist(),
+        batch["html"].to_pylist(),
+        batch["text"].to_pylist(),
+        batch["lang"].to_pylist(),
+    ):
+        date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+        extra = (
+            {"WARC-Identified-Content-Language": lang} if lang else None
+        )
+        if html:
+            kind = sniff_mod.sniff_kind(html)
+            ctype = {
+                sniff_mod.KIND_PDF: "application/pdf",
+                sniff_mod.KIND_HTML: "text/html",
+                sniff_mod.KIND_BINARY: "application/octet-stream",
+            }.get(kind, "text/html")
+            records.append((url, html, date, extra, ctype))
+        else:
+            body = text.encode("utf-8") if text else b""
+            records.append((url, body, date, extra, "text/plain"))
+    return warc_mod.build_warc(records, gzip_members=gzip_members)
+
+
+def write_pages_as_warc(
+    pages_ds,
+    out_dir: str,
+    gzip_members: bool = True,
+    rows_per_file: int = 4096,
+):
+    """Materialize a pages Dataset as a directory of .warc(.gz) shard
+    files (one file per output batch; names content-addressed by the
+    first record so re-runs land on the same shards). Returns the
+    per-shard manifest as a pandas frame (path, n_records, n_bytes).
+    """
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = "warc.gz" if gzip_members else "warc"
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        blob = pages_batch_to_warc_bytes(batch, gzip_members=gzip_members)
+        tag = hashlib.sha1(
+            (batch["url"][0].as_py() + str(batch["warc_ts"][0].as_py())
+             + str(batch.num_rows)).encode()
+        ).hexdigest()[:16]
+        path = os.path.join(out_dir, f"part-{tag}.{ext}")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)  # atomic: readers never see partials
+        return pa.Table.from_pydict(
+            {
+                "path": [path],
+                "n_records": [batch.num_rows],
+                "n_bytes": [len(blob)],
+            }
+        )
+
+    return (
+        pages_ds.map_batches(
+            write_shard, batch_format="pyarrow", batch_size=rows_per_file
+        )
+        .to_pandas()
     )
