@@ -487,6 +487,39 @@ def test_token_budget_unknown_plan_raises(ray_session):
         token_budget_select(_mix_ds([(1, "en", "x")]), boundary="nope")
 
 
+def test_token_budget_auto_boundary(ray_session, monkeypatch):
+    """boundary='auto' measures the boundary-bucket pull from the
+    histogram: under the default limit it takes the driver shortcut;
+    with a zero row budget it routes to the distributed twin — both
+    bit-equal to the brute-force answer."""
+    from zzzarchived_arxiv_fulltext_ray.stages import mixing, window
+
+    rng = np.random.default_rng(33)
+    rows = [
+        (int(i), ["en", "de"][i % 2],
+         " ".join(["w"] * int(rng.integers(0, 25))))
+        for i in range(150)
+    ]
+    want = _mix_brute(rows, 2, 3)
+
+    calls = []
+    real = window.grouped_ordered_cumsum
+    monkeypatch.setattr(
+        window, "grouped_ordered_cumsum",
+        lambda *a, **k: calls.append(1) or real(*a, **k),
+    )
+
+    a = token_budget_select(_mix_ds(rows), 2, 3, boundary="auto")
+    assert _got_tuples(a) == want
+    assert not calls, "small pull must take the driver shortcut"
+
+    b = mixing.token_budget_select(
+        _mix_ds(rows), 2, 3, boundary="auto", driver_pull_row_limit=0
+    )
+    assert _got_tuples(b) == want
+    assert calls, "over-budget pull must route to the distributed twin"
+
+
 def test_hrefs_robust_to_malformed_markup():
     # unclosed tags, nested quotes, attribute soup — the regex scanner
     # must not raise and must keep well-formed matches

@@ -120,9 +120,10 @@ def token_budget_select(
     budget_num: int = 1,
     budget_den: int = 2,
     n_buckets: int = 256,
-    boundary: str = "driver",
+    boundary: str = "auto",
     id_col: str = "doc_id",
     group_col: str = "lang",
+    driver_pull_row_limit: int = 1_000_000,
 ):
     """Per-group token-budget prefix selection.
 
@@ -139,6 +140,13 @@ def token_budget_select(
     ``boundary`` picks how the cutoff bucket is resolved exactly
     (identical answers, pinned equal in tests):
 
+    * ``"auto"`` (default) — measure the actual boundary-bucket row
+      count from the histogram pass (it carries per-bucket row counts
+      for free) and pick ``driver`` only when the would-be pull fits
+      ``driver_pull_row_limit`` AND the central broadcast byte budget
+      (``stages/plan.choose_broadcast``); otherwise ``distributed``.
+      At cluster scale the pull exceeds the budget and the plan is
+      the distributed one without anyone tuning n_buckets.
     * ``"driver"`` — pull ONLY the boundary bucket's rows
       (~1/n_buckets of each group) and order them on the driver. Two
       narrow scans, no row shuffle; right while group_size/n_buckets
@@ -155,6 +163,8 @@ def token_budget_select(
 
     if plan_choice.force_partitioned():
         boundary = "distributed"
+    if boundary not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown boundary plan: {boundary}")
 
     from ray.data.aggregate import Sum
 
@@ -169,14 +179,17 @@ def token_budget_select(
         return (
             batch.select([group_col, "bucket", "n_tokens"])
             .group_by([group_col, "bucket"])
-            .aggregate([("n_tokens", "sum")])
-            .rename_columns([group_col, "bucket", "n_tokens"])
+            .aggregate([("n_tokens", "sum"), ("n_tokens", "count")])
+            .rename_columns([group_col, "bucket", "n_tokens", "n_rows"])
         )
 
     hist = (
         hashed.map_batches(partial, batch_format="pyarrow")
         .groupby([group_col, "bucket"])
-        .aggregate(Sum("n_tokens", alias_name="n_tokens"))
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
         .to_pandas()
     )
 
@@ -198,6 +211,27 @@ def token_budget_select(
             cum += int(n)
         cutoff[grp_key] = cut
         base_cum[grp_key] = cum  # tokens selected below the cutoff
+
+    if boundary == "auto":
+        # the histogram already knows EXACTLY how many rows the driver
+        # plan would pull (each group's cutoff bucket); take the driver
+        # shortcut only when that pull is bounded
+        pull_rows = int(
+            sum(
+                int(n)
+                for grp_key, b, n in zip(
+                    hist[group_col], hist["bucket"], hist["n_rows"]
+                )
+                if cutoff.get(grp_key, n_buckets) == b
+            )
+        )
+        boundary = (
+            "driver"
+            if plan_choice.choose_broadcast(
+                pull_rows, driver_pull_row_limit, est_row_bytes=96
+            )
+            else "distributed"
+        )
 
     if boundary == "distributed":
         # no driver row pull at all: full distributed window cumsum
