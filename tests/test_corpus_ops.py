@@ -1529,3 +1529,13 @@ def test_morton2_bit_exact_and_locality():
     codes = morton2(xs, ys)
     prefixes = set((codes >> np.uint64(16)).tolist())
     assert len(prefixes) == 1
+
+
+def test_token_budget_empty_corpus(ray_session):
+    """An all-filtered (zero-row) input returns a typed-empty frame
+    instead of crashing in the driver prefix-sum."""
+    got = token_budget_select(_mix_ds([(1, "en", "")]).filter(
+        lambda r: False
+    ))
+    assert len(got) == 0
+    assert list(got.columns) == ["doc_id", "lang", "n_tokens"]

@@ -307,3 +307,52 @@ def test_pages_warc_roundtrip(ray_session, tmp_path):
     assert from_warc.equals(from_table), (
         "extraction over WARC source must be byte-identical"
     )
+
+
+def test_curate_pages_from_warc(ray_session, tmp_path):
+    """The flagship 4-family curation composition (dedup -> extraction
+    -> gopher gate -> url-keyed token budget) over WARC shards equals
+    the same composition over the pages table — the reference's real
+    ingest format drives the whole curation chain, not just the
+    extraction headline."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.pipelines.queries_corpus import (
+        curate_pages_from,
+    )
+    from zzzarchived_arxiv_fulltext_ray.sources.pages import (
+        PAGES_SCHEMA,
+        synthesize_rows,
+    )
+    from zzzarchived_arxiv_fulltext_ray.sources.warc_source import (
+        read_pages_from_warc_stream,
+        write_pages_as_warc,
+    )
+
+    n = 60
+    cols = synthesize_rows(
+        list(range(n)),
+        [
+            f"Curated document {i} body text, long enough to pass the "
+            "gopher gate, with punctuation, stopwords like the and of, "
+            "and several distinct words appearing across sentences. "
+            "Another full sentence follows here so the word count "
+            "clears the thirty word minimum with comfortable margin."
+            for i in range(n)
+        ],
+        ["en" if i % 3 else "de" for i in range(n)],
+    )
+    pages = pa.Table.from_pydict(cols, schema=PAGES_SCHEMA)
+    manifest = write_pages_as_warc(
+        rd.from_arrow(pages).repartition(4),
+        str(tmp_path / "warc"),
+        rows_per_file=16,
+    )
+
+    from_warc = curate_pages_from(
+        read_pages_from_warc_stream(sorted(manifest.path.tolist()))
+    )
+    from_table = curate_pages_from(rd.from_arrow(pages))
+    assert len(from_table) > 0
+    assert from_warc.equals(from_table)

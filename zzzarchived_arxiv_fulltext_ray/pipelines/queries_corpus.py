@@ -432,25 +432,22 @@ ORDER BY doc_id
 
 # ---------------------------------- end-to-end curation composition
 
-def _q_curate_pages(sf_dir: str):
-    """The flagship curation composition, end-to-end from RAW pages:
+def curate_pages_from(pages_ds):
+    """The flagship curation composition over ANY pages-schema
+    Dataset (Parquet synthesizer, WARC shards, JSONL, fetch stage):
     latest-crawl dedup -> extraction cascade (byte-identity contract)
     -> Gopher quality gate on the EXTRACTED text -> per-language
     half-token-budget selection in md5(url) order. Four real operator
-    families chained in one lazy streaming plan; the oracle replays
-    the whole chain in SQL (extraction semantics from the pages
-    formulas, the independent gopher count spellings, the budget
-    window)."""
+    families chained in one lazy streaming plan."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ..sources.pages import read_pages
     from ..stages.mixing import token_budget_select
     from ..stages.webtext import gopher_verdict_batch
     from .extraction import extraction_pipeline
 
-    ds = extraction_pipeline(read_pages(sf_dir), derive_psv=False)
+    ds = extraction_pipeline(pages_ds, derive_psv=False)
 
     def gate(batch: pa.Table) -> pa.Table:
         ok = batch.filter(pc.equal(batch["status"], "succeeded"))
@@ -490,6 +487,18 @@ def _q_curate_pages(sf_dir: str):
         tokens_only, batch_format="pyarrow"
     ).materialize()
     return token_budget_select(narrow, 1, 2, id_col="url")
+
+
+def _q_curate_pages(sf_dir: str):
+    """Flagship composition over the synthesizer source; the oracle
+    replays the whole chain in SQL (extraction semantics from the
+    pages formulas, the independent gopher count spellings, the budget
+    window). `curate_pages_from` runs the identical plan over WARC /
+    JSONL / fetch sources (pinned byte-identical in
+    tests/test_warc.py::test_curate_pages_from_warc)."""
+    from ..sources.pages import read_pages
+
+    return curate_pages_from(read_pages(sf_dir))
 
 
 CORPUS_QUERIES["curate_pages"] = _q_curate_pages

@@ -193,6 +193,20 @@ def token_budget_select(
         .to_pandas()
     )
 
+    if hist.empty:
+        # all rows filtered upstream: typed-empty result, not a
+        # pandas-groupby KeyError (same guard family as the
+        # schema-less partitioned_hash_join limitation)
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype=object),
+                group_col: pd.Series([], dtype=object),
+                "n_tokens": pd.Series([], dtype="int64"),
+            }
+        )
+
     # driver: per group, prefix-sum the buckets; find the cutoff
     cutoff: Dict[str, int] = {}
     base_cum: Dict[str, int] = {}
