@@ -5,12 +5,21 @@ the matching ``oracle_sql()`` through DuckDB, then compares row count,
 column names and an order-insensitive value hash.
 
 Usage: python scripts/check_oracle.py [sf_dir] [--only q1,q2,...]
-                                      [--json out.json]
+                                      [--json out.json] [--sessions N]
 
 ``--json`` (or ``GRAFT_ORACLE_JSON=path``) writes a per-query artifact
 {name: {rows, oracle_rows, cols_match, hash_match, secs, oracled}} so
 rounds can diff the full 200-query surface (the driver's
 CORRECTNESS_r{N}.json only samples 50).
+
+``--sessions N`` splits the query list into N chunks and runs each in
+a fresh subprocess (own Ray session). Motivation: a single 200-query
+session occasionally dies to a Ray-core flake (task_manager.cc:930
+"Tried to complete task that was not pending", observed 2026-08-19
+after 164 green queries) which aborts the whole process regardless of
+engine correctness. Chunked sessions bound the blast radius; a chunk
+that crashes is retried once on its not-yet-reported queries. Default
+stays single-session for cross-round comparability.
 """
 
 import sys
@@ -33,6 +42,11 @@ JSON_OUT = os.environ.get("GRAFT_ORACLE_JSON") or None
 if "--json" in _argv:
     i = _argv.index("--json")
     JSON_OUT = _argv[i + 1]
+    del _argv[i : i + 2]
+SESSIONS = 0
+if "--sessions" in _argv:
+    i = _argv.index("--sessions")
+    SESSIONS = int(_argv[i + 1])
     del _argv[i : i + 2]
 SF_DIR = _argv[0] if _argv else "/root/testdata/sf0.01"
 TABLES = (
@@ -80,6 +94,111 @@ def value_hash(df: pd.DataFrame) -> str:
         key=repr,  # None-safe total order
     )
     return hashlib.sha256(repr(rows).encode()).hexdigest()[:16]
+
+
+def run_sessions(n_sessions: int) -> None:
+    """Split the gate into n_sessions fresh subprocesses and merge
+    their per-query artifacts. A chunk whose process dies (Ray-core
+    flake) is retried ONCE on whatever queries it had not yet
+    reported; queries still missing after the retry count as
+    failures."""
+    import json
+    import subprocess
+    import tempfile
+
+    import __ray_entry__ as entrymod
+
+    names = [
+        n for n in entrymod.queries()
+        if ONLY is None or n in ONLY
+    ]
+    chunks = [names[i::n_sessions] for i in range(n_sessions)]
+    chunks = [c for c in chunks if c]
+    merged: dict = {}
+    failures = 0
+    crashed_chunks = 0
+    script = str(Path(__file__).resolve())
+
+    def run_chunk(chunk: list, label: str) -> set:
+        """Run one subprocess over `chunk`; merge whatever it reports.
+        Returns the set of queries it did NOT report (crash loss)."""
+        nonlocal failures
+        with tempfile.NamedTemporaryFile(
+            suffix=".json", delete=False
+        ) as tf:
+            out = tf.name
+        proc = subprocess.run(
+            [
+                sys.executable, script, SF_DIR,
+                "--only", ",".join(chunk), "--json", out,
+            ],
+            capture_output=True, text=True,
+        )
+        got: dict = {}
+        try:
+            with open(out) as f:
+                got = json.load(f).get("queries", {})
+        except (OSError, json.JSONDecodeError):
+            pass
+        finally:
+            try:
+                os.unlink(out)
+            except OSError:
+                pass
+        merged.update(got)
+        for name, rec in got.items():
+            ok = rec.get("hash_match", True) and rec.get(
+                "cols_match", True
+            )
+            if rec.get("oracled") and (
+                not ok or rec["rows"] != rec.get("oracle_rows")
+            ):
+                failures += 1
+                print(f"[{label}] FAIL {name}")
+        missing = set(chunk) - set(got)
+        if proc.returncode != 0 and not missing and failures == 0:
+            # subprocess reported every query green but exited
+            # nonzero: post-report crash (e.g. during shutdown) —
+            # results are complete, so don't fail the gate on it.
+            print(f"[{label}] post-report crash ignored "
+                  f"(rc={proc.returncode})")
+        return missing
+
+    for ci, chunk in enumerate(chunks):
+        label = f"session {ci + 1}/{len(chunks)} ({len(chunk)} queries)"
+        print(f"[{label}] start")
+        missing = run_chunk(chunk, label)
+        if missing:
+            crashed_chunks += 1
+            print(f"[{label}] crashed with {len(missing)} unreported "
+                  f"queries; retrying those once")
+            missing2 = run_chunk(sorted(missing), label + " retry")
+            for name in sorted(missing2):
+                failures += 1
+                print(f"[{label}] LOST {name} (crashed twice)")
+
+    if JSON_OUT:
+        with open(JSON_OUT, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "sessions": n_sessions,
+                    "crashed_chunks": crashed_chunks,
+                    "forced_partitioned": os.environ.get(
+                        "GRAFT_FORCE_PARTITIONED", ""
+                    ) not in ("", "0"),
+                    "n_queries": len(merged),
+                    "n_failures": failures,
+                    "queries": merged,
+                },
+                f, indent=1, sort_keys=True,
+            )
+        print(f"wrote {JSON_OUT}")
+    print(
+        f"sessions done: {len(merged)} queries, {failures} failures, "
+        f"{crashed_chunks} chunk crashes"
+    )
+    sys.exit(1 if failures else 0)
 
 
 def main():
@@ -169,4 +288,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if SESSIONS > 1:
+        run_sessions(SESSIONS)
+    else:
+        main()
