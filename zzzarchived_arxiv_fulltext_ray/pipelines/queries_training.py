@@ -3117,3 +3117,381 @@ WHERE t.n_shingles > 0
 ORDER BY t.doc_id
 """
 )
+
+
+# ------------------------------------- vocabulary growth (Heaps' law)
+
+# Contiguous hash-range phase boundaries for (h * 10) >> 32 over the
+# md5-u32 order key: phase p starts at ceil(p * 2^32 / 10), embedded
+# as fixed-width lowercase hex so the SQL can bucket by plain string
+# comparison (the ordering-contract device from mixing/window).
+_HEAPS_BOUNDS = "[" + ", ".join(
+    "'" + format(-((-(p << 32)) // 10), "08x") + "'" for p in range(1, 10)
+) + "]"
+
+
+def _q_token_heaps(sf_dir: str):
+    """Heaps'-law vocabulary-growth curve: the corpus laid out in the
+    engine's canonical hash order (md5-u32 of doc_id — the mixing /
+    window ORDER contract) is cut into 10 contiguous hash-range phases
+    (``(h * 10) >> 32``, the token-budget bucket scheme — phase p ==
+    "the p-th tenth of the stream"); per phase the exact token count
+    and the count of tokens whose FIRST appearance falls in that
+    phase, plus running totals. The events_cumulative_users
+    first-appearance idiom applied to vocabulary: per-batch
+    (token, phase, n) partials -> ONE token exchange (Min(phase) for
+    first appearance, per-phase Sums for volume) -> a 10-row driver
+    fold. All integers; phase assignment needs no rank/sort at any
+    scale."""
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Min, Sum
+
+    from ..stages.mixing import doc_hash_keys
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        phases = (
+            (doc_hash_keys(ids) * np.uint64(10)) >> np.uint64(32)
+        ).astype(np.int64)
+        counts: Counter = Counter()
+        for ph, t in zip(phases, batch["text"].to_pylist()):
+            for w in t.split():
+                counts[(w, int(ph))] += 1
+        keys = list(counts.keys())
+        return pa.Table.from_pydict(
+            {
+                "token": pa.array([k[0] for k in keys], pa.string()),
+                "phase": pa.array([k[1] for k in keys], pa.int64()),
+                "n": pa.array([counts[k] for k in keys], pa.int64()),
+            }
+        )
+
+    parts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .materialize()  # feeds TWO aggregates; never re-tokenize
+    )
+    per_phase = (
+        parts.groupby("phase")
+        .aggregate(Sum("n", alias_name="n_tokens"))
+        .to_pandas()
+    )
+    first = (
+        parts.groupby("token")
+        .aggregate(Min("phase", alias_name="p0"))
+        .map_batches(
+            lambda b: pa.Table.from_pydict(
+                {
+                    "phase": b["p0"],
+                    "one": pa.array(np.ones(len(b), np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("phase")
+        .aggregate(Sum("one", alias_name="new_vocab"))
+        .to_pandas()
+    )
+    out = (
+        pd.DataFrame({"phase": np.arange(10, dtype=np.int64)})
+        .merge(per_phase, on="phase", how="left")
+        .merge(first, on="phase", how="left")
+        .fillna(0)
+    )
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["new_vocab"] = out["new_vocab"].astype("int64")
+    out["cum_tokens"] = out["n_tokens"].cumsum().astype("int64")
+    out["cum_vocab"] = out["new_vocab"].cumsum().astype("int64")
+    return out[
+        ["phase", "n_tokens", "cum_tokens", "new_vocab", "cum_vocab"]
+    ]
+
+
+TRAINING_QUERIES["token_heaps"] = _q_token_heaps
+TRAINING_ORACLE_SQL["token_heaps"] = f"""
+WITH ph AS (
+    SELECT CAST(len(list_filter({_HEAPS_BOUNDS},
+               b -> b <= substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)))
+           AS BIGINT) AS phase,
+           text
+    FROM documents
+), toks AS (
+    SELECT phase,
+           unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM ph
+), pt AS (
+    SELECT phase, CAST(count(*) AS BIGINT) AS n_tokens
+    FROM toks GROUP BY phase
+), fa AS (
+    SELECT tok, min(phase) AS p0 FROM toks GROUP BY tok
+), nv AS (
+    SELECT p0 AS phase, CAST(count(*) AS BIGINT) AS new_vocab
+    FROM fa GROUP BY p0
+), spine AS (SELECT unnest(range(10)) AS phase)
+SELECT CAST(s.phase AS BIGINT) AS phase,
+       CAST(coalesce(pt.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(sum(coalesce(pt.n_tokens, 0)) OVER (ORDER BY s.phase)
+            AS BIGINT) AS cum_tokens,
+       CAST(coalesce(nv.new_vocab, 0) AS BIGINT) AS new_vocab,
+       CAST(sum(coalesce(nv.new_vocab, 0)) OVER (ORDER BY s.phase)
+            AS BIGINT) AS cum_vocab
+FROM spine s
+LEFT JOIN pt ON pt.phase = s.phase
+LEFT JOIN nv ON nv.phase = s.phase
+ORDER BY s.phase
+"""
+
+
+# ----------------------------- temperature-rebalanced language mixing
+
+def _q_lang_temperature_mix(sf_dir: str):
+    """mT5/XLM-R-style temperature sampling weights per language:
+    exact per-lang token counts (one tiny aggregate — per-batch
+    (lang, n) partials), then w_l proportional to p_l^alpha with
+    alpha = 0.3 (the mT5 setting), normalized; ``boost`` = w/p is the
+    up/down-sampling factor the mixture applies to each language.
+    The aggregate is language-arity-sized at any corpus scale; the
+    float steps are transcribed into SQL with identical association
+    (FLOAT-MIRROR contract)."""
+    from collections import Counter
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for lang, t in zip(
+            batch["lang"].to_pylist(), batch["text"].to_pylist()
+        ):
+            c[lang] += len(t.split())
+        return pa.Table.from_pydict(
+            {
+                "lang": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir, ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n_tokens"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    total = int(agg["n_tokens"].sum())
+    p = agg["n_tokens"].astype("float64") / float(total)
+    w = p**0.3
+    sw = float(w.sum())
+    wt = w / sw
+    return pd.DataFrame(
+        {
+            "lang": agg["lang"],
+            "n_tokens": agg["n_tokens"].astype("int64"),
+            "p_raw": p,
+            "w_temp": wt,
+            "boost": wt / p,
+        }
+    )
+
+
+TRAINING_QUERIES["lang_temperature_mix"] = _q_lang_temperature_mix
+TRAINING_ORACLE_SQL["lang_temperature_mix"] = """
+WITH lt AS (
+    SELECT lang,
+           CAST(sum(len(list_filter(
+               regexp_split_to_array(text, '\\s+'), x -> x <> '')))
+           AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang
+), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM lt),
+w AS (
+    SELECT lang, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE) AS p_raw,
+           pow(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), 0.3) AS w
+    FROM lt CROSS JOIN tot
+), s AS (SELECT sum(w) AS sw FROM w)
+SELECT lang, n_tokens, p_raw, w / sw AS w_temp,
+       (w / sw) / p_raw AS boost
+FROM w CROSS JOIN s ORDER BY lang
+"""
+
+
+# --------------------------- LSH candidate-generation quality eval
+
+# A deliberately coarse LSH config (8 bands x 1 row: per-band hit
+# prob for a pair IS its Jaccard) so the eval measures a REAL
+# trade-off on THIS corpus. The corpus's pair-Jaccard distribution is
+# bimodal (probed: J>=0.90 for the synthesized near-dups, J<=0.07
+# for the common-vocabulary background mass) — so ANY config has
+# recall ~1 at threshold 0.5, and the exercised axis is PRECISION:
+# 1-row bands let the ~11k low-J background pairs flood the candidate
+# set, measuring the over-generation the verify stage must absorb.
+# The production config (64 bands x 2 rows) keeps precision ~1 here
+# and would make this query degenerate in the other direction.
+_LSH_EVAL_PERM, _LSH_EVAL_BANDS, _LSH_EVAL_ROWS = 8, 8, 1
+
+
+def _q_dedup_lsh_eval(sf_dir: str):
+    """Candidate-generation quality of MinHash-LSH measured against
+    the exact n-gram-Jaccard ground truth (the eval every dedup
+    pipeline needs before trusting a bands/rows setting): candidate
+    pairs from the band buckets (NO verify step), truth = exact
+    J >= 0.5 pairs, then precision = hits/candidates and recall =
+    hits/truth. Distributed shape: the LSH side is the standard
+    shingle -> band -> bucket_pairs plan, the truth side the standard
+    exact-verify plan; hits = ONE composite-key semi join (candidate
+    volume, never the corpus, crosses the exchange). Oracled: the 32
+    seeded splitmix64 permutations and the 8 band-fold salts are
+    embedded as literals and replayed with the HUGEINT splitmix64
+    device, including the >256-doc hot-bucket drop."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from ..stages.neardup import (
+        bucket_pairs,
+        minhash_band_batch,
+        neardup_pairs,
+        shingle_batch,
+    )
+    from ..stages.relational import partitioned_hash_join
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+    banded = docs.map_batches(
+        shingle_batch, batch_format="pyarrow"
+    ).map_batches(
+        lambda b: minhash_band_batch(
+            b,
+            num_perm=_LSH_EVAL_PERM,
+            bands=_LSH_EVAL_BANDS,
+            rows=_LSH_EVAL_ROWS,
+        ),
+        batch_format="pyarrow",
+    )
+    # bucket_pairs dedups only within batches; one tiny pair-grain
+    # aggregate makes the candidate set globally distinct
+    cands = (
+        bucket_pairs(banded)
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="nk"))
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()
+    )
+    truth = (
+        neardup_pairs(docs, method="ngram", threshold=0.5)
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()
+    )
+    n_cand, n_truth = int(cands.count()), int(truth.count())
+    n_hit = int(
+        partitioned_hash_join(
+            cands, truth, key=["doc_a", "doc_b"],
+            num_buckets=16, how="semi",
+        ).count()
+    )
+    return pd.DataFrame(
+        {
+            "n_truth": [n_truth],
+            "n_candidates": [n_cand],
+            "n_hits": [n_hit],
+            "precision": [n_hit / n_cand if n_cand else 0.0],
+            "recall": [n_hit / n_truth if n_truth else 0.0],
+        }
+    )
+
+
+def _lsh_eval_sql() -> str:
+    import numpy as np
+
+    from ..functions.shingles import MinHasher, _splitmix64
+
+    seeds = MinHasher(_LSH_EVAL_PERM).seeds
+    seed_vals = ", ".join(
+        f"({i}, {int(s)}::UBIGINT)" for i, s in enumerate(seeds)
+    )
+    salts = _splitmix64(
+        (np.arange(_LSH_EVAL_BANDS, dtype=np.uint64) + np.uint64(1))
+        * np.uint64(0x9E3779B97F4A7C15)
+    )
+    salt_vals = ", ".join(
+        f"({b}, {int(s)}::UBIGINT)" for b, s in enumerate(salts)
+    )
+    sm = _splitmix64_sql
+    # the band-key fold chains one splitmix per signature row; each
+    # chain step is its own CTE so the HUGEINT expression never nests
+    # (inline nesting multiplies the SQL text ~70x per level)
+    chain = ""
+    for r in range(1, _LSH_EVAL_ROWS):
+        chain += f""",
+a{r} AS (
+    SELECT a.doc_id, a.band, {sm(f"xor(a.acc, p.sv)")} AS acc
+    FROM a{r - 1} a JOIN piv p
+      ON p.doc_id = a.doc_id AND p.band = a.band AND p.r = {r}
+)"""
+    return (
+        "WITH " + _SHINGLE_CTE + f""",
+hashes AS (
+    SELECT DISTINCT doc_id, md5_number_upper(unnest(s)) AS h FROM sh
+),
+sig AS (
+    SELECT doc_id, sd.i, min({sm("xor(h, sd.seed)")}) AS sv
+    FROM hashes CROSS JOIN (VALUES {seed_vals}) sd(i, seed)
+    GROUP BY doc_id, sd.i
+),
+piv AS (
+    SELECT doc_id, i // {_LSH_EVAL_ROWS} AS band,
+           i % {_LSH_EVAL_ROWS} AS r, sv
+    FROM sig
+),
+a0 AS (
+    SELECT p.doc_id, p.band, {sm("xor(st.salt, p.sv)")} AS acc
+    FROM piv p JOIN (VALUES {salt_vals}) st(band, salt)
+      ON st.band = p.band
+    WHERE p.r = 0
+){chain},
+buckets AS (
+    SELECT DISTINCT doc_id, acc AS key FROM a{_LSH_EVAL_ROWS - 1}
+),
+keep AS (
+    SELECT key FROM buckets GROUP BY key
+    HAVING count(*) >= 2 AND count(*) <= 256
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM buckets x
+    JOIN keep USING (key)
+    JOIN buckets y USING (key)
+    WHERE x.doc_id < y.doc_id
+),
+truth AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_distinct(a.s || b.s)) > 0
+      AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(a.s || b.s)) >= 0.5
+),
+m AS (
+    SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+        (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+        (SELECT CAST(count(*) AS BIGINT)
+         FROM cand JOIN truth USING (doc_a, doc_b)) AS n_hits
+)
+SELECT n_truth, n_candidates, n_hits,
+       CASE WHEN n_candidates > 0
+            THEN CAST(n_hits AS DOUBLE) / n_candidates ELSE 0.0
+       END AS precision,
+       CASE WHEN n_truth > 0
+            THEN CAST(n_hits AS DOUBLE) / n_truth ELSE 0.0
+       END AS recall
+FROM m
+"""
+    )
+
+
+TRAINING_QUERIES["dedup_lsh_eval"] = _q_dedup_lsh_eval
+TRAINING_ORACLE_SQL["dedup_lsh_eval"] = _lsh_eval_sql()
