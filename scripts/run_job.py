@@ -13,6 +13,12 @@ parallelism through the extraction pipeline, writes atomically and
 records a lineage manifest per shard (state/manifest.py) — so a
 re-submitted job resumes where the previous one stopped.
 
+Input may be the Parquet pages table OR raw crawl segments: a glob of
+``.warc`` / ``.warc.gz`` files (auto-detected, or forced with
+``--input-format warc``) streams through the chunked WARC datasource
+(sources/warc_source.py) into the same pipeline — the reference's real
+ingest format (SURVEY S1), resumable per WARC shard.
+
 Dedup scope: latest-crawl dedup runs WITHIN each shard during
 processing. Pass ``--global-dedup`` to follow with a second-pass
 winner resolution across ALL shard outputs (rewrites only shards
@@ -36,9 +42,40 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def detect_input_format(files, requested="auto"):
+    """Resolve --input-format: 'auto' maps to 'warc' iff EVERY input
+    file carries a .warc/.warc.gz extension (mixing is an error, not a
+    guess); anything else is the parquet pages table."""
+    if requested != "auto":
+        return requested
+    if not files:
+        return "parquet"
+    n_warc = sum(
+        f.endswith(".warc") or f.endswith(".warc.gz") for f in files
+    )
+    if n_warc == len(files):
+        return "warc"
+    if n_warc:
+        raise SystemExit(
+            "input mixes WARC and non-WARC files; pass an explicit "
+            "--input-format (matched {} WARC of {} files)".format(
+                n_warc, len(files)
+            )
+        )
+    return "parquet"
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="glob of pages parquet files")
+    ap.add_argument("--input", required=True,
+                    help="glob of input files: pages parquet, or raw "
+                         "crawl segments (.warc / .warc.gz)")
+    ap.add_argument("--input-format", default="auto",
+                    choices=["auto", "parquet", "warc"],
+                    help="'auto' detects WARC by file extension; 'warc' "
+                         "streams crawl segments through the chunked "
+                         "WARC datasource (sources/warc_source.py) "
+                         "instead of read_parquet")
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--files-per-shard", type=int, default=16)
     ap.add_argument("--concurrency", type=int, default=0,
@@ -101,7 +138,20 @@ def main():
     files = sorted(glob.glob(args.input))
     if not files and not args.watch:
         raise SystemExit(f"no input files match {args.input}")
-    if files:
+
+    input_format = detect_input_format(files, args.input_format)
+
+    if input_format == "warc" and files:
+        # fail FAST: a WARC file starts with "WARC/" (or gzip magic for
+        # .warc.gz — Common Crawl's member-per-record layout)
+        with open(files[0], "rb") as fh:
+            head = fh.read(5)
+        if not (head.startswith(b"WARC/") or head[:2] == b"\x1f\x8b"):
+            raise SystemExit(
+                f"input {files[0]} is not a WARC file "
+                f"(starts with {head!r})"
+            )
+    if input_format == "parquet" and files:
         # fail FAST on a non-pages input (the pipeline would otherwise
         # die mid-stream with a raw batch dump): check the first
         # fragment's parquet schema for the pages contract
@@ -126,6 +176,14 @@ def main():
     else:
         shards = mf.shard_input_files(files, args.files_per_shard)
 
+    read_fn = None
+    if input_format == "warc":
+        from zzzarchived_arxiv_fulltext_ray.sources.warc_source import (
+            read_pages_from_warc_stream,
+        )
+
+        read_fn = lambda paths: read_pages_from_warc_stream(list(paths))  # noqa: E731
+
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
     concurrency = args.concurrency or max(1, n_cpus * 3 // 4)
 
@@ -140,7 +198,8 @@ def main():
 
     t0 = time.time()
     fingerprint = mf.default_config_fingerprint(
-        dedup=args.dedup, global_dedup=bool(args.global_dedup)
+        dedup=args.dedup, global_dedup=bool(args.global_dedup),
+        input_format=input_format,
     )
     if args.watch:
         if args.shard_by == "dir":
@@ -151,11 +210,13 @@ def main():
             poll_sec=args.poll_sec,
             max_polls=args.watch_max_polls or None,
             config_fingerprint=fingerprint,
+            read_fn=read_fn,
             on_poll=lambda t: print(json.dumps({"poll": t}), flush=True),
         )
     else:
         summary = mf.run_resumable(
             shards, build, args.out, config_fingerprint=fingerprint,
+            read_fn=read_fn,
         )
     if args.global_dedup:
         gd = mf.global_latest_crawl_pass(args.out)
