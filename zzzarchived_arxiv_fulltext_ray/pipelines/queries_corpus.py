@@ -5994,3 +5994,113 @@ ORDER BY v3.label, v3.dim
 
 
 CORPUS_ORACLE_SQL["label_pca_top"] = _label_pca_oracle_sql()
+
+
+# ------------------------------------ crawl-frontier politeness plan
+
+def _q_host_frontier(sf_dir: str):
+    """Crawl-frontier politeness scheduling (the fetch-side twin of
+    the extraction pipeline's ingest): every distinct url is assigned
+    a per-HOST fetch slot — slot k of a host fetches no earlier than
+    k * delay seconds, on worker slot % n_workers — so no host is hit
+    faster than the politeness delay no matter how many workers the
+    crawl runs (the reference's per-document fetch loop simply sleeps
+    between retries, legacy.py:95-112; a cluster crawl needs the
+    schedule up front).
+
+    Physical plan: ONE coalesced exchange on hash(host) into 64 fixed
+    buckets, then lexsort + segment arithmetic per bucket (the
+    sessionize idiom). Re-crawled urls collapse via in-bucket
+    np.unique — globally correct because a url's host pins it to one
+    bucket. Hosts are the inherent partition key of politeness;
+    per-host state is just the host's url list."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import bucket_of_column
+    from ..sources.pages import read_pages
+
+    num_buckets = 64
+    delay_sec = 10
+    n_workers = 8
+
+    def prep(b: pa.Table) -> pa.Table:
+        url = b["url"].combine_chunks()
+        host = pc.list_element(pc.split_pattern(url, "/"), 2)
+        return pa.Table.from_pydict(
+            {
+                "url": url,
+                "host": host,
+                "__b": pa.array(
+                    bucket_of_column(host, num_buckets), pa.int64()
+                ),
+            }
+        )
+
+    def frontier_of_bucket(g: pa.Table) -> pa.Table:
+        urls = np.asarray(g["url"].to_pylist())
+        if urls.size == 0:
+            return pa.Table.from_pydict(
+                {
+                    "url": pa.array([], pa.string()),
+                    "host": pa.array([], pa.string()),
+                    "slot": pa.array([], pa.int64()),
+                    "worker": pa.array([], pa.int64()),
+                    "eta_sec": pa.array([], pa.int64()),
+                }
+            )
+        hosts = np.asarray(g["host"].to_pylist())
+        uurls, idx = np.unique(urls, return_index=True)
+        hosts = hosts[idx]
+        order = np.lexsort((uurls, hosts))
+        uurls, hosts = uurls[order], hosts[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], hosts[1:] != hosts[:-1]])
+        )
+        counts = np.diff(np.append(starts, uurls.size))
+        slot = np.arange(uurls.size, dtype=np.int64) - np.repeat(
+            starts, counts
+        )
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array(uurls, pa.string()),
+                "host": pa.array(hosts, pa.string()),
+                "slot": pa.array(slot, pa.int64()),
+                "worker": pa.array(slot % n_workers, pa.int64()),
+                "eta_sec": pa.array(slot * delay_sec, pa.int64()),
+            }
+        )
+
+    out = (
+        read_pages(sf_dir)
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(frontier_of_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("url").reset_index(drop=True)
+
+
+CORPUS_QUERIES["host_frontier"] = _q_host_frontier
+CORPUS_ORACLE_SQL["host_frontier"] = """
+WITH urls AS (
+    SELECT DISTINCT
+        'https://site' || lpad(CAST(doc_id % 50 AS VARCHAR), 2, '0')
+            || '.example.org/articles/'
+            || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url
+    FROM documents
+), f AS (
+    SELECT url,
+           split_part(url, '/', 3) AS host,
+           CAST(row_number() OVER (
+               PARTITION BY split_part(url, '/', 3) ORDER BY url
+           ) - 1 AS BIGINT) AS slot
+    FROM urls
+)
+SELECT url, host, slot,
+       slot % 8 AS worker,
+       slot * 10 AS eta_sec
+FROM f
+ORDER BY url
+"""

@@ -3495,3 +3495,174 @@ FROM m
 
 TRAINING_QUERIES["dedup_lsh_eval"] = _q_dedup_lsh_eval
 TRAINING_ORACLE_SQL["dedup_lsh_eval"] = _lsh_eval_sql()
+
+
+# ------------------------- quantized-index quality eval (recall@10)
+
+def _q_ann_quantized_recall(sf_dir: str):
+    """Index-compression quality eval: recall@10 of brute-force ANN
+    over the int8-QUANTIZED embeddings against the exact float-cosine
+    baseline, per query — the acceptance test run before shipping a
+    compressed ANN index. The quantized ranking is EXACT INTEGER
+    arithmetic end to end (codes <= 127, 64 dims -> dots <= ~1e6), so
+    ties at the k boundary break identically on both engines
+    (dot DESC, vec_id ASC) and the oracle replays it bit-for-bit;
+    the float baseline reuses the pinned ann_topk ranking.
+
+    Physical plan: one Max exchange for the per-dim scales (64 rows),
+    scales + quantized query matrix broadcast via ray.put, per-batch
+    integer matmul + partial top-k, one tiny per-query merge — the
+    corpus is never held whole anywhere; the exact baseline is the
+    existing ann_topk stage (same streaming shape)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max
+
+    from ..stages.similarity import _matrix_of, ann_topk
+
+    k = 10
+    qids = list(range(8))
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet"
+    ).materialize()  # feeds scales + exact + quantized passes once
+
+    def absmax_partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        m = np.abs(_matrix_of(b).astype(np.float64)).max(axis=0)
+        return pa.Table.from_pydict(
+            {
+                "dim": pa.array(np.arange(m.size), pa.int64()),
+                "am": pa.array(m, pa.float64()),
+            }
+        )
+
+    sc = (
+        emb.map_batches(absmax_partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Max("am"))
+        .to_pandas()
+        .sort_values("dim")
+    )
+    scales = sc["max(am)"].to_numpy()
+
+    def quantize(m: "np.ndarray") -> "np.ndarray":
+        # floor(v * 127 / scale + 0.5): same association as the SQL
+        return np.floor(
+            m.astype(np.float64) * 127.0 / scales + 0.5
+        ).astype(np.int64)
+
+    qdf = (
+        emb.map_batches(
+            lambda b: b.filter(
+                pc.is_in(b["vec_id"], value_set=pa.array(qids, pa.int64()))
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qids_arr = qdf["vec_id"].to_numpy()
+    qcodes = quantize(np.array(qdf["embedding"].tolist(), np.float64))
+    qref = ray.put((qids_arr, qcodes))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids, qc = ray.get(qref)
+        vids = np.asarray(batch["vec_id"].to_pylist(), np.int64)
+        dots = qc @ quantize(_matrix_of(batch)).T  # int64 exact
+        out_q, out_n, out_d = [], [], []
+        for qi, qid in enumerate(ids):
+            idxs = np.where(vids != qid)[0]
+            order = idxs[np.lexsort((vids[idxs], -dots[qi, idxs]))][:k]
+            out_q.extend([int(qid)] * len(order))
+            out_n.extend(vids[order].tolist())
+            out_d.extend(dots[qi, order].tolist())
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "dot": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(group["dot"].to_pylist(), group["neighbor_id"].to_pylist()),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        qid = group["query_id"][0].as_py()
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array([qid] * len(rows), pa.int64()),
+                "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+
+    approx = (
+        emb.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    exact = ann_topk(emb, query_ids=qids, k=k).to_pandas()[
+        ["query_id", "neighbor_id"]
+    ]
+
+    hit = exact.merge(approx, on=["query_id", "neighbor_id"])
+    n_hit = hit.groupby("query_id").size()
+    out = pd.DataFrame({"query_id": sorted(int(q) for q in qids)})
+    out["n_hit"] = (
+        out["query_id"].map(n_hit).fillna(0).astype("int64")
+    )
+    out["recall"] = out["n_hit"] / 10.0
+    return out.reset_index(drop=True)
+
+
+TRAINING_QUERIES["ann_quantized_recall"] = _q_ann_quantized_recall
+TRAINING_ORACLE_SQL["ann_quantized_recall"] = """
+WITH dims AS (
+    SELECT range AS i FROM range(1, 65)
+), vals AS (
+    SELECT e.vec_id, d.i - 1 AS dim,
+           CAST(list_extract(e.embedding, d.i) AS DOUBLE) AS v
+    FROM embeddings e CROSS JOIN dims d
+), sc AS (
+    SELECT dim, max(abs(v)) AS scale FROM vals GROUP BY dim
+), codes AS (
+    SELECT v.vec_id, v.dim,
+           CAST(floor(v.v * 127.0 / s.scale + 0.5) AS BIGINT) AS c
+    FROM vals v JOIN sc s ON s.dim = v.dim
+), qd AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS cand,
+           sum(a.c * b.c) AS dot
+    FROM codes a JOIN codes b ON a.dim = b.dim
+    WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id
+    GROUP BY 1, 2
+), approx AS (
+    SELECT query_id, cand FROM qd
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY dot DESC, cand
+    ) <= 10
+), exact AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])) DESC,
+                 c.vec_id
+    ) <= 10
+)
+SELECT e.query_id,
+       CAST(count(a.cand) AS BIGINT) AS n_hit,
+       count(a.cand) / 10.0 AS recall
+FROM exact e LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.cand = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
