@@ -156,6 +156,11 @@ def run_sessions(n_sessions: int) -> None:
                 failures += 1
                 print(f"[{label}] FAIL {name}")
         missing = set(chunk) - set(got)
+        if missing and proc.returncode != 0:
+            # surface the crash cause (otherwise captured stderr is
+            # silently dropped and flakes are undiagnosable)
+            tail = "\n".join(proc.stderr.strip().splitlines()[-8:])
+            print(f"[{label}] rc={proc.returncode} stderr tail:\n{tail}")
         if proc.returncode != 0 and not missing and failures == 0:
             # subprocess reported every query green but exited
             # nonzero: post-report crash (e.g. during shutdown) —

@@ -3,6 +3,7 @@
 import itertools
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -661,3 +662,105 @@ def test_semdedup_matches_dense_reference(ray_session):
     dropped = {i for i, k in got.items() if not k}
     assert len(dropped & set(range(120, 150))) >= 25
     assert all(got[i] for i in range(30))  # originals kept
+
+
+def test_cross_neardup_counts_matches_brute_force(ray_session):
+    """Cross-set counts plan == brute force on both score modes, and
+    a snippet rediscovers its source doc at containment 1.0."""
+    import pandas as pd
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.neardup import (
+        cross_neardup_counts,
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    left = docs[docs.doc_id % 10 == 0][["doc_id", "text"]]
+    right = docs[docs.doc_id % 10 != 0][["doc_id", "text"]]
+
+    got = (
+        cross_neardup_counts(
+            rd.from_arrow(pa.Table.from_pandas(left)),
+            rd.from_arrow(pa.Table.from_pandas(right)),
+            threshold=0.5,
+            score="jaccard",
+        )
+        .to_pandas()
+        .sort_values(["left_id", "right_id"])
+        .reset_index(drop=True)
+    )
+    hs = {r.doc_id: sk.shingle_hashes(r.text) for r in docs.itertuples()}
+    want = []
+    for a in sorted(left.doc_id):
+        for b in sorted(right.doc_id):
+            j = sk.jaccard_arrays(hs[a], hs[b])
+            if j >= 0.5:
+                want.append((a, b, j))
+    assert list(map(tuple, got.itertuples(index=False))) == [
+        (a, b, pytest.approx(j)) for a, b, j in want
+    ]
+
+    # containment: each snippet (first half of its source doc's words)
+    # must hit its own source at exactly 1.0
+    snips = []
+    for r in docs[docs.doc_id % 7 == 0].itertuples():
+        w = r.text.split()
+        if len(w) >= 6:
+            snips.append((r.doc_id, " ".join(w[: (len(w) + 1) // 2])))
+    sn_tbl = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([s[0] for s in snips], pa.int64()),
+            "text": pa.array([s[1] for s in snips], pa.string()),
+        }
+    )
+    cont = (
+        cross_neardup_counts(
+            rd.from_arrow(sn_tbl),
+            rd.from_arrow(
+                pa.Table.from_pandas(docs[["doc_id", "text"]])
+            ),
+            threshold=0.8,
+            score="containment",
+        )
+        .to_pandas()
+    )
+    self_hits = cont[cont.left_id == cont.right_id]
+    assert set(self_hits.left_id) == {s[0] for s in snips}
+    assert (self_hits.score == 1.0).all()
+
+
+def test_cross_neardup_counts_empty_side(ray_session):
+    """A schema-typed empty side yields a typed empty result (the
+    schema-less-empty join guard family)."""
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.neardup import (
+        cross_neardup_counts,
+    )
+
+    empty = rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+            }
+        )
+    )
+    full = rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(
+                    ["alpha beta gamma delta", "alpha beta gamma delta"],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    out = cross_neardup_counts(empty, full, threshold=0.5)
+    # the Dataset must stay TYPED at zero rows (this Ray build's
+    # Dataset.to_pandas() drops columns on empty datasets, so assert
+    # the schema on the Dataset, the actual contract)
+    assert out.schema() is not None
+    assert out.schema().names == ["left_id", "right_id", "score"]
+    assert len(out.to_pandas()) == 0

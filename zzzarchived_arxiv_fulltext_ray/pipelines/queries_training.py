@@ -3666,3 +3666,142 @@ FROM exact e LEFT JOIN approx a
 GROUP BY e.query_id
 ORDER BY e.query_id
 """
+
+
+# ---------------- cross-set near-dup: containment + incremental dedup
+
+def _q_snippet_containment(sf_dir: str):
+    """Benchmark-decontamination-style containment detection: every
+    7th document contributes a SNIPPET (its first ceil(n_words/2)
+    words), and the operator finds every corpus document whose shingle
+    set contains >= 80% of the snippet's shingles — the asymmetric
+    |S∩D|/|S| score that catches a short benchmark prompt quoted
+    inside a long training document even when symmetric Jaccard is
+    tiny. Each snippet must at minimum rediscover its own source doc
+    (containment 1.0), so recall is self-validating.
+
+    Physical plan: cross-set blob-free counts
+    (stages.neardup.cross_neardup_counts) — shared-shingle inverted
+    index restricted to (snippet, doc) pairs, |S∩D| from bucket
+    co-occurrence counts, no shingle blobs shipped."""
+
+    def to_snippets(b: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for did, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            if did % 7 != 0:
+                continue
+            w = (t or "").split()
+            if len(w) < 6:
+                continue
+            ids.append(did)
+            texts.append(" ".join(w[: (len(w) + 1) // 2]))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    from ..stages.neardup import cross_neardup_counts
+
+    snippets = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        to_snippets, batch_format="pyarrow"
+    )
+    pairs = cross_neardup_counts(
+        snippets,
+        _docs(sf_dir, ["doc_id", "text"]),
+        threshold=0.8,
+        score="containment",
+    )
+    out = pairs.to_pandas().rename(
+        columns={
+            "left_id": "snippet_id",
+            "right_id": "doc_id",
+            "score": "containment",
+        }
+    )
+    return out.sort_values(["snippet_id", "doc_id"]).reset_index(drop=True)
+
+
+TRAINING_QUERIES["snippet_containment"] = _q_snippet_containment
+TRAINING_ORACLE_SQL["snippet_containment"] = (
+    "WITH " + _SHINGLE_CTE + """,
+sn AS (
+    SELECT doc_id AS snippet_id,
+           list_distinct(list_transform(
+               range(1, (len(w) + 1) // 2 - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+    FROM t
+    WHERE doc_id % 7 = 0 AND len(w) >= 6
+)
+SELECT sn.snippet_id, d.doc_id,
+       CAST(len(list_intersect(sn.s, d.s)) AS DOUBLE) / len(sn.s)
+           AS containment
+FROM sn JOIN sh d ON len(sn.s) > 0
+WHERE CAST(len(list_intersect(sn.s, d.s)) AS DOUBLE) / len(sn.s) >= 0.8
+ORDER BY sn.snippet_id, d.doc_id
+"""
+)
+
+
+def _q_incremental_dedup(sf_dir: str):
+    """Incremental dedup of an incoming shard against the existing
+    base corpus: docs with doc_id % 10 == 0 play the INCOMING batch,
+    the rest the already-ingested BASE, and each incoming doc is
+    flagged with how many base docs it near-duplicates (exact shingle
+    Jaccard >= 0.5). The production shape behind continuous crawl
+    ingest — base docs are never paired with each other, so the
+    exchange scales with the incoming batch, not the corpus pair
+    count. Generalizes the reference's exists-already guard
+    (fulltext/services/store/store.py) from exact-url to near-content
+    match."""
+    from ..stages.neardup import cross_neardup_counts
+
+    def side(sf, incoming: bool):
+        def f(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            dids = b["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (dids % 10 == 0) if incoming else (dids % 10 != 0)
+            return b.filter(pa.array(mask))
+
+        return _docs(sf, ["doc_id", "text"]).map_batches(
+            f, batch_format="pyarrow"
+        )
+
+    pairs = cross_neardup_counts(
+        side(sf_dir, True), side(sf_dir, False), threshold=0.5,
+        score="jaccard",
+    ).to_pandas()
+    if pairs.empty:
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_dups": pd.Series([], dtype="int64"),
+            }
+        )
+    out = (
+        pairs.groupby("left_id", as_index=False)
+        .agg(n_dups=("right_id", "size"))
+        .rename(columns={"left_id": "doc_id"})
+    )
+    out["n_dups"] = out["n_dups"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+TRAINING_QUERIES["incremental_dedup"] = _q_incremental_dedup
+TRAINING_ORACLE_SQL["incremental_dedup"] = (
+    "WITH " + _SHINGLE_CTE + """
+SELECT i.doc_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM sh i JOIN sh b
+  ON i.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+WHERE len(list_distinct(i.s || b.s)) > 0
+  AND CAST(len(list_intersect(i.s, b.s)) AS DOUBLE)
+          / len(list_distinct(i.s || b.s)) >= 0.5
+GROUP BY i.doc_id
+ORDER BY i.doc_id
+"""
+)

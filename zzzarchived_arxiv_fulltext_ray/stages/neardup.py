@@ -712,3 +712,201 @@ def simhash_pairs(
         .groupby(["doc_a", "doc_b"])
         .aggregate(Min("hamming", alias_name="hamming"))
     )
+
+
+def cross_neardup_counts(
+    left_ds,
+    right_ds,
+    threshold: float,
+    k: int = 3,
+    score: str = "jaccard",
+    max_bucket: int = 256,
+    combine_partitions: int = 16,
+    on_drop: str = "error",
+):
+    """Cross-set near-dup scoring between TWO corpora via the blob-free
+    counts plan (see :func:`neardup_pairs_ngram_counts`): exact
+    ``|A∩B|`` from shared-shingle-bucket co-occurrence counts, with
+    candidates restricted to (left, right) pairs only.
+
+    Two production shapes ride on this:
+
+    * ``score="jaccard"`` — incremental dedup: score an INCOMING shard
+      (left) against the existing BASE corpus (right) without ever
+      pairing base docs with each other (the reference's exists-already
+      guard, ``fulltext/services/store/store.py``, generalized from
+      exact url match to content near-match).
+    * ``score="containment"`` — benchmark decontamination / quotation
+      detection: ``|A∩B| / |A|`` with A the left (snippet/benchmark)
+      set, so a short snippet fully inside a long document scores 1.0
+      even when symmetric Jaccard is tiny.
+
+    Returns a Dataset of (left_id, right_id, score) with
+    ``score >= threshold``. Same-id pairs are kept (a snippet and its
+    source document share an id by construction in the eval queries).
+
+    Hot shingle buckets beyond ``max_bucket`` emit marker rows;
+    ``on_drop="error"`` (default) raises — cross-set counts have no
+    exact blob fallback wired yet — and ``"approx"`` returns
+    under-counted scores with a warning.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import splitmix_mix
+
+    if score not in ("jaccard", "containment"):
+        raise ValueError(f"unknown score {score!r}")
+
+    def exploded_side(ds, side: int):
+        def tag(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "side",
+                pa.array(np.full(b.num_rows, side, np.int8), pa.int8()),
+            )
+
+        return (
+            ds.map_batches(
+                lambda b: shingle_batch(b, k), batch_format="pyarrow"
+            )
+            .map_batches(explode_shingle_keys_sized, batch_format="pyarrow")
+            .map_batches(tag, batch_format="pyarrow")
+        )
+
+    both = exploded_side(left_ds, 0).union(exploded_side(right_ds, 1))
+
+    _EMPTY = pa.Table.from_pydict(
+        {
+            "left_id": pa.array([], pa.int64()),
+            "right_id": pa.array([], pa.int64()),
+            "size_l": pa.array([], pa.int64()),
+            "size_r": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+
+    def pairs_of_group(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        sz = group["size"].to_numpy(zero_copy_only=False)
+        side = group["side"].to_numpy(zero_copy_only=False)
+        if ids.size > max_bucket:
+            logger.warning(
+                "cross-neardup: dropping hot bucket key=%s with %d docs "
+                "(max_bucket=%d)",
+                group["bucket_key"][0].as_py(), ids.size, max_bucket,
+            )
+            return pa.Table.from_pydict(
+                {
+                    "left_id": pa.array([-1], pa.int64()),
+                    "right_id": pa.array([-1], pa.int64()),
+                    "size_l": pa.array([0], pa.int64()),
+                    "size_r": pa.array([0], pa.int64()),
+                    "cnt": pa.array([1], pa.int64()),
+                }
+            )
+        lmask = side == 0
+        lids, lsz = ids[lmask], sz[lmask]
+        rids, rsz = ids[~lmask], sz[~lmask]
+        if lids.size == 0 or rids.size == 0:
+            return _EMPTY
+        # cross product left x right (each doc appears at most once
+        # per side per bucket: shingle sets are distinct per doc)
+        la = np.repeat(lids, rids.size)
+        return pa.Table.from_pydict(
+            {
+                "left_id": pa.array(la, pa.int64()),
+                "right_id": pa.array(np.tile(rids, lids.size), pa.int64()),
+                "size_l": pa.array(np.repeat(lsz, rids.size), pa.int64()),
+                "size_r": pa.array(np.tile(rsz, lids.size), pa.int64()),
+                "cnt": pa.array(np.ones(la.size, np.int64), pa.int64()),
+            }
+        )
+
+    _KEYS = ["left_id", "right_id", "size_l", "size_r"]
+
+    def local_combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(_KEYS).aggregate([("cnt", "sum")])
+        g = g.rename_columns(_KEYS + ["cnt"])
+        a = g["left_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = g["right_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (
+            splitmix_mix(splitmix_mix(a) ^ b) % np.uint64(64)
+        ).astype(np.int32)
+        return g.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    def final_combine(group: pa.Table) -> pa.Table:
+        g = group.select(_KEYS + ["cnt"]).group_by(_KEYS).aggregate(
+            [("cnt", "sum")]
+        )
+        g = g.rename_columns(_KEYS + ["n_common"])
+        a = g["left_id"].to_numpy(zero_copy_only=False)
+        inter = g["n_common"].to_numpy(zero_copy_only=False)
+        sl = g["size_l"].to_numpy(zero_copy_only=False)
+        sr = g["size_r"].to_numpy(zero_copy_only=False)
+        marker = a < 0
+        if score == "containment":
+            s = inter / np.maximum(sl, 1)
+        else:
+            s = inter / np.maximum(sl + sr - inter, 1)
+        keep = marker | (s >= threshold)
+        s = np.where(marker, -1.0, s)
+        return pa.Table.from_pydict(
+            {
+                "left_id": pa.array(a[keep], pa.int64()),
+                "right_id": pa.array(
+                    g["right_id"].to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "score": pa.array(s[keep], pa.float64()),
+            }
+        )
+
+    out = (
+        both.groupby("bucket_key")
+        .map_groups(pairs_of_group, batch_format="pyarrow")
+        .map_batches(local_combine, batch_format="pyarrow")
+        .repartition(combine_partitions)
+        .groupby("bucket")
+        .map_groups(final_combine, batch_format="pyarrow")
+    ).materialize()
+
+    n_dropped = 0
+    n_total = 0
+    if out.schema() is not None:
+        n_total = out.count()
+        n_dropped = out.map_batches(
+            lambda b: b.filter(pc.less(b["left_id"], 0)),
+            batch_format="pyarrow",
+        ).count()
+    if n_total - n_dropped == 0:
+        # empty side / zero candidate pairs: blocks are empty (or
+        # marker-only), and map_batches skips empty blocks, so the
+        # lazy filter below would yield a column-less frame — return
+        # the typed empty instead (schema-less-empty guard family).
+        import ray.data as rd
+
+        empty_out = rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "left_id": pa.array([], pa.int64()),
+                    "right_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        )
+        if not n_dropped:
+            return empty_out
+        out = empty_out  # fall through to the drop-policy check
+    if n_dropped:
+        if on_drop == "error":
+            raise RuntimeError(
+                f"cross-neardup counts plan dropped {n_dropped} hot "
+                "buckets; intersection counts would be under-reported"
+            )
+        logger.warning(
+            "cross-neardup counts plan dropped %d hot buckets; scores "
+            "may be under-counted (on_drop='approx')", n_dropped,
+        )
+    return out.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["left_id"], 0)),
+        batch_format="pyarrow",
+    )
