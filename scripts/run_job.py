@@ -96,6 +96,13 @@ def main():
     ap.add_argument("--global-dedup", action="store_true",
                     help="second-pass latest-crawl winner resolution "
                          "across shards after all shards finish")
+    ap.add_argument("--neardup-guard", type=float, default=0.0,
+                    help=">0 runs a post-pass dropping newly ingested "
+                         "docs whose shingle Jaccard vs the already-"
+                         "guarded base corpus >= this threshold "
+                         "(incremental near-content dedup; first run "
+                         "stamps the base). Run with --global-dedup so "
+                         "recrawls resolve by latest-wins first.")
     ap.add_argument("--compact-target-mb", type=int, default=0,
                     help=">0 runs a post-pass merging each shard's "
                          "small parquet files into ~N MiB files "
@@ -200,6 +207,7 @@ def main():
     fingerprint = mf.default_config_fingerprint(
         dedup=args.dedup, global_dedup=bool(args.global_dedup),
         input_format=input_format,
+        neardup_guard=args.neardup_guard or False,
     )
     if args.watch:
         if args.shard_by == "dir":
@@ -222,6 +230,10 @@ def main():
         gd = mf.global_latest_crawl_pass(args.out)
         summary["global_dedup"] = gd
         summary["rows"] -= gd["rows_removed"]
+    if args.neardup_guard > 0:
+        ng = mf.global_neardup_guard(args.out, threshold=args.neardup_guard)
+        summary["neardup_guard"] = ng
+        summary["rows"] -= ng["rows_removed"]
     if args.compact_target_mb > 0:
         summary["compaction"] = mf.compact_shards(
             args.out, target_bytes=args.compact_target_mb * 1024 * 1024

@@ -361,3 +361,83 @@ def test_compact_shards_preserves_content(ray_session, sharded_input,
     again = mf.compact_shards(str(out), target_bytes=1 << 30)
     assert again["shards_compacted"] == 0
     assert again["shards_skipped"] == 4
+
+
+def _words(tag: str, n: int = 20) -> str:
+    """n distinct ordinary-looking words unique to `tag` (keeps
+    background shingle Jaccard between different docs low despite the
+    shared html boilerplate in _write_pages_file)."""
+    return " ".join(f"{tag}word{i}item" for i in range(n))
+
+
+def test_global_neardup_guard_incremental(ray_session, tmp_path):
+    """Incremental near-content dedup: batch 2's near-copy of a batch-1
+    doc is dropped, distinct docs survive, same-url recrawls are NOT
+    the guard's business, and the pass is idempotent."""
+    from zzzarchived_arxiv_fulltext_ray.pipelines.extraction import (
+        extraction_pipeline,
+    )
+
+    def build(ds):
+        return extraction_pipeline(ds, derive_psv=False, concurrency=(1, 2))
+
+    a = tmp_path / "a.parquet"
+    _write_pages_file(
+        a,
+        [("http://x/1", 0, _words("alpha")), ("http://x/2", 0, _words("beta"))],
+    )
+    out = tmp_path / "out"
+    mf.run_resumable([[str(a)]], build, str(out))
+
+    # first guard pass: establishes the base, removes nothing
+    g1 = mf.global_neardup_guard(str(out), threshold=0.5)
+    assert g1 == {
+        "shards_guarded": 1, "shards_rewritten": 0, "rows_removed": 0,
+    }
+
+    # batch 2: a near-copy of x/1's content under a NEW url, a fresh
+    # distinct doc, and a same-url recrawl of x/1
+    near_copy = _words("alpha").replace("alphaword3item", "changed")
+    b = tmp_path / "b.parquet"
+    _write_pages_file(
+        b,
+        [
+            ("http://x/3", 1, near_copy),
+            ("http://x/4", 1, _words("gamma")),
+            ("http://x/1", 5, _words("alpha")),
+        ],
+    )
+    r2 = mf.run_resumable([[str(a)], [str(b)]], build, str(out))
+    assert r2["processed"] == 1 and r2["skipped"] == 1
+
+    g2 = mf.global_neardup_guard(str(out), threshold=0.5)
+    assert g2["shards_guarded"] == 1
+    assert g2["shards_rewritten"] == 1
+    assert g2["rows_removed"] == 1  # ONLY the near-copy under x/3
+
+    import ray.data as rd
+
+    files = [
+        str(f)
+        for p in Path(out).glob("shard=*")
+        if p.is_dir()
+        for f in sorted(p.glob("*.parquet"))
+    ]
+    final = rd.read_parquet(files).to_pandas()
+    # x/3 dropped; x/1 present TWICE (recrawl excluded from the guard —
+    # latest-wins is global_latest_crawl_pass's job)
+    assert sorted(final.url) == [
+        "http://x/1", "http://x/1", "http://x/2", "http://x/4",
+    ]
+
+    # idempotent: everything is stamped now
+    g3 = mf.global_neardup_guard(str(out), threshold=0.5)
+    assert g3 == {
+        "shards_guarded": 0, "shards_rewritten": 0, "rows_removed": 0,
+    }
+
+    # manifests stayed resume-consistent after the rewrite
+    r3 = mf.run_resumable([[str(a)], [str(b)]], build, str(out))
+    assert r3["processed"] == 0 and r3["skipped"] == 2
+    for m in mf.run_status(str(out)):
+        assert m["neardup_guarded"] is True

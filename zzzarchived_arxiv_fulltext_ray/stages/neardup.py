@@ -749,6 +749,12 @@ def cross_neardup_counts(
     ``on_drop="error"`` (default) raises — cross-set counts have no
     exact blob fallback wired yet — and ``"approx"`` returns
     under-counted scores with a warning.
+
+    CONTRACT: ``doc_id`` must be NONNEGATIVE on both sides — negative
+    ids are reserved for the hot-bucket marker rows (callers hashing
+    urls to ids must shift to 63 bits, see
+    ``state.manifest.global_neardup_guard``); violations raise inside
+    the group stage.
     """
     import pyarrow.compute as pc
 
@@ -788,6 +794,11 @@ def cross_neardup_counts(
         ids = group["doc_id"].to_numpy(zero_copy_only=False)
         sz = group["size"].to_numpy(zero_copy_only=False)
         side = group["side"].to_numpy(zero_copy_only=False)
+        if ids.size and ids.min() < 0:
+            raise ValueError(
+                "cross_neardup_counts requires nonnegative doc ids "
+                "(negative ids are the hot-bucket marker sentinel)"
+            )
         if ids.size > max_bucket:
             logger.warning(
                 "cross-neardup: dropping hot bucket key=%s with %d docs "

@@ -405,6 +405,167 @@ def global_latest_crawl_pass(
     return summary
 
 
+def global_neardup_guard(
+    out_dir: str,
+    threshold: float = 0.5,
+    k: int = 3,
+    max_bucket: int = 256,
+    on_drop: str = "error",
+) -> Dict:
+    """Incremental near-CONTENT dedup of newly ingested shards against
+    the already-guarded base corpus (the continuous-crawl analogue of
+    the reference's exists-already guard,
+    ``fulltext/services/store/store.py``, generalized from exact url
+    match to shingle-Jaccard near-match).
+
+    Shards whose manifest carries ``neardup_guarded: true`` form the
+    immutable BASE; every other finished shard is INCOMING. Incoming
+    docs whose extracted text has Jaccard >= ``threshold`` against any
+    base doc are removed (their shards rewritten atomically, manifests
+    re-hashed and stamped). Same-url pairs are ignored — recrawl
+    winner resolution is :func:`global_latest_crawl_pass`'s job, and
+    dropping an incoming recrawl because its OWN older crawl is in the
+    base would invert keep-latest semantics.
+
+    The first invocation (no guarded base yet) only stamps — it
+    establishes the base without self-comparison; near-dups WITHIN one
+    ingest batch are the corpus-wide ``neardup_pairs`` job's domain.
+
+    Stateless + idempotent by construction: a crashed guard pass
+    leaves un-stamped shards that the next invocation re-guards
+    against the same base; a repeat invocation finds no unguarded
+    shards and does nothing. Driver state is O(flagged incoming docs)
+    — bounded by the incoming batch's near-dup rate, the same bound
+    as the url winner table.
+
+    Physical plan: :func:`..stages.neardup.cross_neardup_counts` —
+    exact |A∩B| from shared-shingle bucket co-occurrence counts,
+    candidates restricted to (incoming, base) pairs, so the exchange
+    scales with the incoming batch, never the base-pair count.
+    """
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ..functions.hashing import hash64_column
+    from ..stages.neardup import cross_neardup_counts
+
+    manifests = {m["shard_id"]: m for m in run_status(out_dir)}
+    base_sids = sorted(
+        sid for sid, m in manifests.items() if m.get("neardup_guarded")
+    )
+    new_sids = sorted(
+        sid
+        for sid in manifests
+        if sid not in set(base_sids) and shard_out_dir(out_dir, sid).exists()
+    )
+    summary = {
+        "shards_guarded": len(new_sids),
+        "shards_rewritten": 0,
+        "rows_removed": 0,
+    }
+
+    def stamp(sid: str, manifest: Dict) -> None:
+        manifest["neardup_guarded"] = True
+        mtmp = manifest_path(out_dir, sid).with_suffix(".tmp")
+        mtmp.write_text(json.dumps(manifest, indent=1))
+        mtmp.rename(manifest_path(out_dir, sid))
+
+    if not new_sids:
+        return summary
+
+    def docs_of(sids: Sequence[str]):
+        files = [
+            str(f)
+            for sid in sids
+            for f in sorted(shard_out_dir(out_dir, sid).glob("*.parquet"))
+        ]
+
+        def to_docs(batch: pa.Table) -> pa.Table:
+            # >>1 keeps ids NONNEGATIVE (cross_neardup_counts reserves
+            # negative ids for hot-bucket marker rows); 63 bits of a
+            # 64-bit hash is still collision-safe at corpus scale
+            ids = (hash64_column(batch["url"]) >> np.uint64(1)).astype(
+                np.int64
+            )
+            text = batch["text"]
+            if text.null_count:
+                import pyarrow.compute as pc
+
+                text = pc.fill_null(text, "")
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array(ids, pa.int64()), "text": text}
+            )
+
+        return rd.read_parquet(files, columns=["url", "text"]).map_batches(
+            to_docs, batch_format="pyarrow"
+        )
+
+    flagged = np.empty(0, np.int64)
+    if base_sids:
+        pairs = cross_neardup_counts(
+            docs_of(new_sids),
+            docs_of(base_sids),
+            threshold=threshold,
+            k=k,
+            max_bucket=max_bucket,
+            on_drop=on_drop,
+        )
+        rows = pairs.take_all() if pairs.count() else []
+        flagged = np.unique(
+            np.array(
+                [
+                    r["left_id"]
+                    for r in rows
+                    if r["left_id"] != r["right_id"]  # same url: not ours
+                ],
+                dtype=np.int64,
+            )
+        )
+
+    flagged_ref = ray.put(flagged) if flagged.size else None
+
+    def keep_unflagged(batch: pa.Table) -> pa.Table:
+        bad = ray.get(flagged_ref)
+        ids = (hash64_column(batch["url"]) >> np.uint64(1)).astype(np.int64)
+        return batch.filter(pa.array(~np.isin(ids, bad)))
+
+    for sid in new_sids:
+        manifest = manifests[sid]
+        sdir = shard_out_dir(out_dir, sid)
+        if flagged.size:
+            before = manifest["rows"]
+            kept = rd.read_parquet(str(sdir)).map_batches(
+                keep_unflagged, batch_format="pyarrow"
+            )
+            tmp_dir = sdir.parent / (sdir.name + ".ngtmp")
+            if tmp_dir.exists():
+                shutil.rmtree(tmp_dir)
+            kept.write_parquet(str(tmp_dir))
+            rows = rd.read_parquet(str(tmp_dir)).count()
+            if rows == before:
+                shutil.rmtree(tmp_dir)
+            else:
+                # rename-aside swap (the global-dedup pattern): no
+                # crash point leaves a manifest without its data dir
+                old_dir = sdir.parent / (sdir.name + ".ngold")
+                if old_dir.exists():
+                    shutil.rmtree(old_dir)
+                sdir.rename(old_dir)
+                tmp_dir.rename(sdir)
+                shutil.rmtree(old_dir)
+                manifest["rows"] = rows
+                manifest["content_hash"] = dataset_content_hash(
+                    rd.read_parquet(str(sdir)),
+                    manifest.get("hash_columns", ("url", "text")),
+                )
+                summary["shards_rewritten"] += 1
+                summary["rows_removed"] += before - rows
+        stamp(sid, manifest)
+
+    return summary
+
+
 def run_status(out_dir: str) -> List[Dict]:
     """All shard manifests under ``out_dir`` (lineage + metrics view)."""
     out = []
