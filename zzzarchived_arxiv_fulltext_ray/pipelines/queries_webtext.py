@@ -1772,3 +1772,253 @@ SELECT decile, n, n_en,
            / (SELECT CAST(sum(n_en) AS DOUBLE) FROM d) AS cum_recall
 FROM d ORDER BY decile
 """
+
+
+# ------------------------------- exact duplicate-span removal
+
+def _q_dup_span_removal(sf_dir: str):
+    """Every 8-token span occurring >= 2x corpus-wide is deleted from
+    every document containing it (Lee et al. 2022 substring-dedup
+    family, remove-all policy — see ``stages/spans.py`` for the
+    broadcast/partitioned twins and the one-exchange argument).
+    Returns only the docs that lost tokens."""
+    import pandas as pd
+
+    from ..stages.spans import dup_span_removal
+
+    out = dup_span_removal(
+        _docs(sf_dir, ["doc_id", "text"]), w=8, min_count=2
+    ).to_pandas()
+    if out.empty:  # empty-dataset to_pandas loses columns (CLAUDE.md)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "n_tokens": pd.Series(dtype="int64"),
+                "n_removed": pd.Series(dtype="int64"),
+                "text_clean": pd.Series(dtype="object"),
+            }
+        )
+    for c in ("doc_id", "n_tokens", "n_removed"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+WEBTEXT_QUERIES["dup_span_removal"] = _q_dup_span_removal
+WEBTEXT_ORACLE_SQL["dup_span_removal"] = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'),
+                       x -> x <> '') AS words
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, i, array_to_string(words[i:i+7], ' ') AS gram
+    FROM toks,
+         LATERAL (SELECT unnest(range(1, len(words) - 8 + 2)) AS i) r(i)
+    WHERE len(words) >= 8
+),
+dup AS (
+    SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+),
+marks AS (
+    SELECT DISTINCT g.doc_id, g.i + o.off AS pos
+    FROM grams g JOIN dup USING (gram),
+         LATERAL (SELECT unnest(range(0, 8)) AS off) o(off)
+),
+wordpos AS (
+    SELECT doc_id, j, words[j] AS w
+    FROM toks, LATERAL (SELECT unnest(range(1, len(words) + 1)) AS j) r(j)
+),
+removed AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+    FROM marks GROUP BY doc_id
+),
+clean AS (
+    SELECT wp.doc_id, string_agg(wp.w, ' ' ORDER BY wp.j) AS text_clean
+    FROM wordpos wp
+    LEFT JOIN marks m ON wp.doc_id = m.doc_id AND wp.j = m.pos
+    WHERE m.pos IS NULL
+    GROUP BY wp.doc_id
+)
+SELECT r.doc_id,
+       CAST(len(t.words) AS BIGINT) AS n_tokens,
+       r.n_removed,
+       COALESCE(c.text_clean, '') AS text_clean
+FROM removed r
+JOIN toks t USING (doc_id)
+LEFT JOIN clean c USING (doc_id)
+ORDER BY r.doc_id
+"""
+
+
+# ------------------------------------------- BM25 top-k retrieval
+
+BM25_TERMS = ("data", "spark", "batch")  # common at sf0.01 AND sf0.1
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 15
+
+
+def _q_bm25_topk(sf_dir: str):
+    """Okapi BM25 top-15 docs for a fixed 3-term query. Two passes:
+    a tiny fixed-width sufficient-stats fold (N, sum(dl), df per
+    term — one row per block, driver sums python ints), then a score
+    map with the partial-top-k combiner (driver merges <= K x blocks
+    rows). The float formula is transcribed into the oracle with the
+    EXACT association (FLOAT-MIRROR contract); ln on identical double
+    inputs matches DuckDB (the doc_tfidf precedent)."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    terms = BM25_TERMS
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        row = {"n_docs": 0, "dl_sum": 0}
+        dfs = [0] * len(terms)
+        for text in batch["text"].to_pylist():
+            words = text.split()
+            row["n_docs"] += 1
+            row["dl_sum"] += len(words)
+            ws = set(words)
+            for ti, t in enumerate(terms):
+                if t in ws:
+                    dfs[ti] += 1
+        d = {
+            "n_docs": pa.array([row["n_docs"]], pa.int64()),
+            "dl_sum": pa.array([row["dl_sum"]], pa.int64()),
+        }
+        for ti in range(len(terms)):
+            d[f"df_{ti}"] = pa.array([dfs[ti]], pa.int64())
+        return pa.Table.from_pydict(d)
+
+    aggs = [Sum("n_docs", alias_name="n_docs"),
+            Sum("dl_sum", alias_name="dl_sum")] + [
+        Sum(f"df_{ti}", alias_name=f"df_{ti}")
+        for ti in range(len(terms))
+    ]
+    st = (
+        docs.map_batches(
+            stats_partial, batch_format="pyarrow", batch_size=None
+        )
+        .groupby(None)
+        .aggregate(*aggs)
+        .to_pandas()
+    )
+    n = int(st["n_docs"][0])
+    dl_sum = int(st["dl_sum"][0])
+    dfs = [int(st[f"df_{ti}"][0]) for ti in range(len(terms))]
+    avgdl = dl_sum / n
+    # idf_t = ln((N - df + 0.5) / (df + 0.5) + 1.0) — SQL-mirrored
+    idfs = [
+        math.log((n - df + 0.5) / (df + 0.5) + 1.0) for df in dfs
+    ]
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            words = text.split()
+            dl = len(words)
+            tfs = [words.count(t) for t in terms]
+            if not any(tfs):
+                continue
+            score = 0.0
+            for ti in range(len(terms)):
+                tf = tfs[ti]
+                # EXACT association mirrored in the oracle:
+                # idf * ((tf * (k1 + 1.0)) /
+                #        (tf + k1 * (1.0 - b + b * dl / avgdl)))
+                score = score + idfs[ti] * (
+                    (tf * (BM25_K1 + 1.0))
+                    / (tf + BM25_K1 * (1.0 - BM25_B
+                                       + BM25_B * dl / avgdl))
+                )
+            rows.append((doc_id, score))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        rows = rows[:BM25_TOPK]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "score": pa.array([r[1] for r in rows], pa.float64()),
+            }
+        )
+
+    cand = docs.map_batches(
+        score_partial, batch_format="pyarrow"
+    ).to_pandas()
+    if cand.empty:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            }
+        )
+    cand = cand.sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).head(BM25_TOPK)
+    cand["doc_id"] = cand["doc_id"].astype("int64")
+    return cand.reset_index(drop=True)
+
+
+def _bm25_oracle() -> str:
+    terms = BM25_TERMS
+    tf_cols = ",\n           ".join(
+        f"len(list_filter(words, x -> x = '{t}')) AS tf_{ti}"
+        for ti, t in enumerate(terms)
+    )
+    # e-notation literals parse as DOUBLE in DuckDB (bare 1.2 would be
+    # DECIMAL(2,1) and break the FLOAT-MIRROR bit contract)
+    k1 = f"{BM25_K1!r}e0"
+    k1p1 = f"{(BM25_K1 + 1.0)!r}e0"
+    one_m_b = f"{(1.0 - BM25_B)!r}e0"
+    b_lit = f"{BM25_B!r}e0"
+    idf = lambda ti: (  # noqa: E731
+        f"ln((CAST(n AS DOUBLE) - df_{ti} + 0.5e0)"
+        f" / (df_{ti} + 0.5e0) + 1.0e0)"
+    )
+    score_terms = " + ".join(
+        f"{idf(ti)} * ((tf_{ti} * {k1p1}) / (tf_{ti} + {k1} *"
+        f" ({one_m_b} + {b_lit} * dl / avgdl)))"
+        for ti in range(len(terms))
+    )
+    any_tf = " + ".join(f"tf_{ti}" for ti in range(len(terms)))
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'),
+                       x -> x <> '') AS words
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, len(words) AS dl,
+           {tf_cols}
+    FROM toks
+),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(dl) AS BIGINT) AS dl_sum,
+           {", ".join(
+               f"CAST(sum(CASE WHEN tf_{ti} > 0 THEN 1 ELSE 0 END)"
+               f" AS BIGINT) AS df_{ti}" for ti in range(len(terms))
+           )}
+    FROM tf
+),
+scored AS (
+    SELECT doc_id,
+           {score_terms.replace("avgdl",
+                                "(CAST(dl_sum AS DOUBLE) / n)")} AS score
+    FROM tf, stats
+    WHERE {any_tf} > 0
+)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {BM25_TOPK}
+"""
+
+
+WEBTEXT_QUERIES["bm25_topk"] = _q_bm25_topk
+WEBTEXT_ORACLE_SQL["bm25_topk"] = _bm25_oracle()
