@@ -1,0 +1,133 @@
+"""BPE tokenizer training + crawl snapshot diff.
+
+The merge-application rule (two-pass separator REPLACE) and its
+documented repeated-symbol segmentation variant are pinned here; the
+end-to-end parity of bpe_merges / snapshot_diff / events_dedup_window
+vs DuckDB is the oracle gate's job.
+"""
+
+from collections import Counter
+
+import pyarrow as pa
+import pytest
+
+from zzzarchived_arxiv_fulltext_ray.stages.bpe import (
+    bpe_train,
+    symbols_of,
+    word_counts,
+)
+from zzzarchived_arxiv_fulltext_ray.stages.dedup import snapshot_diff
+
+
+def test_symbols_two_pass_merges_all_isolated_pairs():
+    # chained distinct pairs all merge ("x y x y x y" -> 3x "xy")
+    assert symbols_of("xyxyxy", [("x", "y")]) == "|xy|xy|xy|"
+    # multi-char chained merges
+    s = symbols_of("lower", [("l", "o"), ("lo", "w")])
+    assert s == "|low|e|r|"
+
+
+def test_symbols_repeated_run_contract():
+    # DOCUMENTED VARIANT: a 5-run of x under (x, x) segments
+    # [xx, x, xx] (lookaround BPE would give [xx, xx, x]); the merged
+    # pair count per run (len // 2) is identical either way.
+    assert symbols_of("xxxxx", [("x", "x")]) == "|xx|x|xx|"
+    assert symbols_of("xxxx", [("x", "x")]) == "|xx|xx|"
+    # a merged symbol is never confused with the pair pattern
+    assert symbols_of("xxx", [("x", "x"), ("xx", "x")]) == "|xxx|"
+
+
+def _brute_bpe(texts, rounds):
+    """Single-node reference: same tokenization, same merge rule."""
+    import re
+
+    wc = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if re.fullmatch(r"[a-z]{2,}", w):
+                wc[w] += 1
+    merges, rows = [], []
+    for r in range(rounds):
+        pc = Counter()
+        for w, n in wc.items():
+            syms = symbols_of(w, merges).strip("|").split("|")
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += n
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append(best[0])
+        rows.append(
+            (r + 1, best[0][0], best[0][1], best[1])
+        )
+    return rows
+
+
+def test_bpe_train_matches_single_node_reference(ray_session):
+    import ray.data as rd
+
+    texts = [
+        "the cat sat on the mat",
+        "the thin thing then thundered",
+        "banana bandana and a cabana",
+        "Mixed CASE and punct! stay-out 123",
+        "",
+    ] * 3
+    docs = rd.from_arrow(
+        pa.table({"text": pa.array(texts, pa.string())})
+    ).repartition(4)
+    got = bpe_train(docs, rounds=4)
+    want = _brute_bpe(texts, 4)
+    assert list(
+        got[["merge_round", "left_sym", "right_sym", "n"]].itertuples(
+            index=False, name=None
+        )
+    ) == want
+
+
+def test_word_counts_filters_non_alpha(ray_session):
+    import ray.data as rd
+
+    docs = rd.from_arrow(
+        pa.table({"text": ["aa bb AA x 1b b2 -- aa"]})
+    )
+    got = dict(
+        (r["word"], r["cnt"])
+        for r in word_counts(docs).take_all()
+    )
+    assert got == {"aa": 3, "bb": 1}
+
+
+def _diff_result(old_rows, new_rows):
+    import ray.data as rd
+
+    def tbl(rows):
+        return pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+
+    ds = snapshot_diff(
+        rd.from_arrow(tbl(old_rows)), rd.from_arrow(tbl(new_rows))
+    )
+    return {r["doc_id"]: r["change_class"] for r in ds.take_all()}
+
+
+def test_snapshot_diff_classes(ray_session):
+    got = _diff_result(
+        [(1, "a"), (2, "b"), (3, "c")],
+        [(2, "b"), (3, "c-edited"), (4, "d")],
+    )
+    assert got == {
+        1: "removed",
+        2: "unchanged",
+        3: "changed",
+        4: "added",
+    }
+
+
+def test_snapshot_diff_duplicate_key_raises(ray_session):
+    with pytest.raises(Exception, match="duplicate|RayTaskError"):
+        _diff_result([(1, "a"), (1, "a2")], [(1, "a")])

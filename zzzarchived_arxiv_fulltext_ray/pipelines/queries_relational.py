@@ -4838,3 +4838,132 @@ SELECT 20 AS n_reps,
 
 
 RELATIONAL_ORACLE_SQL["events_bootstrap_ci"] = _bootstrap_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Burst dedup: keep the first event of each (user, type) burst
+# ---------------------------------------------------------------------------
+
+
+def _q_events_dedup_window(sf_dir: str):
+    """Burst dedup / event throttling: within each (user, event_type)
+    stream an event is KEPT iff it starts a new burst — first of its
+    stream, or more than 1 day after the PREVIOUS event
+    (sessionization semantics: the gap is to the previous event, not
+    the previous kept one, so the rule is a pure window function both
+    engines evaluate in one pass; gap ties at identical timestamps
+    are dropped regardless of tie order, so counts are
+    order-invariant). The dedup a re-crawl scheduler applies to
+    duplicate fetch requests. Reports kept vs dropped per type.
+
+    Physical plan: ONE coalesced exchange on hash(user_id) into 64
+    fixed buckets, per-bucket lexsort + vectorized gap test (the
+    TWAP/sessionize idiom), per-bucket per-type count partials; the
+    driver sums ~n_types x 64 rows."""
+    import numpy as np
+    import ray.data
+
+    from ..functions.hashing import bucket_of_column
+
+    gap_us = 86_400 * 1_000_000
+    num_buckets = 64
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "us": pa.array(
+                    b["ts"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]")
+                    .astype(np.int64),
+                    pa.int64(),
+                ),
+                "__b": pa.array(
+                    bucket_of_column(b["user_id"], num_buckets),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def dedup_of_bucket(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        empty = pa.Table.from_pydict(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_kept": pa.array([], pa.int64()),
+                "n_dropped": pa.array([], pa.int64()),
+            }
+        )
+        if uid.size == 0:
+            return empty
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        us = group["us"].to_numpy(zero_copy_only=False)
+        types, tcode = np.unique(
+            group["event_type"].to_numpy(zero_copy_only=False),
+            return_inverse=True,
+        )
+        order = np.lexsort((eid, us, tcode, uid))
+        uid, us, tcode = uid[order], us[order], tcode[order]
+        newseg = np.concatenate(
+            [[True], (uid[1:] != uid[:-1]) | (tcode[1:] != tcode[:-1])]
+        )
+        dt = np.empty(uid.size, dtype=np.int64)
+        dt[0] = 0
+        dt[1:] = us[1:] - us[:-1]
+        kept = newseg | (dt > gap_us)
+        n_tot = np.bincount(tcode, minlength=types.size)
+        n_kept = np.bincount(
+            tcode[kept], minlength=types.size
+        )
+        return pa.Table.from_pydict(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "n_kept": pa.array(n_kept.astype(np.int64), pa.int64()),
+                "n_dropped": pa.array(
+                    (n_tot - n_kept).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    parts = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(dedup_of_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = parts.groupby("event_type", as_index=False).agg(
+        n_kept=("n_kept", "sum"), n_dropped=("n_dropped", "sum")
+    )
+    for c in ("n_kept", "n_dropped"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+RELATIONAL_QUERIES["events_dedup_window"] = _q_events_dedup_window
+RELATIONAL_ORACLE_SQL["events_dedup_window"] = """
+WITH o AS (
+    SELECT event_type,
+           CASE WHEN lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id
+                ) IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id
+                ) > 86400000000
+           THEN 1 ELSE 0 END AS kept
+    FROM events
+)
+SELECT event_type,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       CAST(sum(1 - kept) AS BIGINT) AS n_dropped
+FROM o GROUP BY event_type ORDER BY event_type
+"""

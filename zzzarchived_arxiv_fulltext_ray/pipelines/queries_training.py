@@ -3805,3 +3805,161 @@ GROUP BY i.doc_id
 ORDER BY i.doc_id
 """
 )
+
+
+# ---------------- crawl snapshot diff + BPE tokenizer training
+
+def _q_snapshot_diff(sf_dir: str):
+    """Incremental-crawl snapshot diff: two deterministic snapshots of
+    the corpus (old = doc_id % 3 != 0; new = doc_id % 3 != 1 with
+    every doc_id % 5 == 0 text amended) are classified per key as
+    added / removed / changed / unchanged — the operator that decides
+    which documents need re-extraction between two crawl passes.
+
+    Physical plan (stages.dedup.snapshot_diff): both sides project to
+    (key, side, content-hash64) in map_batches -> ONE coalesced
+    bucket exchange -> per-bucket sort + pair-off; payloads never
+    move, per-class counts come back as per-block partials. The
+    oracle compares exact text (the engine's 64-bit hash equality is
+    exact up to a ~2^-64 collision)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.dedup import snapshot_diff
+
+    def old_side(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(d % 3 != 0))
+
+    def new_side(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(d % 3 != 1))
+        dd = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = [
+            tx + " [updated]" if did % 5 == 0 else tx
+            for did, tx in zip(dd, t["text"].to_pylist())
+        ]
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "text": pa.array(texts, pa.string())}
+        )
+
+    docs = lambda: _docs(sf_dir, ["doc_id", "text"])  # noqa: E731
+    cls = snapshot_diff(
+        docs().map_batches(old_side, batch_format="pyarrow"),
+        docs().map_batches(new_side, batch_format="pyarrow"),
+    )
+
+    def cnts(b: pa.Table) -> pa.Table:
+        vc = b.to_pandas()["change_class"].value_counts()
+        return pa.Table.from_pydict(
+            {
+                "change_class": pa.array(
+                    vc.index.to_list(), pa.string()
+                ),
+                "n_docs": pa.array(
+                    vc.to_numpy().astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    parts = cls.map_batches(cnts, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {
+                "change_class": pd.Series([], dtype="object"),
+                "n_docs": pd.Series([], dtype="int64"),
+            }
+        )
+    out = parts.groupby("change_class", as_index=False)["n_docs"].sum()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("change_class").reset_index(drop=True)
+
+
+TRAINING_QUERIES["snapshot_diff"] = _q_snapshot_diff
+TRAINING_ORACLE_SQL["snapshot_diff"] = """
+WITH oldv AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+), newv AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN text || ' [updated]'
+                ELSE text END AS text
+    FROM documents WHERE doc_id % 3 <> 1
+), cls AS (
+    SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.text <> n.text THEN 'changed'
+                ELSE 'unchanged' END AS change_class
+    FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+)
+SELECT change_class, CAST(count(*) AS BIGINT) AS n_docs
+FROM cls GROUP BY change_class ORDER BY change_class
+"""
+
+
+def _q_bpe_merges(sf_dir: str):
+    """First 3 BPE tokenizer-training merges over the corpus
+    vocabulary (stages.bpe.bpe_train; Sennrich et al. 2016). The
+    oracle replays the identical two-pass separator REPLACE merge
+    rule with nested replace() calls and unrolled per-round CTEs —
+    counts, winners and tie-breaks are all exact integers/strings, so
+    the three learned merges match byte-for-byte."""
+    from ..stages.bpe import bpe_train
+
+    return bpe_train(_docs(sf_dir, ["text"]), rounds=3)
+
+
+def _bpe_round_sql(r: int) -> str:
+    prev = "s%d" % (r - 1)
+    return """
+p{r} AS (
+    SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM (
+        SELECT cnt,
+               unnest(list_transform(range(1, len(syms)),
+                      i -> syms[i] || ' ' || syms[i+1])) AS pair
+        FROM (SELECT cnt, string_split(trim(s, '|'), '|') AS syms
+              FROM {prev})
+    ) GROUP BY pair
+),
+w{r} AS (
+    SELECT pair, n,
+           string_split(pair, ' ')[1] AS l,
+           string_split(pair, ' ')[2] AS r
+    FROM p{r} ORDER BY n DESC, pair ASC LIMIT 1
+),
+s{r} AS (
+    SELECT t.word, t.cnt,
+           replace(replace(t.s,
+                   '|' || w.l || '|' || w.r || '|',
+                   '|' || w.l || w.r || '|'),
+                   '|' || w.l || '|' || w.r || '|',
+                   '|' || w.l || w.r || '|') AS s
+    FROM {prev} t, w{r} w
+)""".format(r=r, prev=prev)
+
+
+TRAINING_QUERIES["bpe_merges"] = _q_bpe_merges
+TRAINING_ORACLE_SQL["bpe_merges"] = (
+    """
+WITH w0 AS (
+    SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+        SELECT unnest(list_filter(
+                   regexp_split_to_array(lower(text), '\\s+'),
+                   t -> regexp_full_match(t, '[a-z]{2,}'))) AS tok
+        FROM documents
+    ) GROUP BY tok
+),
+s0 AS (
+    SELECT word, cnt,
+           '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS s
+    FROM w0
+),"""
+    + ",".join(_bpe_round_sql(r) for r in (1, 2, 3))
+    + """
+SELECT CAST(1 AS BIGINT) AS merge_round,
+       l AS left_sym, r AS right_sym, n FROM w1
+UNION ALL SELECT CAST(2 AS BIGINT), l, r, n FROM w2
+UNION ALL SELECT CAST(3 AS BIGINT), l, r, n FROM w3
+ORDER BY merge_round
+"""
+)

@@ -382,3 +382,100 @@ def bloom_guard_filter(ds, bloom_ref, col: str = "url",
         return batch.filter(pa.array(~seen))
 
     return ds.map_batches(keep_new, batch_format="pyarrow")
+
+
+def snapshot_diff(old, new, key: str = "doc_id", content: str = "text",
+                  num_buckets: int = 64):
+    """Classify every key across two corpus snapshots as ``added`` /
+    ``removed`` / ``changed`` / ``unchanged`` — the incremental-crawl
+    diff that decides which documents need re-extraction between two
+    crawl passes (the set-difference generalization of the reference's
+    exists-already guard, ``fulltext/services/store/store.py``).
+
+    Contract: ``key`` is unique within each snapshot (duplicate keys
+    raise). Content equality is decided by the vectorized 64-bit
+    content hash on the Ray side, so the exchange ships
+    ``(key, side, hash)`` (~24 bytes/row) — payloads never move and
+    the driver never sees per-key rows; a 64-bit collision
+    (probability ~2^-64 per pair) would misreport one 'changed' key
+    as 'unchanged'. Oracles compare exact content instead.
+
+    Physical plan: both sides project + hash in ``map_batches`` ->
+    union -> ONE coalesced exchange on ``hash(key)`` into
+    ``num_buckets`` fixed buckets -> per-bucket sort + pair-off
+    (the sessionize idiom). Returns a ``(key, change_class)`` Dataset.
+    """
+    import numpy as np
+
+    from ..functions.hashing import hash64_column
+
+    def prep(side_val):
+        def f(batch: pa.Table) -> pa.Table:
+            h = hash64_column(batch[content]).view(np.int64)
+            return pa.Table.from_pydict(
+                {
+                    key: batch[key],
+                    "__side": pa.array(
+                        np.full(batch.num_rows, side_val, np.int64)
+                    ),
+                    "__h": pa.array(h, pa.int64()),
+                    "__b": pa.array(
+                        bucket_of_column(batch[key], num_buckets),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        return f
+
+    def diff_of_bucket(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = group[key].to_numpy(zero_copy_only=False)
+        empty = pa.Table.from_pydict(
+            {
+                key: pa.array([], group.schema.field(key).type),
+                "change_class": pa.array([], pa.string()),
+            }
+        )
+        if k.size == 0:
+            return empty
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        h = group["__h"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, k))
+        k, side, h = k[order], side[order], h[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], k[1:] != k[:-1]])
+        )
+        lens = np.diff(np.append(starts, k.size))
+        nxt = np.minimum(starts + 1, k.size - 1)
+        if lens.max() > 2 or np.any(
+            (lens == 2) & (side[starts] == side[nxt])
+        ):
+            raise ValueError(
+                "snapshot_diff: duplicate %r within one snapshot" % key
+            )
+        # class codes: 0 added, 1 removed, 2 changed, 3 unchanged
+        cls = np.empty(starts.size, dtype=np.int64)
+        single = lens == 1
+        cls[single & (side[starts] == 1)] = 0
+        cls[single & (side[starts] == 0)] = 1
+        both = ~single
+        cls[both & (h[starts] != h[nxt])] = 2
+        cls[both & (h[starts] == h[nxt])] = 3
+        names = np.array(
+            ["added", "removed", "changed", "unchanged"], dtype=object
+        )
+        return pa.Table.from_pydict(
+            {
+                key: pa.array(k[starts]),
+                "change_class": pa.array(names[cls], pa.string()),
+            }
+        )
+
+    tagged = old.map_batches(prep(0), batch_format="pyarrow").union(
+        new.map_batches(prep(1), batch_format="pyarrow")
+    )
+    return tagged.groupby("__b").map_groups(
+        diff_of_bucket, batch_format="pyarrow"
+    )
