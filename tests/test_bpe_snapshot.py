@@ -131,3 +131,24 @@ def test_snapshot_diff_classes(ray_session):
 def test_snapshot_diff_duplicate_key_raises(ray_session):
     with pytest.raises(Exception, match="duplicate|RayTaskError"):
         _diff_result([(1, "a"), (1, "a2")], [(1, "a")])
+
+
+def test_symbol_counts_apply(ray_session):
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.bpe import symbol_counts
+
+    wc = rd.from_arrow(
+        pa.table(
+            {
+                "word": pa.array(["abab", "ab"], pa.string()),
+                "cnt": pa.array([2, 3], pa.int64()),
+            }
+        )
+    )
+    got = {
+        r["sym"]: r["n"]
+        for r in symbol_counts(wc, [("a", "b")]).take_all()
+    }
+    # abab -> [ab, ab] x2, ab -> [ab] x3  => ab: 7
+    assert got == {"ab": 7}

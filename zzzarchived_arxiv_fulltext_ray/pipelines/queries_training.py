@@ -3937,8 +3937,7 @@ s{r} AS (
 )""".format(r=r, prev=prev)
 
 
-TRAINING_QUERIES["bpe_merges"] = _q_bpe_merges
-TRAINING_ORACLE_SQL["bpe_merges"] = (
+_BPE_CHAIN_SQL = (
     """
 WITH w0 AS (
     SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
@@ -3955,11 +3954,158 @@ s0 AS (
     FROM w0
 ),"""
     + ",".join(_bpe_round_sql(r) for r in (1, 2, 3))
+)
+
+TRAINING_QUERIES["bpe_merges"] = _q_bpe_merges
+TRAINING_ORACLE_SQL["bpe_merges"] = (
+    _BPE_CHAIN_SQL
     + """
 SELECT CAST(1 AS BIGINT) AS merge_round,
        l AS left_sym, r AS right_sym, n FROM w1
 UNION ALL SELECT CAST(2 AS BIGINT), l, r, n FROM w2
 UNION ALL SELECT CAST(3 AS BIGINT), l, r, n FROM w3
 ORDER BY merge_round
+"""
+)
+
+
+def _q_bpe_vocab(sf_dir: str):
+    """Corpus-weighted top-20 BPE symbols after the 3 learned merges
+    (train-then-apply: stages.bpe.bpe_train + symbol_counts over ONE
+    shared vocabulary scan). The oracle replays the same merge chain
+    and explodes the final symbol strings."""
+    from ..stages.bpe import bpe_train, symbol_counts, word_counts
+
+    wc = word_counts(_docs(sf_dir, ["text"])).materialize()
+    tr = bpe_train(None, rounds=3, wc=wc)
+    merges = list(zip(tr["left_sym"], tr["right_sym"]))
+
+    def top20(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        df = batch.to_pandas()
+        df = df.sort_values(["n", "sym"], ascending=[False, True]).head(20)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = (
+        symbol_counts(wc, merges)
+        .map_batches(top20, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = parts.sort_values(
+        ["n", "sym"], ascending=[False, True]
+    ).head(20)
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)[["sym", "n"]]
+
+
+TRAINING_QUERIES["bpe_vocab"] = _q_bpe_vocab
+TRAINING_ORACLE_SQL["bpe_vocab"] = (
+    _BPE_CHAIN_SQL
+    + """
+SELECT sym, CAST(sum(cnt) AS BIGINT) AS n
+FROM (SELECT cnt, unnest(string_split(trim(s, '|'), '|')) AS sym
+      FROM s3)
+GROUP BY sym ORDER BY n DESC, sym ASC LIMIT 20
+"""
+)
+
+
+def _q_bpe_compression(sf_dir: str):
+    """Per-language BPE compression after the 3 learned merges:
+    alpha-word occurrences, their total chars, total symbols, and
+    symbols-per-char — the metric a tokenizer-training pipeline
+    tracks per language to balance fertility.
+
+    Physical plan: one vocabulary scan feeds both the training loop
+    and a word -> symbol-count map; the map is a BOUNDED-VOCAB
+    broadcast (the bigram_pmi contract — vocabulary-sized, never
+    corpus-sized) probed inside map_batches, so per-lang sums are
+    per-batch partials and the only exchanges are the vocabulary
+    groupbys."""
+    import pandas as pd
+    import ray
+
+    from ..stages.bpe import _WORD_RE, bpe_train, symbols_of, word_counts
+
+    wc = word_counts(_docs(sf_dir, ["text"])).materialize()
+    tr = bpe_train(None, rounds=3, wc=wc)
+    merges = list(zip(tr["left_sym"], tr["right_sym"]))
+
+    vocab = {}
+    for b in wc.iter_batches(batch_format="pyarrow"):
+        for w in b["word"].to_pylist():
+            vocab[w] = symbols_of(w, merges).count("|") - 1
+    vocab_ref = ray.put(vocab)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vmap = ray.get(vocab_ref)
+        acc = {}
+        for lang, text in zip(
+            batch["lang"].to_pylist(), batch["text"].to_pylist()
+        ):
+            a = acc.setdefault(lang, [0, 0, 0])
+            for w in (text or "").lower().split():
+                if _WORD_RE.fullmatch(w):
+                    a[0] += 1
+                    a[1] += len(w)
+                    a[2] += vmap[w]
+        langs = sorted(acc)
+        return pa.Table.from_pydict(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "n_alpha_words": pa.array(
+                    [acc[x][0] for x in langs], pa.int64()
+                ),
+                "n_chars": pa.array(
+                    [acc[x][1] for x in langs], pa.int64()
+                ),
+                "n_syms": pa.array(
+                    [acc[x][2] for x in langs], pa.int64()
+                ),
+            }
+        )
+
+    parts = (
+        _docs(sf_dir, ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = parts.groupby("lang", as_index=False).agg(
+        n_alpha_words=("n_alpha_words", "sum"),
+        n_chars=("n_chars", "sum"),
+        n_syms=("n_syms", "sum"),
+    )
+    for c in ("n_alpha_words", "n_chars", "n_syms"):
+        out[c] = out[c].astype("int64")
+    out["syms_per_char"] = out["n_syms"] / out["n_chars"]
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+TRAINING_QUERIES["bpe_compression"] = _q_bpe_compression
+TRAINING_ORACLE_SQL["bpe_compression"] = (
+    _BPE_CHAIN_SQL
+    + """,
+vs AS (
+    SELECT word,
+           CAST(len(string_split(trim(s, '|'), '|')) AS BIGINT)
+               AS n_syms,
+           CAST(length(word) AS BIGINT) AS n_chars
+    FROM s3
+),
+tok AS (
+    SELECT lang,
+           unnest(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'),
+               t -> regexp_full_match(t, '[a-z]{2,}'))) AS w
+    FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_alpha_words,
+       CAST(sum(v.n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(v.n_syms) AS BIGINT) AS n_syms,
+       CAST(sum(v.n_syms) AS DOUBLE) / sum(v.n_chars) AS syms_per_char
+FROM tok JOIN vs v ON tok.w = v.word
+GROUP BY lang ORDER BY lang
 """
 )

@@ -21,7 +21,7 @@ re-expressed Ray-Data-first:
   oracle replays it with nested ``replace()`` calls, byte-for-byte.
 
 SEGMENTATION CONTRACT (documented variant, pinned in
-``tests/test_bpe.py``): for runs of a repeated symbol ("xxxxx" under
+``tests/test_bpe_snapshot.py``): for runs of a repeated symbol ("xxxxx" under
 merge ``(x, x)``) the two-pass replace can segment ``[xx, x, xx]``
 where lookaround-regex BPE gives ``[xx, xx, x]`` — the merged PAIR
 COUNT per run is identical (``len // 2``), only the position of the
@@ -110,15 +110,21 @@ def _block_top1(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
-def bpe_train(docs, rounds: int = 3, text_col: str = "text") -> pd.DataFrame:
+def bpe_train(docs, rounds: int = 3, text_col: str = "text",
+              wc=None) -> pd.DataFrame:
     """Learn the first ``rounds`` BPE merges; returns a DataFrame
     (merge_round, left_sym, right_sym, n) ordered by round.
+
+    ``wc``: optional precomputed (word, cnt) Dataset (compositions
+    that also apply the merges reuse one vocabulary scan).
 
     Stops early if the vocabulary runs out of adjacent pairs (every
     word fully merged) — callers get fewer rows, never an error."""
     from ray.data.aggregate import Sum
 
-    wc = word_counts(docs, text_col=text_col).materialize()
+    if wc is None:
+        wc = word_counts(docs, text_col=text_col)
+    wc = wc.materialize()
 
     merges: List[Tuple[str, str]] = []
     rows = []
@@ -151,3 +157,34 @@ def bpe_train(docs, rounds: int = 3, text_col: str = "text") -> pd.DataFrame:
         rows,
         columns=["merge_round", "left_sym", "right_sym", "n"],
     ).astype({"merge_round": "int64", "n": "int64"})
+
+
+def symbol_counts(wc, merges: Sequence[Tuple[str, str]]):
+    """(sym, n) Dataset: corpus-weighted counts of the BPE symbols
+    after applying ``merges`` to the (word, cnt) vocabulary — the
+    "apply" half of train-then-apply. One exchange over distinct
+    symbols."""
+    from ray.data.aggregate import Sum
+
+    frozen = tuple(merges)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for w, n in zip(
+            batch["word"].to_pylist(), batch["cnt"].to_pylist()
+        ):
+            for s in symbols_of(w, frozen).strip("|").split("|"):
+                c[s] += n
+        syms = sorted(c)
+        return pa.Table.from_pydict(
+            {
+                "sym": pa.array(syms, pa.string()),
+                "n": pa.array([c[s] for s in syms], pa.int64()),
+            }
+        )
+
+    return (
+        wc.map_batches(explode, batch_format="pyarrow")
+        .groupby("sym")
+        .aggregate(Sum("n", alias_name="n"))
+    )
