@@ -152,3 +152,33 @@ def test_symbol_counts_apply(ray_session):
     }
     # abab -> [ab, ab] x2, ab -> [ab] x3  => ab: 7
     assert got == {"ab": 7}
+
+
+def test_suffix_prefix_join_stitches(ray_session):
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.spans import (
+        suffix_prefix_join,
+    )
+
+    frags = rd.from_arrow(
+        pa.table(
+            {
+                "frag_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        "a b c d e f g",      # suffix: c d e f g
+                        "c d e f g h i",      # prefix: c d e f g -> 1->2
+                        "x y z",              # < 5 tokens, dropped
+                        "q r s t u v",        # no match
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    ).repartition(2)
+    got = sorted(
+        (r["left_id"], r["right_id"])
+        for r in suffix_prefix_join(frags, k=5).take_all()
+    )
+    assert got == [(1, 2)]

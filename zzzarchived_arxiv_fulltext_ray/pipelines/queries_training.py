@@ -4109,3 +4109,175 @@ FROM tok JOIN vs v ON tok.w = v.word
 GROUP BY lang ORDER BY lang
 """
 )
+
+
+def _q_doc_stitch_pairs(sf_dir: str):
+    """Shard-boundary stitching: every 9th document is split into an
+    overlapping head fragment (first half) and tail fragment (from 5
+    words before the midpoint), and the operator finds every
+    (left, right) fragment pair where left's last-5-gram equals
+    right's first-5-gram — so each split doc must rediscover its own
+    (head, tail) pair, making recall self-validating (the
+    snippet_containment device). The re-assembly pass a crawl-dump
+    pipeline runs when documents straddle shard boundaries.
+
+    Physical plan: stages.spans.suffix_prefix_join — one exchange on
+    the k-gram key, per-bucket suffix x prefix hash join."""
+    from ..stages.spans import suffix_prefix_join
+
+    def frags(b: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for did, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            if did % 9 != 0:
+                continue
+            w = (t or "").split()
+            if len(w) < 10:
+                continue
+            m = len(w) // 2
+            ids.append(2 * did)
+            texts.append(" ".join(w[:m]))
+            ids.append(2 * did + 1)
+            texts.append(" ".join(w[m - 5:]))
+        return pa.Table.from_pydict(
+            {
+                "frag_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    pairs = suffix_prefix_join(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            frags, batch_format="pyarrow"
+        ),
+        k=5,
+    ).to_pandas()
+    if pairs.empty:
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "left_id": pd.Series([], dtype="int64"),
+                "right_id": pd.Series([], dtype="int64"),
+            }
+        )
+    return pairs.sort_values(["left_id", "right_id"]).reset_index(
+        drop=True
+    )
+
+
+TRAINING_QUERIES["doc_stitch_pairs"] = _q_doc_stitch_pairs
+TRAINING_ORACLE_SQL["doc_stitch_pairs"] = """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'),
+                       x -> x <> '') AS w
+    FROM documents WHERE doc_id % 9 = 0
+), eligible AS (
+    SELECT doc_id, w, len(w) AS n, len(w) // 2 AS m
+    FROM t WHERE len(w) >= 10
+), frag AS (
+    SELECT doc_id * 2 AS frag_id, array_slice(w, 1, m) AS fw
+    FROM eligible
+    UNION ALL
+    SELECT doc_id * 2 + 1, array_slice(w, m - 4, n) FROM eligible
+), keyed AS (
+    SELECT frag_id,
+           array_to_string(
+               array_slice(fw, len(fw) - 4, len(fw)), ' ') AS suffix_key,
+           array_to_string(array_slice(fw, 1, 5), ' ') AS prefix_key
+    FROM frag
+)
+SELECT a.frag_id AS left_id, b.frag_id AS right_id
+FROM keyed a JOIN keyed b
+  ON a.suffix_key = b.prefix_key AND a.frag_id <> b.frag_id
+ORDER BY left_id, right_id
+"""
+
+
+def _q_snapshot_reextract(sf_dir: str):
+    """Incremental recompute: re-extract ONLY the pages whose
+    document was added or changed between the two crawl snapshots of
+    the snapshot_diff query — the composition a production crawl
+    pipeline runs every ingest cycle (diff -> worklist -> extraction
+    cascade on the worklist only). Unchanged and removed documents
+    never re-enter the extractor.
+
+    Physical plan: stages.dedup.snapshot_diff -> class filter ->
+    partitioned SEMI join (worklist keys only cross the exchange;
+    the new snapshot's payloads stay put) -> pages synthesis ->
+    the full actor-pool extraction cascade."""
+    from ..sources.pages import pages_batch_from_documents
+    from ..stages.dedup import snapshot_diff
+    from ..stages.relational import partitioned_hash_join
+    from .extraction import extraction_pipeline
+
+    def old_side(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(d % 3 != 0))
+
+    def new_side(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(d % 3 != 1))
+        dd = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = [
+            tx + " [updated]" if did % 5 == 0 else tx
+            for did, tx in zip(dd, t["text"].to_pylist())
+        ]
+        out = {"doc_id": t["doc_id"], "text": pa.array(texts, pa.string())}
+        if "lang" in t.column_names:
+            out["lang"] = t["lang"]
+        return pa.Table.from_pydict(out)
+
+    classes = snapshot_diff(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            old_side, batch_format="pyarrow"
+        ),
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            new_side, batch_format="pyarrow"
+        ),
+    )
+
+    def worklist_keys(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            b["change_class"],
+            value_set=pa.array(["added", "changed"]),
+        )
+        return b.filter(keep).select(["doc_id"])
+
+    worklist = classes.map_batches(worklist_keys, batch_format="pyarrow")
+    new_docs = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        new_side, batch_format="pyarrow"
+    )
+    work_docs = partitioned_hash_join(
+        new_docs, worklist, "doc_id", how="semi"
+    )
+    pages = work_docs.map_batches(
+        pages_batch_from_documents, batch_format="pyarrow"
+    )
+    ds = extraction_pipeline(pages, derive_psv=False)
+    return (
+        ds.to_pandas()[["url", "status", "text"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+TRAINING_QUERIES["snapshot_reextract"] = _q_snapshot_reextract
+TRAINING_ORACLE_SQL["snapshot_reextract"] = """
+WITH newdocs AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN text || ' [updated]'
+                ELSE text END AS text
+    FROM documents
+    WHERE doc_id % 3 = 0 OR (doc_id % 3 = 2 AND doc_id % 5 = 0)
+)
+SELECT 'https://site' || lpad(CAST(doc_id % 50 AS VARCHAR), 2, '0')
+           || '.example.org/articles/'
+           || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+       CASE WHEN doc_id % 20 IN (4, 5, 6) THEN 'failed'
+            ELSE 'succeeded' END AS status,
+       CASE WHEN doc_id % 20 IN (4, 5, 6) THEN NULL
+            ELSE text END AS text
+FROM newdocs
+ORDER BY url
+"""

@@ -256,3 +256,81 @@ def _removal_partitioned(docs_ds, grams_ds, dup_ds, w: int,
         )
 
     return joined.map_batches(rebuild, batch_format="pyarrow")
+
+
+def suffix_prefix_join(frags, k: int = 5, id_col: str = "frag_id",
+                       text_col: str = "text", num_buckets: int = 64):
+    """(left_id, right_id) pairs where the left fragment's LAST ``k``
+    whitespace tokens equal the right fragment's FIRST ``k`` tokens —
+    the shard-boundary stitching join that re-assembles documents
+    split across crawl-dump shard boundaries.
+
+    Physical plan: each fragment projects to two keyed rows (its
+    suffix k-gram as a join key with side=0, its prefix k-gram with
+    side=1) -> ONE exchange on hash(key) into ``num_buckets`` fixed
+    buckets -> per-bucket pandas hash join of suffix rows x prefix
+    rows (self-pairs excluded). Fragments shorter than ``k`` tokens
+    can't stitch and are dropped at the projection. A hot k-gram key
+    makes its per-key product quadratic — this corpus's 5-grams are
+    effectively unique; adopt neardup.bucket_pairs' cap-and-log if a
+    future corpus changes that."""
+    from ..functions.hashing import bucket_of_column
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keys, sides, fids = [], [], []
+        for fid, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            w = (t or "").split()
+            if len(w) < k:
+                continue
+            keys.append(" ".join(w[-k:]))
+            sides.append(0)
+            fids.append(fid)
+            keys.append(" ".join(w[:k]))
+            sides.append(1)
+            fids.append(fid)
+        t = pa.Table.from_pydict(
+            {
+                "key": pa.array(keys, pa.string()),
+                "side": pa.array(sides, pa.int64()),
+                "fid": pa.array(fids, pa.int64()),
+            }
+        )
+        return t.append_column(
+            "__b",
+            pa.array(bucket_of_column(t["key"], num_buckets), pa.int64()),
+        )
+
+    def pairs_of_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict(
+            {
+                "left_id": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        df = group.select(["key", "side", "fid"]).to_pandas()
+        m = df[df["side"] == 0].merge(
+            df[df["side"] == 1], on="key", suffixes=("_l", "_r")
+        )
+        m = m[m["fid_l"] != m["fid_r"]]
+        if m.empty:
+            return empty
+        return pa.Table.from_pydict(
+            {
+                "left_id": pa.array(
+                    m["fid_l"].to_numpy().astype("int64"), pa.int64()
+                ),
+                "right_id": pa.array(
+                    m["fid_r"].to_numpy().astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        frags.map_batches(prep, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(pairs_of_bucket, batch_format="pyarrow")
+    )
