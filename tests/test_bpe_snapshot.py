@@ -182,3 +182,50 @@ def test_suffix_prefix_join_stitches(ray_session):
         for r in suffix_prefix_join(frags, k=5).take_all()
     )
     assert got == [(1, 2)]
+
+
+def test_count_inversions_matches_brute():
+    import numpy as np
+
+    from zzzarchived_arxiv_fulltext_ray.stages.window import (
+        _count_inversions,
+    )
+
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 2, 17, 100):
+        a = rng.integers(0, 8, size=n)
+        brute = sum(
+            int(a[i] > a[j]) for i in range(n) for j in range(i + 1, n)
+        )
+        assert _count_inversions(a) == brute
+
+
+def test_kendall_tau_matches_brute(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.window import kendall_tau
+
+    rng = np.random.default_rng(11)
+    n = 300
+    x = rng.integers(0, 40, size=n).astype("int64")  # plenty of ties
+    y = (x + rng.integers(-5, 6, size=n)).astype("int64")
+    ds = rd.from_arrow(
+        pa.table({"x": pa.array(x), "y": pa.array(y)})
+    ).repartition(5)
+    r = kendall_tau(ds, "x", "y", num_buckets=7)
+
+    conc = disc = 0
+    for i in range(n):
+        dx, dy = x[i] - x[i + 1:], y[i] - y[i + 1:]
+        s = dx * dy
+        conc += int((s > 0).sum())
+        disc += int((s < 0).sum())
+    assert (r["n_concordant"], r["n_discordant"]) == (conc, disc)
+    n0 = n * (n - 1) // 2
+    import math
+
+    want = float(conc - disc) / math.sqrt(
+        float(n0 - r["n_ties_x"]) * float(n0 - r["n_ties_y"])
+    )
+    assert r["tau_b"] == want

@@ -6104,3 +6104,166 @@ SELECT url, host, slot,
 FROM f
 ORDER BY url
 """
+
+
+def _q_doc_readability(sf_dir: str):
+    """Per-language Flesch reading ease over exact integer sufficient
+    stats: words = whitespace tokens, sentences = max(1, runs of
+    [.!?]+), syllables = vowel-group runs [aeiouy]+ in the lowercased
+    text (the standard cheap approximation) — summed per language,
+    then the Flesch formula as the ONLY float arithmetic, transcribed
+    with identical association in both engines (the FLOAT-MIRROR
+    rule). One tiny per-batch partial per language; no exchange
+    beyond the driver-side sum of ~n_langs x blocks rows."""
+    import re
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..pipelines.queries_training import _docs
+
+    vowel_re = re.compile(r"[aeiouy]+")
+    sent_re = re.compile(r"[.!?]+")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc = {}
+        for lang, text in zip(
+            batch["lang"].to_pylist(), batch["text"].to_pylist()
+        ):
+            a = acc.setdefault(lang, [0, 0, 0, 0])
+            t = text or ""
+            a[0] += 1
+            a[1] += len(t.split())
+            a[2] += max(1, len(sent_re.findall(t)))
+            a[3] += len(vowel_re.findall(t.lower()))
+        langs = sorted(acc)
+        return pa.Table.from_pydict(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "n_docs": pa.array([acc[x][0] for x in langs], pa.int64()),
+                "n_words": pa.array(
+                    [acc[x][1] for x in langs], pa.int64()
+                ),
+                "n_sentences": pa.array(
+                    [acc[x][2] for x in langs], pa.int64()
+                ),
+                "n_syllables": pa.array(
+                    [acc[x][3] for x in langs], pa.int64()
+                ),
+            }
+        )
+
+    parts = (
+        _docs(sf_dir, ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = parts.groupby("lang", as_index=False).sum()
+    for c in ("n_docs", "n_words", "n_sentences", "n_syllables"):
+        out[c] = out[c].astype("int64")
+    out["flesch"] = (
+        206.835
+        - 1.015 * (out["n_words"] / out["n_sentences"])
+        - 84.6 * (out["n_syllables"] / out["n_words"])
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+CORPUS_QUERIES["doc_readability"] = _q_doc_readability
+CORPUS_ORACLE_SQL["doc_readability"] = """
+WITH d AS (
+    SELECT lang,
+           len(list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '')) AS w,
+           greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+           len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+    FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS n_words,
+       CAST(sum(s) AS BIGINT) AS n_sentences,
+       CAST(sum(y) AS BIGINT) AS n_syllables,
+       206.835 - 1.015 * (CAST(sum(w) AS DOUBLE) / sum(s))
+               - 84.6 * (CAST(sum(y) AS DOUBLE) / sum(w)) AS flesch
+FROM d GROUP BY lang ORDER BY lang
+"""
+
+
+def _q_doc_kendall(sf_dir: str):
+    """Exact Kendall tau-b between document length in chars and in
+    tokens (stages.window.kendall_tau — distributed inversion
+    counting via Knight's identity; every count is an exact int64 and
+    only tau_b itself is float, so the O(n^2)-pair SQL oracle matches
+    bit-for-bit without ever materializing pairs on the Ray side)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..pipelines.queries_training import _docs
+    from ..stages.window import kendall_tau
+
+    def xy(batch: pa.Table) -> pa.Table:
+        toks = [
+            len((t or "").split()) for t in batch["text"].to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {
+                "x": batch["n_chars"],
+                "y": pa.array(toks, pa.int64()),
+            }
+        )
+
+    ds = _docs(sf_dir, ["n_chars", "text"]).map_batches(
+        xy, batch_format="pyarrow"
+    )
+    r = kendall_tau(ds, "x", "y")
+    out = pd.DataFrame([r])
+    for c in (
+        "n",
+        "n_concordant",
+        "n_discordant",
+        "n_ties_x",
+        "n_ties_y",
+        "n_ties_xy",
+    ):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+CORPUS_QUERIES["doc_kendall"] = _q_doc_kendall
+CORPUS_ORACLE_SQL["doc_kendall"] = """
+WITH d AS (
+    SELECT doc_id, n_chars AS x,
+           len(list_filter(regexp_split_to_array(text, '\\s+'),
+                           t -> t <> '')) AS y
+    FROM documents
+), pr AS (
+    SELECT
+      CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+                      OR (a.x > b.x AND a.y > b.y)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_concordant,
+      CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+                      OR (a.x > b.x AND a.y < b.y)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_discordant
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+), nn AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n0
+    FROM d
+), tx AS (
+    SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_ties_x
+    FROM (SELECT count(*) AS c FROM d GROUP BY x)
+), ty AS (
+    SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_ties_y
+    FROM (SELECT count(*) AS c FROM d GROUP BY y)
+), txy AS (
+    SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_ties_xy
+    FROM (SELECT count(*) AS c FROM d GROUP BY x, y)
+)
+SELECT nn.n, pr.n_concordant, pr.n_discordant,
+       tx.n_ties_x, ty.n_ties_y, txy.n_ties_xy,
+       CAST(pr.n_concordant - pr.n_discordant AS DOUBLE)
+           / sqrt(CAST(nn.n0 - tx.n_ties_x AS DOUBLE)
+                  * CAST(nn.n0 - ty.n_ties_y AS DOUBLE)) AS tau_b
+FROM pr, nn, tx, ty, txy
+"""
