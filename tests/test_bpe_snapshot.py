@@ -229,3 +229,54 @@ def test_kendall_tau_matches_brute(ray_session):
         float(n0 - r["n_ties_x"]) * float(n0 - r["n_ties_y"])
     )
     assert r["tau_b"] == want
+
+
+def test_mmr_select_matches_single_node(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.similarity import (
+        mmr_select,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d, lam, k = 60, 8, 0.6, 5
+    m = rng.normal(size=(n, d))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    m.tolist(), pa.list_(pa.float64())
+                ),
+            }
+        )
+    ).repartition(4)
+    got = mmr_select(ds, k=k, lam=lam, query_id=0)
+
+    nm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    q = nm[0]
+    sel, want = [], []
+    for rank in range(1, k + 1):
+        excl = {0} | {i for i, _ in sel}
+        rel = nm @ q
+        pen = (
+            (nm @ np.stack([v for _, v in sel]).T).max(axis=1)
+            if sel
+            else np.zeros(n)
+        )
+        score = lam * rel - (1.0 - lam) * pen
+        i = min(
+            ((-score[j], j) for j in range(n) if j not in excl)
+        )[1]
+        sel.append((i, nm[i]))
+        want.append((rank, i, score[i]))
+
+    assert list(got["rank"]) == [w[0] for w in want]
+    assert list(got["vec_id"]) == [w[1] for w in want]
+    assert np.allclose(
+        got["score"].to_numpy(),
+        np.array([w[2] for w in want]),
+        rtol=0,
+        atol=1e-12,
+    )

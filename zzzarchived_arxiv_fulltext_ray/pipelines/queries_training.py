@@ -4281,3 +4281,20 @@ SELECT 'https://site' || lpad(CAST(doc_id % 50 AS VARCHAR), 2, '0')
 FROM newdocs
 ORDER BY url
 """
+
+
+def _q_mmr_diverse(sf_dir: str):
+    """Diversity-aware retrieval: MMR top-10 for vec_id 0's embedding
+    (stages.similarity.mmr_select, lambda=0.7). Iterative float
+    argmax => rows-only (the kmeans/semdedup family); pinned against
+    a single-node numpy reference in tests."""
+    import ray.data
+
+    from ..stages.similarity import mmr_select
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return mmr_select(emb, k=10, lam=0.7, query_id=0)
+
+
+TRAINING_QUERIES["mmr_diverse"] = _q_mmr_diverse
+# no oracle_sql: genuinely iterative float selection (rows-only check)

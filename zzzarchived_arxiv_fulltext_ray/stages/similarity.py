@@ -748,3 +748,109 @@ def semdedup_numpy(ids, vecs, clusters, tau: float = 0.4):
                     break
             keep[i] = ok
     return keep
+
+
+def mmr_select(emb_ds, k: int = 10, lam: float = 0.7,
+               query_id: int = 0):
+    """Maximal Marginal Relevance diverse top-k (Carbonell &
+    Goldstein 1998): greedily select ``k`` vectors maximizing
+    ``lam * cos(q, v) - (1 - lam) * max_{s in S} cos(v, s)`` — the
+    diversity-aware retrieval/sampling step a training pipeline uses
+    to pick representative-but-nonredundant examples.
+
+    Iterative float argmax => rows-only op (the kmeans family: no SQL
+    oracle; pinned against a single-node numpy reference in
+    tests/test_bpe_snapshot.py). Loop state is ONLY the selected
+    (id, vector) set (k x d floats, re-broadcast per round via
+    closure); the normalized corpus materializes once and never
+    re-enters a growing plan. Each round = ONE map_batches scan with
+    a per-block partial argmax; the driver reduces <= n_blocks rows.
+    Ties break on (score desc, vec_id asc) — a total order, so the
+    selection is deterministic across block layouts.
+    """
+    norm = emb_ds.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {
+                "vec_id": b["vec_id"],
+                "embedding": pa.array(
+                    _normalize(_matrix_of(b)).tolist(),
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def pick_q(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["vec_id"], query_id))
+
+    qrow = norm.map_batches(pick_q, batch_format="pyarrow").take_all()
+    if not qrow:
+        raise ValueError(f"mmr_select: query_id {query_id} not found")
+    q = np.asarray(qrow[0]["embedding"], dtype=np.float64)
+
+    selected: list = []  # (vec_id, vector)
+    out_rows = []
+    for rank in range(1, k + 1):
+        sel_ids = frozenset(int(i) for i, _ in selected) | {query_id}
+        smat = (
+            np.stack([v for _, v in selected])
+            if selected
+            else np.empty((0, q.size))
+        )
+
+        def block_top1(batch: pa.Table, _q=q, _s=smat, _x=sel_ids):
+            empty = pa.Table.from_pydict(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                    "embedding": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+            vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            if vids.size == 0:
+                return empty
+            m = _matrix_of(batch)
+            rel = m @ _q
+            pen = (
+                (m @ _s.T).max(axis=1)
+                if _s.shape[0]
+                else np.zeros(vids.size)
+            )
+            score = lam * rel - (1.0 - lam) * pen
+            keep = ~np.isin(vids, np.fromiter(_x, dtype=np.int64))
+            if not keep.any():
+                return empty
+            vids, score, m = vids[keep], score[keep], m[keep]
+            i = np.lexsort((vids, -score))[0]
+            # the winning vector rides along so the driver never
+            # re-scans the corpus to fetch it
+            return pa.Table.from_pydict(
+                {
+                    "vec_id": pa.array([int(vids[i])], pa.int64()),
+                    "score": pa.array([float(score[i])], pa.float64()),
+                    "embedding": pa.array(
+                        [m[i].tolist()], pa.list_(pa.float64())
+                    ),
+                }
+            )
+
+        parts = norm.map_batches(
+            block_top1, batch_format="pyarrow"
+        ).take_all()
+        if not parts:
+            break
+        best = min(parts, key=lambda r: (-r["score"], r["vec_id"]))
+        bid = int(best["vec_id"])
+        vec = np.asarray(best["embedding"], dtype=np.float64)
+        selected.append((bid, vec))
+        out_rows.append(
+            {
+                "rank": rank,
+                "vec_id": bid,
+                "score": float(best["score"]),
+            }
+        )
+    import pandas as pd
+
+    return pd.DataFrame(out_rows, columns=["rank", "vec_id", "score"])
