@@ -6267,3 +6267,132 @@ SELECT nn.n, pr.n_concordant, pr.n_discordant,
                   * CAST(nn.n0 - ty.n_ties_y AS DOUBLE)) AS tau_b
 FROM pr, nn, tx, ty, txy
 """
+
+
+def _q_source_divergence(sf_dir: str):
+    """Pairwise corpus divergence between sources over add-one
+    smoothed unigram distributions — the Renyi-2 sum
+    sum_t P_a(t)^2 / P_b(t) (exponential of the order-2 Renyi
+    divergence), chosen over Shannon KL for the doc_effective_vocab
+    reason: every term is (c_a+1)^2 / (c_b+1) from exact integer
+    counts, no cross-engine log. Terms accumulate in ASCENDING token
+    order on both engines (python loop <-> SQL windowed sum — the
+    ordered-sum / KM-product device), then one float scale factor.
+
+    Physical plan: per-batch (source, token) Counter partials ->
+    one groupby exchange over distinct (source, token) pairs; the
+    driver holds the vocab x sources count table (bounded-vocab
+    contract, the kendall/lang_length_median histogram idiom) and
+    evaluates the 380-pair matrix locally."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.queries_training import _docs
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        for src, text in zip(
+            batch["source"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for t in (text or "").split():
+                c[(src, t)] += 1
+        keys = sorted(c)
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array([k[0] for k in keys], pa.string()),
+                "t": pa.array([k[1] for k in keys], pa.string()),
+                "c": pa.array([c[k] for k in keys], pa.int64()),
+            }
+        )
+
+    counts = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "t"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    vocab = sorted(counts["t"].unique())
+    v = len(vocab)
+    sources = sorted(counts["source"].unique())
+    pivot = (
+        counts.pivot_table(
+            index="t", columns="source", values="c", fill_value=0
+        )
+        .reindex(index=vocab, columns=sources, fill_value=0)
+        .to_numpy()
+        .astype("int64")
+    )
+    ntok = {s: int(pivot[:, i].sum()) for i, s in enumerate(sources)}
+
+    rows = []
+    for i, sa in enumerate(sources):
+        for j, sb in enumerate(sources):
+            if sa == sb:
+                continue
+            ca, cb = pivot[:, i], pivot[:, j]
+            s_acc = 0.0
+            for k in range(v):  # ascending token order, sequential
+                s_acc += float((int(ca[k]) + 1) * (int(ca[k]) + 1)) / (
+                    int(cb[k]) + 1
+                )
+            na, nb = ntok[sa], ntok[sb]
+            r2 = (
+                float(nb + v) / (float(na + v) * (na + v))
+            ) * s_acc
+            rows.append((sa, sb, na, nb, r2))
+    out = pd.DataFrame(
+        rows, columns=["src_a", "src_b", "n_a", "n_b", "renyi2"]
+    )
+    for c in ("n_a", "n_b"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+
+
+CORPUS_QUERIES["source_divergence"] = _q_source_divergence
+CORPUS_ORACLE_SQL["source_divergence"] = """
+WITH tok AS (
+    SELECT source,
+           unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> t <> '')) AS t
+    FROM documents
+), c AS (
+    SELECT source, t, CAST(count(*) AS BIGINT) AS c
+    FROM tok GROUP BY 1, 2
+), v AS (
+    SELECT CAST(count(DISTINCT t) AS BIGINT) AS nv FROM c
+), n AS (
+    SELECT source, CAST(sum(c) AS BIGINT) AS ntok FROM c GROUP BY 1
+), grid AS (
+    SELECT a.source AS src_a, b.source AS src_b, tt.t
+    FROM (SELECT DISTINCT source FROM c) a,
+         (SELECT DISTINCT source FROM c) b,
+         (SELECT DISTINCT t FROM c) tt
+    WHERE a.source <> b.source
+), terms AS (
+    SELECT g.src_a, g.src_b, g.t,
+           CAST((COALESCE(ca.c, 0) + 1) * (COALESCE(ca.c, 0) + 1)
+                AS DOUBLE) / (COALESCE(cb.c, 0) + 1) AS term
+    FROM grid g
+    LEFT JOIN c ca ON ca.source = g.src_a AND ca.t = g.t
+    LEFT JOIN c cb ON cb.source = g.src_b AND cb.t = g.t
+), s AS (
+    SELECT src_a, src_b,
+           sum(term) OVER (PARTITION BY src_a, src_b ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS acc,
+           row_number() OVER (PARTITION BY src_a, src_b
+                              ORDER BY t) AS rn,
+           count(*) OVER (PARTITION BY src_a, src_b) AS cnt
+    FROM terms
+)
+SELECT s.src_a, s.src_b, na.ntok AS n_a, nb.ntok AS n_b,
+       (CAST(nb.ntok + v.nv AS DOUBLE)
+            / (CAST(na.ntok + v.nv AS DOUBLE) * (na.ntok + v.nv)))
+           * s.acc AS renyi2
+FROM s, v, n na, n nb
+WHERE s.rn = s.cnt AND na.source = s.src_a AND nb.source = s.src_b
+ORDER BY src_a, src_b
+"""
