@@ -280,3 +280,32 @@ def test_mmr_select_matches_single_node(ray_session):
         rtol=0,
         atol=1e-12,
     )
+
+
+def test_render_markdown_contract():
+    from zzzarchived_arxiv_fulltext_ray.functions.markdown import (
+        render_markdown,
+    )
+
+    md = render_markdown(
+        '<h2> A  B </h2><p>mid <a href="/x">link</a> end</p>'
+        "<ul><li>one</li><li><b>two</b> items</li></ul>"
+        "<div>stray <em>inline</em> run</div>"
+    )
+    assert md == (
+        "## A B\n\n"
+        "mid [link](/x) end\n\n"
+        "- one\n- two items\n\n"
+        "stray inline run"
+    )
+    # malformed markup: script/head dropped. Unclosed <p>/<li> NEST
+    # (the forgiving parser never implicitly closes — same tree
+    # contract as the plain-text extractor), so the outer <p> is one
+    # leaf block whose nested text flattens inline.
+    md2 = render_markdown(
+        "<head><title>T</title></head><body><p>a<p>b"
+        "<script>x=1</script><li>c</body>"
+    )
+    assert md2 == "abc"
+    # anchor without href
+    assert render_markdown('<p><a name="z">t</a></p>') == "[t]()"

@@ -367,8 +367,57 @@ from .queries_relational import RELATIONAL_ORACLE_SQL, RELATIONAL_QUERIES
 from .queries_training import TRAINING_ORACLE_SQL, TRAINING_QUERIES
 from .queries_webtext import WEBTEXT_ORACLE_SQL, WEBTEXT_QUERIES
 
+
+
+def _q_extract_markdown(sf_dir: str):
+    """Markdown-preserving extraction (functions/markdown.py): HTML
+    pages render headings/links/lists as markdown instead of
+    flattening to plain text — the FineWeb-style structured variant
+    of the flagship extractor, sharing the same sniff/decode path and
+    DOM tree. Non-HTML payloads (pdf/text/binary/empty) are out of
+    scope here (the plain cascade owns them). The oracle rebuilds the
+    exact markdown from the synthesizer formulas (nav slice, link
+    farm arithmetic, garble length), so the renderer's whole
+    contract — heading levels, [text](href), list grouping,
+    whitespace collapse — is hash-pinned per url."""
+    from ..functions import sniff as sniff_mod
+    from ..functions.markdown import render_markdown
+    from ..stages.dedup import latest_crawl
+
+    ds = latest_crawl(read_pages(sf_dir))
+
+    def md(batch: pa.Table) -> pa.Table:
+        urls, out = [], []
+        for url, payload in zip(
+            batch["url"].to_pylist(), batch["html"].to_pylist()
+        ):
+            kind, charset = sniff_mod.sniff(payload)
+            if kind != sniff_mod.KIND_HTML:
+                continue
+            urls.append(url)
+            out.append(
+                render_markdown(
+                    sniff_mod.decode_payload(payload, charset)
+                )
+            )
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array(urls, pa.string()),
+                "markdown": pa.array(out, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(md, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
 QUERIES: Dict[str, Callable] = {
     "extract_text": _q_extract_text,
+    "extract_markdown": _q_extract_markdown,
     "extract_dedup_latest": _q_extract_dedup_latest,
     "extract_status_counts": _q_extract_status_counts,
     "doc_tokens": _q_doc_tokens,
@@ -386,6 +435,41 @@ QUERIES: Dict[str, Callable] = {
 }
 
 ORACLE_SQL: Dict[str, str] = {
+    "extract_markdown": _PAGES_CTE
+    + """
+    , words AS (
+        SELECT ['Home','News','Sports','Opinion','Culture','Science',
+                'Business','Travel','Archive','About','Contact',
+                'Subscribe'] AS nv,
+               ['trending','popular','latest','editors','picks',
+                'weekly','digest','related','stories','from','around',
+                'the','network','partner','links','more','coverage']
+                   AS fw
+    )
+    SELECT url,
+           '# Site ' || CAST(doc_id % 50 AS VARCHAR)
+           || chr(10) || chr(10)
+           || array_to_string(list_transform(
+                  array_slice(words.nv, 1, 6 + doc_id % 6),
+                  w -> '[' || w || '](/' || w || ')'), ' | ')
+           || chr(10) || chr(10)
+           || array_to_string(list_transform(range(0, 18), k ->
+                  '- [' || words.fw[(doc_id + k) % 17 + 1] || ' '
+                  || words.fw[(doc_id + 2 * k + 3) % 17 + 1] || ' '
+                  || CAST((doc_id * 7 + k) % 997 AS VARCHAR)
+                  || '](/t/' || CAST((doc_id * 7 + k) % 997 AS VARCHAR)
+                  || ')'), chr(10))
+           || chr(10) || chr(10)
+           || CASE WHEN kind = 6 THEN repeat('x', 20000 + doc_id % 500)
+                   ELSE text END
+           || chr(10) || chr(10)
+           || '\u00a9 2024 site'
+           || lpad(CAST(doc_id % 50 AS VARCHAR), 2, '0')
+           || ' [Privacy](/privacy) [Terms](/terms)' AS markdown
+    FROM pages, words
+    WHERE kind IN (3, 6, 7) OR kind >= 9
+    ORDER BY url
+    """,
     "extract_text": _PAGES_CTE
     + """
     SELECT url,
