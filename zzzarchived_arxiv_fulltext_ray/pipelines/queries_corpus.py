@@ -6396,3 +6396,109 @@ FROM s, v, n na, n nb
 WHERE s.rn = s.cnt AND na.source = s.src_a AND nb.source = s.src_b
 ORDER BY src_a, src_b
 """
+
+
+def _q_supplier_closeness(sf_dir: str):
+    """Per-seed truncated closeness centrality on the supplier
+    co-supply graph: for seeds 1/2/3, a 4-hop BFS
+    (stages.graph.bfs_hops, one run per seed over the ONCE-materialized
+    edge list) gives the hop histogram; harmonic closeness uses the
+    integer-exact device closeness12 = 12*h1 + 6*h2 + 4*h3 + 3*h4
+    (common denominator of 1/1..1/4), so the only float is one final
+    division — no ordered float sum to mirror. Hop truncation keeps
+    the recursive-CTE oracle finite (the supplier_bfs contract)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ..stages.graph import bfs_hops, cooccurrence_edges
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+
+    def sample_orders(batch: pa.Table) -> pa.Table:
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(keys % 10 == 0))
+
+    edges = cooccurrence_edges(
+        li.map_batches(sample_orders, batch_format="pyarrow"),
+        "l_orderkey", "l_suppkey", min_count=2,
+    ).materialize()
+
+    rows = []
+    for seed in (1, 2, 3):
+        seeds = ray.data.from_arrow(
+            pa.table({"node": pa.array([seed], pa.int64())})
+        )
+        hist = (
+            bfs_hops(edges, seeds, max_hops=4, assume_canonical=True)
+            .groupby("hops")
+            .count()
+            .to_pandas()
+        )
+        h = {
+            int(r["hops"]): int(r["count()"])
+            for _, r in hist.iterrows()
+        }
+        h1, h2, h3, h4 = (h.get(i, 0) for i in (1, 2, 3, 4))
+        c12 = 12 * h1 + 6 * h2 + 4 * h3 + 3 * h4
+        rows.append(
+            {
+                "seed": seed,
+                "n_reached": h1 + h2 + h3 + h4,
+                "h1": h1,
+                "h2": h2,
+                "h3": h3,
+                "h4": h4,
+                "closeness12": c12,
+                "harmonic_closeness": c12 / 12.0,
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        if c != "harmonic_closeness":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+CORPUS_QUERIES["supplier_closeness"] = _q_supplier_closeness
+CORPUS_ORACLE_SQL["supplier_closeness"] = """
+WITH RECURSIVE li AS (
+    SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_orderkey % 10 = 0
+), co AS (
+    SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+           count(DISTINCT a.l_orderkey) AS n
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+), e AS (
+    SELECT u, v FROM co WHERE n >= 2
+), bi AS (
+    SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+), walk(seed, node, hop) AS (
+    SELECT s, s, 0 FROM (VALUES (1), (2), (3)) t(s)
+    UNION
+    SELECT walk.seed, bi.dst, walk.hop + 1
+    FROM walk JOIN bi ON bi.src = walk.node
+    WHERE walk.hop < 4
+), lvl AS (
+    SELECT seed, node, min(hop) AS h FROM walk GROUP BY 1, 2
+)
+SELECT CAST(seed AS BIGINT) AS seed,
+       CAST(count(*) FILTER (h >= 1) AS BIGINT) AS n_reached,
+       CAST(count(*) FILTER (h = 1) AS BIGINT) AS h1,
+       CAST(count(*) FILTER (h = 2) AS BIGINT) AS h2,
+       CAST(count(*) FILTER (h = 3) AS BIGINT) AS h3,
+       CAST(count(*) FILTER (h = 4) AS BIGINT) AS h4,
+       CAST(12 * count(*) FILTER (h = 1)
+            + 6 * count(*) FILTER (h = 2)
+            + 4 * count(*) FILTER (h = 3)
+            + 3 * count(*) FILTER (h = 4) AS BIGINT) AS closeness12,
+       CAST(12 * count(*) FILTER (h = 1)
+            + 6 * count(*) FILTER (h = 2)
+            + 4 * count(*) FILTER (h = 3)
+            + 3 * count(*) FILTER (h = 4) AS DOUBLE) / 12.0
+           AS harmonic_closeness
+FROM lvl GROUP BY seed ORDER BY seed
+"""
