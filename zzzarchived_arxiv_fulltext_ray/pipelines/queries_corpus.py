@@ -6502,3 +6502,75 @@ SELECT CAST(seed AS BIGINT) AS seed,
            AS harmonic_closeness
 FROM lvl GROUP BY seed ORDER BY seed
 """
+
+
+def _q_phrase_topk(sf_dir: str):
+    """Phrase mining: the 20 most frequent 4-gram token phrases
+    corpus-wide (tie-break by phrase string — total order). Per-batch
+    Counter partials over sliding windows -> one groupby exchange
+    over distinct phrases -> per-block partial top-20 -> driver merge
+    (the lossless partial-top-k combiner, ~20 rows per block)."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.queries_training import _docs
+
+    W = 4
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        for text in batch["text"].to_pylist():
+            w = (text or "").split()
+            for i in range(len(w) - W + 1):
+                c[" ".join(w[i:i + W])] += 1
+        keys = sorted(c)
+        return pa.Table.from_pydict(
+            {
+                "phrase": pa.array(keys, pa.string()),
+                "n": pa.array([c[k] for k in keys], pa.int64()),
+            }
+        )
+
+    def top20(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["n", "phrase"], ascending=[False, True]
+        ).head(20)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("phrase")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(top20, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = parts.sort_values(
+        ["n", "phrase"], ascending=[False, True]
+    ).head(20)
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)[["phrase", "n"]]
+
+
+CORPUS_QUERIES["phrase_topk"] = _q_phrase_topk
+CORPUS_ORACLE_SQL["phrase_topk"] = """
+WITH t AS (
+    SELECT list_filter(regexp_split_to_array(text, '\\s+'),
+                       x -> x <> '') AS w
+    FROM documents
+), g AS (
+    SELECT unnest(list_transform(range(1, len(w) - 2),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                    || w[i+3])) AS phrase
+    FROM t WHERE len(w) >= 4
+)
+SELECT phrase, CAST(count(*) AS BIGINT) AS n
+FROM g GROUP BY phrase
+ORDER BY n DESC, phrase ASC LIMIT 20
+"""
