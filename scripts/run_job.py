@@ -87,6 +87,9 @@ def main():
     # The per-row 600 s watchdog in ExtractorPool already converts
     # pathological documents into failed rows; reserve the lane for
     # corpora where individual documents legitimately cost minutes.
+    ap.add_argument("--emit-markdown", action="store_true",
+                    help="add a markdown column (HTML payloads only; "
+                         "functions/markdown.py rendering contract)")
     ap.add_argument("--giant-threshold", type=int, default=0,
                     help="bytes; >0 routes larger payloads to a "
                          "dedicated single-row-batch actor lane "
@@ -200,6 +203,7 @@ def main():
             dedup=None if args.dedup == "none" else args.dedup,
             concurrency=concurrency,
             batch_size=args.batch_size,
+            emit_markdown=bool(args.emit_markdown),
             giant_threshold_bytes=args.giant_threshold or None,
         )
 
@@ -208,6 +212,7 @@ def main():
         dedup=args.dedup, global_dedup=bool(args.global_dedup),
         input_format=input_format,
         neardup_guard=args.neardup_guard or False,
+        emit_markdown=bool(args.emit_markdown),
     )
     if args.watch:
         if args.shard_by == "dir":

@@ -309,3 +309,33 @@ def test_render_markdown_contract():
     assert md2 == "abc"
     # anchor without href
     assert render_markdown('<p><a name="z">t</a></p>') == "[t]()"
+
+
+def test_extraction_pipeline_emit_markdown(ray_session):
+    import pandas as pd
+
+    from zzzarchived_arxiv_fulltext_ray.pipelines.extraction import (
+        extraction_pipeline,
+    )
+    from zzzarchived_arxiv_fulltext_ray.sources.pages import read_pages
+
+    ds = extraction_pipeline(
+        read_pages("/root/testdata/sf0.001"),
+        derive_psv=False,
+        emit_markdown=True,
+    )
+    df = ds.to_pandas()
+    assert "markdown" in df.columns
+    doc_ids = (
+        df["url"].str.slice(-8).astype("int64")
+    )
+    kinds = doc_ids % 20
+    is_html = kinds.isin([3, 6, 7]) | (kinds >= 9)
+    assert df.loc[is_html, "markdown"].str.startswith("# Site").all()
+    assert df.loc[~is_html, "markdown"].isna().all()
+    # the structured variant carries the same body text the plain
+    # cascade extracted (succeeded html rows only)
+    ok = is_html & (df["status"] == "succeeded")
+    sample = df[ok].head(20)
+    for _, r in sample.iterrows():
+        assert r["text"] in r["markdown"]

@@ -26,6 +26,7 @@ def extraction_pipeline(
     concurrency: Union[int, Tuple[int, int], None] = (1, 8),
     batch_size: int = 128,
     derive_psv: bool = True,
+    emit_markdown: bool = False,
     giant_threshold_bytes: Optional[int] = None,
     materialize_for_split: bool = True,
     extractor_cls: type = ExtractorPool,
@@ -52,7 +53,10 @@ def extraction_pipeline(
         # more CPU than the cascade itself on text-heavy corpora)
         return stream.map_batches(
             extractor_cls,
-            fn_constructor_kwargs={"derive_psv": derive_psv},
+            fn_constructor_kwargs={
+                "derive_psv": derive_psv,
+                "emit_markdown": emit_markdown,
+            },
             batch_format="pyarrow",
             batch_size=pool_batch_size,
             concurrency=pool_concurrency or concurrency,

@@ -179,12 +179,14 @@ class ExtractorPool:
         extractor_version: str = EXTRACTOR_VERSION,
         derive_psv: bool = False,
         row_timeout_sec: float = DEFAULT_ROW_TIMEOUT_SEC,
+        emit_markdown: bool = False,
     ):
         # Per-actor setup happens once: the kernel modules' compiled
         # regex tables and (when present) pdfminer resources are loaded
         # on first import in this worker process.
         self.extractor_version = extractor_version
         self.derive_psv = derive_psv
+        self.emit_markdown = emit_markdown
         self.row_timeout_sec = row_timeout_sec
         # per-process watchdog thread (Ray runs __call__ off the main
         # thread, where SIGALRM can't interrupt the work)
@@ -220,8 +222,25 @@ class ExtractorPool:
 
         out_text, out_status, out_error, out_kind = [], [], [], []
         out_psv = [] if self.derive_psv else None
+        out_md = [] if self.emit_markdown else None
         for url, payload, fallback in zip(urls, payloads, texts):
             res = self._extract_row(payload, fallback, url)
+            if out_md is not None:
+                # markdown-preserving variant for HTML payloads
+                # (functions/markdown.py); the cascade's parse of the
+                # same bytes already passed the per-row watchdog, and
+                # the renderer's tree walk is linear in that tree
+                from ..functions import sniff as sniff_mod
+                from ..functions.markdown import render_markdown
+
+                kind, charset = sniff_mod.sniff(payload or b"")
+                out_md.append(
+                    render_markdown(
+                        sniff_mod.decode_payload(payload, charset)
+                    )
+                    if kind == sniff_mod.KIND_HTML
+                    else None
+                )
             out_text.append(res.text)
             out_status.append(res.status)
             out_error.append(res.error)
@@ -254,7 +273,10 @@ class ExtractorPool:
         schema = OUTPUT_SCHEMA
         if out_psv is not None:
             arrays.append(pa.array(out_psv, type=pa.string()))
-            schema = OUTPUT_SCHEMA.append(pa.field("psv", pa.string()))
+            schema = schema.append(pa.field("psv", pa.string()))
+        if out_md is not None:
+            arrays.append(pa.array(out_md, type=pa.string()))
+            schema = schema.append(pa.field("markdown", pa.string()))
         return pa.Table.from_arrays(arrays, schema=schema)
 
 
