@@ -339,3 +339,30 @@ def test_extraction_pipeline_emit_markdown(ray_session):
     sample = df[ok].head(20)
     for _, r in sample.iterrows():
         assert r["text"] in r["markdown"]
+
+
+def test_chatterjee_xi_matches_brute(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from zzzarchived_arxiv_fulltext_ray.stages.window import (
+        chatterjee_xi,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 400
+    x = rng.integers(0, 30, size=n).astype("int64")  # heavy x-ties
+    y = ((x * x) % 17 + rng.integers(0, 3, size=n)).astype("int64")
+    tie = np.arange(n, dtype="int64")
+    ds = rd.from_arrow(
+        pa.table(
+            {"x": pa.array(x), "y": pa.array(y), "tie": pa.array(tie)}
+        )
+    ).repartition(6)
+    r = chatterjee_xi(ds, "x", "y", tie_col="tie", num_buckets=9)
+
+    order = np.lexsort((tie, x))
+    rank = np.array([(y <= yi).sum() for yi in y])[order]
+    s = int(np.abs(np.diff(rank)).sum())
+    assert (r["n"], r["s_abs"]) == (n, s)
+    assert r["xi"] == 1.0 - 3.0 * s / (n * n - 1)

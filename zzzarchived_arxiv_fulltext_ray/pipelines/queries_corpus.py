@@ -6574,3 +6574,65 @@ SELECT phrase, CAST(count(*) AS BIGINT) AS n
 FROM g GROUP BY phrase
 ORDER BY n DESC, phrase ASC LIMIT 20
 """
+
+
+def _q_doc_chatterjee_xi(sf_dir: str):
+    """Chatterjee's xi dependence of token count on char count
+    (stages.window.chatterjee_xi): a modern rank-based coefficient
+    that detects ANY functional dependence, not just monotone —
+    complements doc_kendall on the same column pair. Exact int64
+    rank-difference sum (x-ties ordered by doc_id, the documented
+    deterministic convention), one final float division; the oracle
+    computes the same ranks with a RANGE-frame window count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..pipelines.queries_training import _docs
+    from ..stages.window import chatterjee_xi
+
+    def xy(batch: pa.Table) -> pa.Table:
+        toks = [
+            len((t or "").split()) for t in batch["text"].to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "x": batch["n_chars"],
+                "y": pa.array(toks, pa.int64()),
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars", "text"]).map_batches(
+        xy, batch_format="pyarrow"
+    )
+    r = chatterjee_xi(ds, "x", "y", tie_col="doc_id")
+    out = pd.DataFrame([r])
+    out["n"] = out["n"].astype("int64")
+    out["s_abs"] = out["s_abs"].astype("int64")
+    return out[["n", "s_abs", "xi"]]
+
+
+CORPUS_QUERIES["doc_chatterjee_xi"] = _q_doc_chatterjee_xi
+CORPUS_ORACLE_SQL["doc_chatterjee_xi"] = """
+WITH d AS (
+    SELECT doc_id, n_chars AS x,
+           len(list_filter(regexp_split_to_array(text, '\\s+'),
+                           t -> t <> '')) AS y
+    FROM documents
+), rk AS (
+    SELECT doc_id, x,
+           count(*) OVER (ORDER BY y) AS r
+    FROM d
+), seq AS (
+    SELECT r, lead(r) OVER (ORDER BY x, doc_id) AS nxt FROM rk
+), agg AS (
+    SELECT CAST(sum(abs(nxt - r)) AS BIGINT) AS s_abs
+    FROM seq WHERE nxt IS NOT NULL
+), nn AS (
+    SELECT CAST(count(*) AS BIGINT) AS n FROM d
+)
+SELECT nn.n, agg.s_abs,
+       1.0 - 3.0 * CAST(agg.s_abs AS DOUBLE) / (nn.n * nn.n - 1)
+           AS xi
+FROM nn, agg
+"""

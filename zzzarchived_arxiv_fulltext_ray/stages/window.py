@@ -1196,3 +1196,103 @@ def kendall_tau(ds, x_col: str, y_col: str, num_buckets: int = 64):
         "n_ties_xy": n3,
         "tau_b": tau_b,
     }
+
+
+def chatterjee_xi(ds, x_col: str, y_col: str, tie_col: str,
+                  num_buckets: int = 64):
+    """Chatterjee's xi dependence coefficient (Chatterjee 2020, "A new
+    coefficient of correlation"):
+
+        xi = 1 - 3 * S / (n^2 - 1),
+        S  = sum over the (x asc, tie asc) order of |r_{i+1} - r_i|,
+        r_i = #{j : y_j <= y_i}
+
+    x-ties are ordered by the deterministic ``tie_col`` (the original
+    paper randomizes; a fixed key keeps both engines identical —
+    documented convention). Every quantity is an exact int64 until
+    the one final division.
+
+    Physical plan: y ranks come from the broadcast y value-histogram
+    CDF (bounded-value-domain contract); rows range-partition on x
+    (boundaries from the x histogram, x-ties never split, so the
+    bucket order IS the global order); each bucket emits its internal
+    |dr| sum plus its first/last rank (the cusum boundary-stitching
+    idiom) and the driver adds the num_buckets-1 boundary terms.
+    """
+    from ray.data.aggregate import Count
+
+    proj = ds.map_batches(
+        lambda b: b.select([x_col, y_col, tie_col]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    xh = (
+        proj.groupby(x_col).aggregate(Count(alias_name="c")).to_pandas()
+    ).sort_values(x_col)
+    yh = (
+        proj.groupby(y_col).aggregate(Count(alias_name="c")).to_pandas()
+    ).sort_values(y_col)
+    n = int(xh["c"].sum())
+    y_domain = yh[y_col].to_numpy()
+    y_cdf = np.cumsum(yh["c"].to_numpy().astype(np.int64))
+
+    xv = xh[x_col].to_numpy()
+    xc = xh["c"].to_numpy().astype(np.int64)
+    cum = np.cumsum(xc)
+    nb = min(num_buckets, xv.size)
+    targets = (np.arange(1, nb) * n) // nb
+    splits = np.unique(np.searchsorted(cum, targets, side="left") + 1)
+    splits = splits[splits < xv.size]
+    bounds = xv[splits]
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__b",
+            pa.array(
+                np.searchsorted(bounds, x, side="right").astype(np.int64)
+            ),
+        )
+
+    def bucket_stats(group: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict(
+            {
+                "__b": pa.array([], pa.int64()),
+                "s_abs": pa.array([], pa.int64()),
+                "first_r": pa.array([], pa.int64()),
+                "last_r": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        x = group[x_col].to_numpy(zero_copy_only=False)
+        y = group[y_col].to_numpy(zero_copy_only=False)
+        t = group[tie_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, x))
+        r = y_cdf[np.searchsorted(y_domain, y)][order]
+        s = int(np.abs(np.diff(r)).sum()) if r.size > 1 else 0
+        return pa.Table.from_pydict(
+            {
+                "__b": pa.array(
+                    [int(group["__b"][0].as_py())], pa.int64()
+                ),
+                "s_abs": pa.array([s], pa.int64()),
+                "first_r": pa.array([int(r[0])], pa.int64()),
+                "last_r": pa.array([int(r[-1])], pa.int64()),
+            }
+        )
+
+    parts = (
+        proj.map_batches(annotate, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(bucket_stats, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("__b")
+    )
+    s_abs = int(parts["s_abs"].sum())
+    last = parts["last_r"].to_numpy()
+    first = parts["first_r"].to_numpy()
+    if len(parts) > 1:
+        s_abs += int(np.abs(first[1:] - last[:-1]).sum())
+    xi = 1.0 - 3.0 * s_abs / (n * n - 1)
+    return {"n": n, "s_abs": s_abs, "xi": xi}
